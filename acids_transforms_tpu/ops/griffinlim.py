@@ -1,0 +1,62 @@
+"""Griffin-Lim phase reconstruction with momentum (fast Griffin-Lim).
+
+Matches the torchaudio algorithm invoked by the reference
+(transforms/stft.py:174-178: 30 iterations, momentum 0.99, ``rand_init=True``,
+``win_length = n_fft``): alternate ISTFT/STFT projections of the target
+magnitude, with the momentum extrapolation of Perraudin et al.
+
+The whole loop runs on device under ``lax.fori_loop`` — each iteration is one
+ISTFT + one STFT (GEMM/FFT pairs on the MXU), no host round-trips.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .fft import istft, stft
+
+__all__ = ["griffin_lim"]
+
+
+def griffin_lim(
+    magnitude: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    window: jnp.ndarray,
+    n_iter: int = 30,
+    momentum: float = 0.99,
+    length: Optional[int] = None,
+    rand_init: bool = True,
+    key: Optional[jax.Array] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Reconstruct a waveform from a magnitude spectrogram ``(..., T, F)``."""
+    mom = momentum / (1.0 + momentum)
+    if rand_init:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        kr, ki = jax.random.split(key)
+        angles = jax.lax.complex(
+            jax.random.normal(kr, magnitude.shape),
+            jax.random.normal(ki, magnitude.shape),
+        )
+    else:
+        angles = jnp.ones(magnitude.shape, dtype=jnp.complex64)
+    angles = angles / jnp.maximum(jnp.abs(angles), jnp.finfo(jnp.float32).tiny)
+
+    def body(_, carry):
+        angles, tprev = carry
+        inverse = istft(
+            magnitude * angles, n_fft, hop_length, window, length=length, impl=impl
+        )
+        rebuilt = stft(inverse, n_fft, hop_length, window, impl=impl)
+        upd = rebuilt - mom * tprev
+        upd = upd / jnp.maximum(jnp.abs(upd), 1e-16)
+        return upd, rebuilt
+
+    angles, _ = jax.lax.fori_loop(
+        0, n_iter, body, (angles, jnp.zeros_like(angles))
+    )
+    return istft(magnitude * angles, n_fft, hop_length, window, length=length, impl=impl)

@@ -1,0 +1,58 @@
+"""Flat transform namespace (reference acids_transforms/transforms/__init__.py:1-9)."""
+from .base import (
+    AudioTransform,
+    ComposeAudioTransform,
+    NotInvertibleError,
+    apply_invert_transform_to_list,
+    apply_transform_to_list,
+)
+from .mel import MFCC
+from .misc import OneHot, Squeeze, Transpose, Unsqueeze
+from .norm import Normalize
+from .oadd import OverlapAdd
+from .raw import MidSide, Mono, MuLaw, Stereo, Window
+from .spectral_repr import (
+    IF,
+    Cartesian,
+    Dummy,
+    Imaginary,
+    Magnitude,
+    Phase,
+    Polar,
+    PolarIF,
+    Real,
+    SpectralRepresentation,
+)
+from .stft import STFT, RealtimeSTFT
+
+__all__ = [
+    "AudioTransform",
+    "ComposeAudioTransform",
+    "NotInvertibleError",
+    "apply_transform_to_list",
+    "apply_invert_transform_to_list",
+    "Mono",
+    "Stereo",
+    "MidSide",
+    "Window",
+    "MuLaw",
+    "STFT",
+    "RealtimeSTFT",
+    "MFCC",
+    "Dummy",
+    "Real",
+    "Imaginary",
+    "Magnitude",
+    "Phase",
+    "IF",
+    "SpectralRepresentation",
+    "Cartesian",
+    "Polar",
+    "PolarIF",
+    "Normalize",
+    "OverlapAdd",
+    "Unsqueeze",
+    "Squeeze",
+    "Transpose",
+    "OneHot",
+]

@@ -1,0 +1,124 @@
+"""Shape utilities: Unsqueeze / Squeeze / Transpose / OneHot.
+
+Reference: acids_transforms/transforms/misc.py (minus its stray
+``from turtle import forward`` accident, misc.py:1).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import AudioTransform, NotInvertibleError
+
+__all__ = ["Unsqueeze", "Squeeze", "Transpose", "OneHot"]
+
+
+class Unsqueeze(AudioTransform):
+    """Insert a singleton axis (reference misc.py:8-51)."""
+
+    scriptable = True
+    needs_scaling = False
+
+    def __init__(self, sr: int = 44100, dim: int = 1):
+        super().__init__(sr=sr)
+        self.dim = dim
+
+    @property
+    def invertible(self) -> bool:
+        return self.dim is not None
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.expand_dims(x, self.dim)
+
+    def invert(self, x, inversion_mode=None, key=None):
+        return jnp.squeeze(x, self.dim)
+
+
+class Squeeze(AudioTransform):
+    """Drop singleton axes; a full squeeze (``dim=None``) is not invertible
+    (reference misc.py:54-111)."""
+
+    scriptable = True
+    needs_scaling = False
+
+    def __init__(self, sr: int = 44100, dim: Optional[int] = None):
+        super().__init__(sr=sr)
+        self.dim = dim
+
+    @property
+    def invertible(self) -> bool:
+        return self.dim is not None
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.dim is None:
+            return jnp.squeeze(x)
+        return jnp.squeeze(x, self.dim)
+
+    def invert(self, x, inversion_mode=None, key=None):
+        if self.dim is None:
+            raise NotInvertibleError
+        return jnp.expand_dims(x, self.dim)
+
+
+class Transpose(AudioTransform):
+    """Swap two axes; self-inverse (reference misc.py:114-153).
+
+    ``contiguous`` is accepted for API parity but is a no-op — XLA owns
+    layout.
+    """
+
+    scriptable = True
+    invertible = True
+    needs_scaling = False
+
+    def __init__(self, dims: Tuple[int, int] = (-2, -1), contiguous: bool = True, sr: int = 44100):
+        super().__init__(sr=sr)
+        self.dims = tuple(dims)
+        self.contiguous = bool(contiguous)
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.swapaxes(x, self.dims[0], self.dims[1])
+
+    def invert(self, x, inversion_mode=None, key=None):
+        return self.forward(x)
+
+
+class OneHot(AudioTransform):
+    """Integer -> one-hot on the last axis; invert via argmax
+    (reference misc.py:156-213).
+
+    ``n_classes=-1`` defers the class count to ``scale_data`` (which reads
+    ``max + 1`` from data — host-side, hence eager-only; reference
+    misc.py:178-180).
+    """
+
+    scriptable = True
+    invertible = True
+
+    def __init__(self, sr: int = 44100, n_classes: int = -1):
+        super().__init__(sr=sr)
+        self.n_classes = int(n_classes)
+
+    @property
+    def needs_scaling(self) -> bool:
+        return self.n_classes == -1
+
+    def scale_data(self, x: jnp.ndarray) -> None:
+        self.n_classes = int(jnp.max(x)) + 1
+
+    def fit(self, x: jnp.ndarray) -> "OneHot":
+        # class count is static config; fitting requires concretization and is
+        # therefore eager-only (cannot run under jit).
+        new = self.replace()
+        new.n_classes = int(jax.device_get(jnp.max(x))) + 1
+        return new
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.n_classes < 0:
+            raise ValueError("OneHot used before scale_data set n_classes")
+        return jax.nn.one_hot(x, self.n_classes, dtype=jnp.int32)
+
+    def invert(self, x, inversion_mode=None, key=None):
+        return jnp.argmax(x, axis=-1)

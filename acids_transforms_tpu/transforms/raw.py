@@ -1,0 +1,259 @@
+"""Raw-domain transforms: channel layout, framing, companding.
+
+Reference: acids_transforms/transforms/raw.py.  All are elementwise /
+slice-level ops that XLA fuses; ``Window`` shares the TPU framing primitive
+with the spectral transforms (ops/framing.py).
+
+Reference bugs deliberately not reproduced (SURVEY.md §7):
+
+* ``Mono.invert`` ignores its ``inversion_mode`` argument (raw.py:62-70) —
+  fixed via ``_resolve_mode``;
+* ``MuLaw.invert`` bypasses one-hot decoding (raw.py:315-316) — here
+  ``invert`` fully reverses ``forward`` for every ``one_hot`` mode;
+* ``Window.__repr__`` referenced missing attributes (raw.py:207-208).
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.framing import frame
+from ..ops.mulaw import mulaw_decode, mulaw_encode
+from .base import AudioTransform
+
+__all__ = ["Mono", "Stereo", "MidSide", "Window", "MuLaw"]
+
+
+class Mono(AudioTransform):
+    """Stereo -> mono via ``mix`` / ``left`` / ``right`` (reference raw.py:11-77)."""
+
+    scriptable = True
+    invertible = True
+    needs_scaling = False
+
+    def __init__(
+        self,
+        mode: str = "mix",
+        normalize: bool = False,
+        squeeze: bool = True,
+        inversion_mode: str = "mono",
+        sr: int = 44100,
+    ):
+        super().__init__(sr=sr)
+        if mode not in ("mix", "left", "right"):
+            raise ValueError("unknown mono mode %r" % mode)
+        self.mode = mode
+        self.normalize = bool(normalize)
+        self.squeeze = bool(squeeze)
+        self.inversion_mode = inversion_mode
+
+    def get_inversion_modes(self) -> List[str]:
+        return ["mono", "stereo"]
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim >= 2 and x.shape[-2] == 2:
+            if self.mode == "mix":
+                x = (x.sum(-2) / 2.0)[..., None, :]
+            elif self.mode == "right":
+                x = x[..., 1:2, :]
+            else:
+                x = x[..., 0:1, :]
+        if self.normalize:
+            x = x / x.max()
+        if self.squeeze:
+            x = x.squeeze(-2)
+        return x
+
+    def forward_with_time(self, x, time):
+        time = time[..., 0] if self.squeeze else time[..., 0:1]
+        return self.forward(x), time
+
+    def invert(self, x, inversion_mode=None, key=None):
+        mode = self._resolve_mode(inversion_mode)
+        if self.squeeze:
+            x = x[..., None, :]
+        if x.shape[-2] == 1 and mode == "stereo":
+            x = jnp.concatenate([x, x], axis=-2)
+        return x
+
+
+class Stereo(AudioTransform):
+    """Mono -> stereo by duplication (reference raw.py:80-122)."""
+
+    scriptable = True
+    invertible = True
+    needs_scaling = False
+
+    def __init__(self, normalize: bool = False, sr: int = 44100):
+        super().__init__(sr=sr)
+        self.normalize = bool(normalize)
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 1:
+            x = jnp.stack([x, x], axis=0)
+        elif x.shape[-2] == 1:
+            x = jnp.concatenate([x, x], axis=-2)
+        elif x.shape[-2] > 2:
+            raise ValueError("Stereo only works with 1/2 channels")
+        if self.normalize:
+            x = x / x.max()
+        return x
+
+    def invert(self, x, inversion_mode=None, key=None):
+        if x.ndim == 1:
+            return jnp.stack([x, x], axis=0)
+        if x.shape[-2] == 1:
+            return jnp.concatenate([x, x], axis=-2)
+        if x.shape[-2] > 2:
+            return x[..., :2, :]
+        return x
+
+
+class MidSide(AudioTransform):
+    """Mid/side encode ``mid = (L+R)/2, side = (L-R)/2`` with optional
+    ``1/sqrt(2)`` mid scaling; exact inverse (reference raw.py:124-180)."""
+
+    scriptable = True
+    invertible = True
+    needs_scaling = False
+
+    def __init__(self, sr: int = 44100, normalize: bool = False, pad_mid: bool = True):
+        super().__init__(sr=sr)
+        self.normalize = bool(normalize)
+        self.pad_mid = bool(pad_mid)
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 1:
+            x = jnp.stack([x, jnp.zeros_like(x)], axis=0)
+        elif x.shape[-2] == 1:
+            x = jnp.concatenate([x, jnp.zeros_like(x)], axis=-2)
+        elif x.shape[-2] > 2:
+            raise ValueError("MidSide only works with 1 or 2 channels")
+        else:
+            mid = (x[..., 0, :] + x[..., 1, :]) / 2.0
+            side = (x[..., 0, :] - x[..., 1, :]) / 2.0
+            if self.pad_mid:
+                mid = mid / math.sqrt(2.0)
+            x = jnp.stack([mid, side], axis=-2)
+        if self.normalize:
+            x = x / x.max()
+        return x
+
+    def invert(self, x, inversion_mode=None, key=None):
+        if x.ndim == 1:
+            return jnp.stack([x, x], axis=0)
+        if x.shape[-2] == 1:
+            return jnp.concatenate([x, x], axis=-2)
+        x = x[..., :2, :]
+        mid = x[..., 0, :]
+        side = x[..., 1, :]
+        if self.pad_mid:
+            mid = mid * math.sqrt(2.0)
+        return jnp.stack([mid + side, mid - side], axis=-2)
+
+
+class Window(AudioTransform):
+    """Overlapping framing as a standalone transform (reference raw.py:183-262)."""
+
+    scriptable = True
+    invertible = True
+    needs_scaling = False
+
+    def __init__(
+        self,
+        sr: int = 44100,
+        window_size: int = 1024,
+        hop_size: Optional[int] = 256,
+        dim: int = -1,
+        inversion_mode: str = "crop",
+    ):
+        super().__init__(sr=sr)
+        self.window_size = int(window_size)
+        self.hop_size = int(hop_size) if hop_size else self.window_size
+        if self.window_size < self.hop_size:
+            raise ValueError("window_size must be >= hop_size")
+        self.dim = int(dim)
+        self.inversion_mode = inversion_mode
+
+    def get_inversion_modes(self) -> List[str]:
+        return ["crop"]
+
+    @property
+    def ratio(self) -> int:
+        return self.hop_size
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        return frame(x, self.window_size, self.hop_size, self.dim)
+
+    def forward_with_time(self, x, time):
+        chunks = self.forward(x)
+        n_chunks = chunks.shape[-2]
+        shifts = jnp.arange(n_chunks) * (self.hop_size / self.sr)
+        return chunks, shifts + time[..., None]
+
+    def invert(self, x, inversion_mode=None, key=None):
+        dim = self.dim % x.ndim  # window axis; frame axis is dim - 1
+        if self.window_size == self.hop_size:
+            # exact: merge the frame/window axes
+            new_shape = (
+                x.shape[: dim - 1]
+                + (x.shape[dim - 1] * x.shape[dim],)
+                + x.shape[dim + 1:]
+            )
+            return x.reshape(new_shape)
+        # "crop": first hop samples of each frame + tail of the last frame
+        x_moved = jnp.moveaxis(x, (dim - 1, dim), (-2, -1))
+        head = x_moved[..., :, : self.hop_size]
+        head = head.reshape(head.shape[:-2] + (head.shape[-2] * self.hop_size,))
+        tail = x_moved[..., -1, self.hop_size:]
+        out = jnp.concatenate([head, tail], axis=-1)
+        return jnp.moveaxis(out, -1, dim - 1)
+
+
+class MuLaw(AudioTransform):
+    """256-level mu-law companding with optional one-hot encodings
+    (reference raw.py:265-316).
+
+    ``one_hot``: ``"none"`` -> integer codes; ``"categorical"`` -> one-hot on
+    the last axis; ``"channel"`` -> one-hot transposed to channel-first.
+    ``invert`` fully reverses ``forward`` (unlike the reference, which skips
+    one-hot decoding in ``invert`` — raw.py:315-316).
+    """
+
+    scriptable = True
+    invertible = True
+    needs_scaling = False
+
+    def __init__(self, channels: int = 256, one_hot: str = "none", sr: int = 44100, **kwargs):
+        super().__init__(sr=sr)
+        if one_hot not in ("none", "channel", "categorical"):
+            raise ValueError("unknown one_hot mode %r" % one_hot)
+        self.channels = int(channels)
+        self.one_hot = one_hot
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        codes = mulaw_encode(x, self.channels)
+        if self.one_hot == "channel":
+            oh = jax.nn.one_hot(codes, self.channels, dtype=jnp.int32)
+            return jnp.swapaxes(oh, -1, -2)
+        if self.one_hot == "categorical":
+            return jax.nn.one_hot(codes, self.channels, dtype=jnp.int32)
+        return codes
+
+    def decode(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.one_hot == "channel":
+            codes = jnp.argmax(x, axis=-2)
+        elif self.one_hot == "categorical":
+            codes = jnp.argmax(x, axis=-1)
+        else:
+            codes = x
+        return mulaw_decode(codes, self.channels)
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.encode(x)
+
+    def invert(self, x, inversion_mode=None, key=None):
+        return self.decode(x)

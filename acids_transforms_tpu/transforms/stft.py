@@ -1,0 +1,408 @@
+"""STFT transform pair: offline (whole-signal) and realtime (per-frame).
+
+Reference: acids_transforms/transforms/stft.py.  TPU-native re-design:
+
+* fully batched — arbitrary leading dims go straight through the jitted
+  kernels (the reference flattens with ``reshape_batches``, stft.py:99);
+* the spectral core runs on the MXU via the DFT-as-GEMM path or XLA FFT
+  (ops/fft.py), selected by ``impl``;
+* no ``MAX_NFFT`` padded buffers (reference stft.py:10, 41-48): window arrays
+  are exact-size pytree leaves; changing ``n_fft`` recompiles (idiomatic JAX)
+  while ``set_params`` remains as the eager mutation API;
+* streaming state (sinebank phase continuity) is an explicit pytree carried
+  through ``invert_stream`` — usable under ``lax.scan`` — with the eager
+  convenience path mirroring the reference's buffer behaviour.
+
+Numerical deltas vs the reference (deliberate, see tests/test_stft.py):
+
+* ``RealtimeSTFT.inv_window`` is ``overlap *`` the canonical dual window, so
+  the OverlapAdd streaming chain reconstructs at unity gain (the reference's
+  hann/hann chain has a gain of ``sum(w^2) / 2``, stft.py:266 + oadd.py:30-31);
+* realtime sinebank advances its time index by exactly ``T * hop / sr`` per
+  chunk for true phase continuity (the reference adds an extra
+  ``n_fft / sr``, stft.py:290).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fft import istft, rfft_frames, irfft_frames, stft as stft_op
+from ..ops.griffinlim import griffin_lim
+from ..ops.interp import interp_linear
+from ..ops.windows import dual_window, get_window
+from .base import AudioTransform
+
+__all__ = ["STFT", "RealtimeSTFT"]
+
+
+class STFT(AudioTransform):
+    """Offline STFT with phaseless inversion modes.
+
+    Inversion modes (reference stft.py:130-132): ``griffin_lim`` (default),
+    ``keep_input``, ``random``, ``sinebank``.
+    """
+
+    scriptable = True
+    invertible = True
+    needs_scaling = False
+
+    _leaves = ("window", "inv_window", "rng")
+    _volatile = ("_phase_buffer",)
+
+    def __init__(
+        self,
+        sr: int = 44100,
+        n_fft: int = 1024,
+        hop_length: int = 256,
+        inversion_mode: str = "griffin_lim",
+        window: str = "hann",
+        impl: str = "auto",
+        seed: int = 0,
+    ):
+        super().__init__(sr=sr)
+        self.window_name = window
+        self.impl = impl
+        self.n_fft = int(n_fft)
+        self.hop_length = int(hop_length)
+        self.rng = jax.random.PRNGKey(seed)
+        self._phase_buffer = None
+        self._refresh_windows()
+        if inversion_mode not in self.get_inversion_modes():
+            raise ValueError("Inversion mode %s not known" % inversion_mode)
+        self.inversion_mode = inversion_mode
+
+    # ------------------------------------------------------------- parameters
+    def _get_window(self) -> jnp.ndarray:
+        return get_window(self.window_name, self.n_fft)
+
+    def _get_inv_window(self) -> jnp.ndarray:
+        # offline ISTFT divides by the squared-window envelope, so synthesis =
+        # analysis gives the exact least-squares inverse (torch semantics).
+        return self._get_window()
+
+    def _refresh_windows(self) -> None:
+        self.window = self._get_window()
+        self.inv_window = self._get_inv_window()
+
+    def set_params(self, n_fft: int, hop_length: int) -> None:
+        """Eager reconfiguration (API parity with reference stft.py:67-75).
+
+        Under JAX this simply rebuilds the window leaves; jitted callers
+        recompile on the new static shapes.
+        """
+        self.n_fft = int(n_fft)
+        self.hop_length = int(hop_length)
+        self._refresh_windows()
+
+    @property
+    def gamma(self) -> float:
+        """Gaussian time-frequency ratio (meaningful for the DGT subclass)."""
+        lam2 = -(self.n_fft ** 2) / (8.0 * math.log(0.01))
+        return 2.0 * math.pi * lam2
+
+    @property
+    def ratio(self) -> int:
+        return self.hop_length
+
+    @property
+    def n_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+    # ---------------------------------------------------------------- modes
+    @staticmethod
+    def get_inversion_modes() -> List[str]:
+        return ["griffin_lim", "keep_input", "random", "sinebank"]
+
+    def set_inversion_mode(self, inversion_mode: str) -> None:
+        if inversion_mode not in self.get_inversion_modes():
+            raise ValueError("inversion mode %s not valid" % inversion_mode)
+        self.inversion_mode = inversion_mode
+
+    # -------------------------------------------------------------- forward
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``(..., L) -> complex (..., T, n_fft//2 + 1)``."""
+        spec = stft_op(
+            x, self.n_fft, self.hop_length, self.window, impl=self.impl
+        )
+        self._stash_phase(spec)
+        return spec
+
+    def forward_with_time(self, x: jnp.ndarray, time: jnp.ndarray):
+        spec = self.forward(x)
+        n_chunks = spec.shape[-2]
+        shifts = jnp.arange(n_chunks) * (self.hop_length / self.sr)
+        return spec, shifts + time[..., None]
+
+    # ---------------------------------------------------------------- invert
+    def invert(
+        self,
+        x: jnp.ndarray,
+        inversion_mode: Optional[str] = None,
+        key: Optional[jax.Array] = None,
+        phase: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        if not jnp.iscomplexobj(x):
+            return self.invert_without_phase(x, inversion_mode, key=key, phase=phase)
+        return istft(
+            x, self.n_fft, self.hop_length, self.inv_window, impl=self.impl
+        )
+
+    def invert_without_phase(
+        self,
+        mag: jnp.ndarray,
+        inversion_mode: Optional[str] = None,
+        key: Optional[jax.Array] = None,
+        phase: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        mode = self._resolve_mode(inversion_mode)
+        if mode == "griffin_lim":
+            return self.griffin_lim(mag, key=key)
+        if mode == "keep_input":
+            phase = self._recall_phase(mag) if phase is None else phase
+            if phase is None:
+                phase = 2.0 * jnp.pi * jax.random.uniform(self._take_key(key), mag.shape)
+            return self.invert(mag * jnp.exp(1j * phase))
+        if mode == "random":
+            phase = 2.0 * jnp.pi * jax.random.uniform(self._take_key(key), mag.shape)
+            return self.invert(mag * jnp.exp(1j * phase))
+        if mode == "sinebank":
+            return self.get_sinebank_inversion(mag, key=key)
+        raise ValueError("inversion mode %s not valid." % mode)
+
+    def griffin_lim(self, mag: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Momentum Griffin-Lim, 30 iters / momentum 0.99 (reference stft.py:174-178)."""
+        return griffin_lim(
+            mag,
+            self.n_fft,
+            self.hop_length,
+            self.inv_window,
+            n_iter=30,
+            momentum=0.99,
+            key=self._take_key(key),
+            impl=self.impl,
+        )
+
+    def get_sinebank_inversion(
+        self, mag: jnp.ndarray, key: Optional[jax.Array] = None
+    ) -> jnp.ndarray:
+        """Additive resynthesis: per-bin envelopes modulate a random-phase sine
+        bank at the FFT bin frequencies (reference stft.py:180-191)."""
+        T = mag.shape[-2]
+        n_bins = mag.shape[-1]
+        freqs = jnp.linspace(0.0, self.sr / 2.0, n_bins)[:, None]  # (F, 1)
+        phi = 2.0 * jnp.pi * jax.random.uniform(self._take_key(key), (n_bins, 1))
+        mag = mag / jnp.max(jnp.abs(mag))
+        final_length = self.hop_length * T + self.n_fft
+        t = jnp.linspace(0.0, final_length / self.sr, final_length)[None, :]
+        # (..., F, T) -> (..., F, L)
+        env = interp_linear(jnp.swapaxes(mag, -2, -1), final_length) / (2.0 * jnp.pi)
+        sines = jnp.sin(2.0 * jnp.pi * freqs * t + phi)  # (F, L)
+        y = (env * sines).sum(-2)
+        return y / jnp.max(jnp.abs(y))
+
+    # --------------------------------------------------- phase side-channel
+    def _stash_phase(self, spec: jnp.ndarray) -> None:
+        """Eager-only ``keep_input`` support (reference stft.py:134-143).
+
+        Under tracing the stash is skipped — pass ``phase=`` to ``invert``
+        explicitly in jitted code.
+        """
+        if not isinstance(spec, jax.core.Tracer):
+            self._phase_buffer = jnp.angle(spec)
+
+    def _recall_phase(self, mag: jnp.ndarray) -> Optional[jnp.ndarray]:
+        buf = getattr(self, "_phase_buffer", None)
+        if buf is None or buf.shape != mag.shape:
+            return None
+        return buf
+
+    def realtime(self) -> "RealtimeSTFT":
+        mode = (
+            self.inversion_mode
+            if self.inversion_mode in RealtimeSTFT.get_inversion_modes()
+            else "random"
+        )
+        return RealtimeSTFT(
+            sr=self.sr,
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            inversion_mode=mode,
+            window=self.window_name,
+            impl=self.impl,
+        )
+
+    def __repr__(self):
+        return (
+            f"{type(self).__name__}(n_fft={self.n_fft}, hop_length={self.hop_length}, "
+            f"inversion_mode={self.inversion_mode})"
+        )
+
+
+class RealtimeSTFT(STFT):
+    """Per-frame streaming STFT (reference stft.py:215-362).
+
+    ``forward`` maps already-framed chunks ``(..., n_fft)`` or
+    ``(..., T, n_fft)`` to spectra via ``rfft(x * window)``; inversion
+    multiplies IFFT frames by ``inv_window`` (= ``overlap *`` canonical dual,
+    so the OverlapAdd chain is unity-gain — see module docstring).
+
+    Streaming state (sinebank phase continuity) is an explicit pytree:
+    ``init_state`` / ``invert_stream`` for ``lax.scan`` pipelines; the plain
+    ``invert`` keeps state on ``self`` eagerly (reference buffer behaviour,
+    stft.py:221-222, 276-291).
+    """
+
+    _volatile = ("_phase_buffer", "_state")
+
+    def __init__(
+        self,
+        sr: int = 44100,
+        n_fft: int = 1024,
+        hop_length: int = 256,
+        inversion_mode: str = "random",
+        window: str = "hann",
+        impl: str = "auto",
+        seed: int = 0,
+        batch_size: int = 2,
+    ):
+        super().__init__(
+            sr=sr,
+            n_fft=n_fft,
+            hop_length=hop_length,
+            inversion_mode=inversion_mode,
+            window=window,
+            impl=impl,
+            seed=seed,
+        )
+        self.batch_size = int(batch_size)
+        self._state = None
+
+    def _get_inv_window(self) -> jnp.ndarray:
+        overlap = max(self.n_fft // self.hop_length, 1)
+        return float(overlap) * dual_window(
+            np.asarray(self._get_window()), self.hop_length
+        )
+
+    @staticmethod
+    def get_inversion_modes() -> List[str]:
+        return ["keep_input", "random", "sinebank"]
+
+    # ------------------------------------------------------------- streaming
+    def init_state(self, batch_shape: Tuple[int, ...] = (), key: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+        """Fresh streaming-inversion state for a given batch shape."""
+        key = self._take_key(key)
+        return {
+            "time_index": jnp.zeros(()),
+            "random_phase": 2.0
+            * jnp.pi
+            * jax.random.uniform(key, tuple(batch_shape) + (1, self.n_bins)),
+        }
+
+    def reset(self, batch_shape: Tuple[int, ...] = ()) -> None:
+        self._state = self.init_state(tuple(batch_shape))
+
+    def get_batch_size(self) -> int:
+        return self.batch_size
+
+    def set_batch_size(self, batch_size: int) -> None:
+        self.batch_size = int(batch_size)
+
+    # --------------------------------------------------------------- forward
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``(..., n_fft) -> complex (..., n_fft//2+1)`` (frames already cut)."""
+        spec = rfft_frames(x * self.window, impl=self.impl)
+        self._stash_phase(spec)
+        return spec
+
+    def forward_with_time(self, x, time):
+        return self.forward(x), time
+
+    # ---------------------------------------------------------------- invert
+    def invert(
+        self,
+        x: jnp.ndarray,
+        inversion_mode: Optional[str] = None,
+        key: Optional[jax.Array] = None,
+        phase: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        if not jnp.iscomplexobj(x):
+            return self.invert_without_phase(x, inversion_mode, key=key, phase=phase)
+        return irfft_frames(x, n_fft=self.n_fft, impl=self.impl) * self.inv_window
+
+    def invert_without_phase(
+        self,
+        mag: jnp.ndarray,
+        inversion_mode: Optional[str] = None,
+        key: Optional[jax.Array] = None,
+        phase: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        mode = self._resolve_mode(inversion_mode)
+        if mode == "keep_input":
+            phase = self._recall_phase(mag) if phase is None else phase
+            if phase is None:
+                phase = 2.0 * jnp.pi * jax.random.uniform(self._take_key(key), mag.shape)
+        elif mode == "random":
+            phase = 2.0 * jnp.pi * jax.random.uniform(self._take_key(key), mag.shape)
+        elif mode == "sinebank":
+            state = self._eager_state(mag)
+            new_state, y = self.sinebank_stream(state, mag)
+            self._state = new_state
+            return y * self.inv_window
+        else:
+            raise ValueError("inversion mode %s not valid." % mode)
+        return self.invert(mag * jnp.exp(1j * phase))
+
+    def invert_stream(
+        self,
+        state: Dict[str, jnp.ndarray],
+        x: jnp.ndarray,
+        inversion_mode: Optional[str] = None,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+        """Pure streaming inversion step: ``(state, spec_or_mag) -> (state, y)``."""
+        mode = self._resolve_mode(inversion_mode)
+        if jnp.iscomplexobj(x) or mode != "sinebank":
+            return state, self.invert(x, inversion_mode=mode, key=key)
+        state, y = self.sinebank_stream(state, x)
+        return state, y * self.inv_window
+
+    def sinebank_stream(
+        self, state: Dict[str, jnp.ndarray], mag: jnp.ndarray
+    ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+        """Stateful sinebank resynthesis (reference stft.py:276-291).
+
+        ``mag (..., T, F) -> (..., T, n_fft)`` per-frame waveforms; carries
+        ``time_index`` so sines stay continuous across chunks.
+        """
+        T = mag.shape[-2]
+        n_bins = mag.shape[-1]
+        # t[tau, n] = start time of sample n in frame tau
+        t = (
+            jnp.arange(self.n_fft)[None, :]
+            + jnp.arange(T)[:, None] * self.hop_length
+        ) / self.sr + state["time_index"]
+        t = t[:, None, :]  # (T, 1, n_fft)
+        freqs = jnp.linspace(0.0, self.sr / 2.0, n_bins)[None, :, None]  # (1, F, 1)
+        phi = state["random_phase"][..., :, None]  # (..., 1, F, 1)
+        sines = jnp.sin(2.0 * jnp.pi * freqs * t + phi)  # (..., T, F, n_fft)
+        y = (mag[..., None] * sines).sum(-2) / n_bins
+        new_state = {
+            "time_index": state["time_index"] + T * self.hop_length / self.sr,
+            "random_phase": state["random_phase"],
+        }
+        return new_state, y
+
+    def _eager_state(self, mag: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        batch_shape = mag.shape[:-2]
+        st = getattr(self, "_state", None)
+        if st is None or st["random_phase"].shape[:-2] != batch_shape:
+            st = self.init_state(batch_shape)
+        return st
+
+    def realtime(self) -> "RealtimeSTFT":
+        return self

@@ -1,0 +1,81 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh (the real TPU is reserved for
+bench.py): JAX's platform is locked at interpreter startup by the
+environment's sitecustomize, so if this process came up on a TPU backend we
+re-exec pytest once with the CPU environment.
+"""
+import os
+import sys
+
+_WANT = {
+    "JAX_PLATFORMS": "cpu",
+    "PALLAS_AXON_POOL_IPS": "",
+    "_ACIDS_CPU_REEXEC": "1",
+}
+
+if os.environ.get("_ACIDS_CPU_REEXEC") != "1" and os.environ.get("ACIDS_TPU_TESTS") != "1":
+    env = dict(os.environ)
+    env.update(_WANT)
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
+import numpy as np
+import pytest
+
+REFERENCE_AUDIO = "/root/reference/test/source_files"
+
+
+def _synthetic_corpus(sr: int = 44100, seconds: float = 1.0, batch: int = 3):
+    """Deterministic synthetic test corpus: additive sines, chirp, noise burst.
+
+    (Stereo, batched — mirrors the shape profile of the reference's WAV
+    fixtures without copying its data files.)
+    """
+    t = np.arange(int(sr * seconds)) / sr
+    rng = np.random.default_rng(42)
+
+    def _stereo(a, b):
+        return np.stack([a, b])
+
+    additive = sum(
+        np.sin(2 * np.pi * f * t) / (i + 1) for i, f in enumerate([220, 440, 660, 880])
+    )
+    chirp = np.sin(2 * np.pi * (200 * t + 1500 * t ** 2))
+    env = np.exp(-t * 8.0)
+    perc = env * rng.standard_normal(t.shape[0])
+
+    sig = np.stack(
+        [
+            _stereo(additive, 0.8 * additive + 0.1 * chirp),
+            _stereo(chirp, chirp),
+            _stereo(perc, perc * 0.5),
+        ]
+    ).astype(np.float32)
+    names = ["additive", "chirp", "perc"]
+    return 0.7 * sig / np.abs(sig).max(), names
+
+
+@pytest.fixture(scope="session")
+def test_files():
+    return _synthetic_corpus()
+
+
+@pytest.fixture(scope="session")
+def mono_signal(test_files):
+    sig, _ = test_files
+    return sig[0].mean(0)
+
+
+def snr_db(ref: np.ndarray, rec: np.ndarray) -> float:
+    """Signal-to-error ratio in dB over the overlapping portion."""
+    n = min(ref.shape[-1], rec.shape[-1])
+    ref = np.asarray(ref)[..., :n].astype(np.float64)
+    rec = np.asarray(rec)[..., :n].astype(np.float64)
+    err = np.sum((ref - rec) ** 2)
+    sig = np.sum(ref ** 2)
+    if err == 0:
+        return np.inf
+    return float(10.0 * np.log10(sig / err))

@@ -1,0 +1,405 @@
+"""Transform-level tests: capability-driven discovery, round-trip SNR
+assertions, pytree/jit compatibility, composition semantics.
+
+Mirrors the reference test strategy (reference test/test_transforms.py:
+auto-enumerate transforms, filter by capability flags) but adds the numeric
+assertions the reference lacks (SURVEY.md §4)."""
+import inspect
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import acids_transforms_tpu as att
+from acids_transforms_tpu import transforms as T
+from tests.conftest import snr_db
+
+
+def get_audio_transforms():
+    out = []
+    for name in T.__all__:
+        obj = getattr(T, name)
+        if (
+            inspect.isclass(obj)
+            and issubclass(obj, T.AudioTransform)
+            and obj not in (T.AudioTransform, T.ComposeAudioTransform, T.SpectralRepresentation)
+        ):
+            out.append(obj)
+    return out
+
+
+def default_instance(cls):
+    return cls()
+
+
+# ------------------------------------------------------------------ pytree
+@pytest.mark.parametrize("cls", get_audio_transforms())
+def test_pytree_roundtrip(cls):
+    t = default_instance(cls)
+    leaves, treedef = jax.tree_util.tree_flatten(t)
+    t2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert type(t2) is cls
+    # flags survive
+    assert t2.invertible == t.invertible
+    assert t2.scriptable == t.scriptable
+
+
+# ------------------------------------------------------------- raw family
+def test_mono_roundtrip(test_files):
+    sig, _ = test_files
+    t = T.Mono()
+    y = t.forward(jnp.asarray(sig))
+    assert y.shape == (sig.shape[0], sig.shape[2])
+    np.testing.assert_allclose(np.asarray(y), sig.mean(1), atol=1e-6)
+    x_mono = np.asarray(t.invert(y))
+    assert x_mono.shape == (sig.shape[0], 1, sig.shape[2])
+    x_st = np.asarray(t.invert(y, inversion_mode="stereo"))
+    assert x_st.shape == sig.shape
+    np.testing.assert_allclose(x_st[:, 0], x_st[:, 1])
+
+
+def test_mono_modes(test_files):
+    sig, _ = test_files
+    x = jnp.asarray(sig)
+    np.testing.assert_allclose(np.asarray(T.Mono(mode="left").forward(x)), sig[:, 0])
+    np.testing.assert_allclose(np.asarray(T.Mono(mode="right").forward(x)), sig[:, 1])
+
+
+def test_stereo_roundtrip(mono_signal):
+    t = T.Stereo()
+    y = t.forward(jnp.asarray(mono_signal))
+    assert y.shape == (2, mono_signal.shape[0])
+    np.testing.assert_allclose(np.asarray(y[0]), mono_signal)
+    inv = np.asarray(t.invert(y))
+    assert inv.shape == y.shape
+
+
+def test_midside_exact_inverse(test_files):
+    sig, _ = test_files
+    t = T.MidSide()
+    y = t.forward(jnp.asarray(sig))
+    rec = np.asarray(t.invert(y))
+    assert snr_db(sig, rec) > 100
+
+
+def test_window_exact_crop_inverse(test_files):
+    sig, _ = test_files
+    t = T.Window(window_size=1024, hop_size=256)
+    y = t.forward(jnp.asarray(sig))
+    assert y.shape[-1] == 1024
+    rec = np.asarray(t.invert(y))
+    n = sig.shape[-1]
+    assert snr_db(sig, rec[..., :n]) > 100
+
+
+def test_window_no_overlap_inverse(test_files):
+    sig, _ = test_files
+    t = T.Window(window_size=512, hop_size=512)
+    rec = np.asarray(t.invert(t.forward(jnp.asarray(sig))))
+    assert snr_db(sig, rec[..., : sig.shape[-1]]) > 100
+
+
+@pytest.mark.parametrize("one_hot", ["none", "channel", "categorical"])
+def test_mulaw_roundtrip(mono_signal, one_hot):
+    t = T.MuLaw(channels=256, one_hot=one_hot)
+    y = t.forward(jnp.asarray(mono_signal))
+    rec = np.asarray(t.invert(y))
+    assert rec.shape == mono_signal.shape
+    assert snr_db(mono_signal, rec) > 30  # 8-bit companding floor
+
+
+# ------------------------------------------------------------------- norm
+@pytest.mark.parametrize("mode", ["unipolar", "bipolar", "gaussian"])
+def test_normalize_fit_forward_invert(mode, test_files):
+    sig, _ = test_files
+    x = jnp.asarray(sig) * 3.7 + 0.5
+    t = T.Normalize(mode=mode)
+    assert t.needs_scaling
+    fitted = t.fit(x)
+    assert not fitted.needs_scaling
+    y = np.asarray(fitted.forward(x))
+    if mode == "unipolar":
+        assert abs(y.min()) < 1e-6 and abs(y.max() - 1) < 1e-5
+    elif mode == "bipolar":
+        assert abs(y.min() + 1) < 1e-5 and abs(y.max() - 1) < 1e-5
+    else:
+        assert abs(y.mean()) < 1e-5 and abs(y.std() - 1) < 1e-2
+    rec = np.asarray(fitted.invert(jnp.asarray(y)))
+    assert snr_db(np.asarray(x), rec) > 100
+
+
+def test_normalize_scale_data_inplace(test_files):
+    sig, _ = test_files
+    t = T.Normalize(mode="unipolar")
+    t.scale_data(jnp.asarray(sig))
+    assert not t.needs_scaling
+    y = np.asarray(t.forward(jnp.asarray(sig)))
+    assert abs(y.max() - 1) < 1e-5
+
+
+# ------------------------------------------------------------------- stft
+def test_stft_forward_shape_and_jit(mono_signal):
+    t = T.STFT(n_fft=1024, hop_length=256)
+    spec = t.jforward(jnp.asarray(mono_signal))
+    L = mono_signal.shape[-1]
+    assert spec.shape == (1 + L // 256, 513)
+    assert spec.dtype == jnp.complex64
+
+
+def test_stft_direct_inversion_snr(test_files):
+    sig, _ = test_files
+    t = T.STFT(n_fft=1024, hop_length=256)
+    spec = t.forward(jnp.asarray(sig))
+    rec = np.asarray(t.invert(spec))
+    assert snr_db(sig, rec) > 60
+
+
+def test_stft_keep_input_inversion(test_files):
+    sig, _ = test_files
+    t = T.STFT(n_fft=1024, hop_length=256)
+    spec = t.forward(jnp.asarray(sig))
+    rec = np.asarray(t.invert(jnp.abs(spec), inversion_mode="keep_input"))
+    assert snr_db(sig, rec) > 60
+
+
+def test_stft_random_and_sinebank_run(mono_signal):
+    t = T.STFT(n_fft=1024, hop_length=256)
+    spec = t.forward(jnp.asarray(mono_signal))
+    mag = jnp.abs(spec)
+    r = np.asarray(t.invert(mag, inversion_mode="random"))
+    assert np.isfinite(r).all()
+    s = np.asarray(t.invert(mag, inversion_mode="sinebank"))
+    assert np.isfinite(s).all()
+    assert np.abs(s).max() <= 1.0 + 1e-5
+
+
+def test_stft_griffin_lim_improves_over_random(mono_signal):
+    t = T.STFT(n_fft=1024, hop_length=256)
+    x = jnp.asarray(mono_signal)
+    mag = jnp.abs(t.forward(x))
+    gl = np.asarray(t.invert(mag, inversion_mode="griffin_lim"))
+    # griffin-lim output's magnitude spectrogram should be close to target
+    mag_gl = jnp.abs(t.forward(jnp.asarray(gl)))
+    n = min(mag.shape[-2], mag_gl.shape[-2])
+    err_gl = float(jnp.linalg.norm(mag[..., :n, :] - mag_gl[..., :n, :]) / jnp.linalg.norm(mag))
+    assert err_gl < 0.35, err_gl
+
+
+def test_stft_forward_with_time(mono_signal):
+    t = T.STFT(n_fft=1024, hop_length=256)
+    spec, tt = t.forward_with_time(jnp.asarray(mono_signal), jnp.asarray(0.0))
+    assert tt.shape == (spec.shape[-2],)
+    np.testing.assert_allclose(np.asarray(tt[:3]), [0, 256 / 44100, 512 / 44100], rtol=1e-5)
+
+
+# ------------------------------------------------------ representations
+def _spec(sig, n_fft=1024, hop=256):
+    return T.STFT(n_fft=n_fft, hop_length=hop).forward(jnp.asarray(sig))
+
+
+def test_magnitude_mel_roundtrip(test_files):
+    sig, _ = test_files
+    spec = _spec(sig)
+    t = T.Magnitude(mode="unipolar", contrast="log1p", mel=True)
+    fitted = t.fit(spec)
+    y = fitted.forward(spec)
+    assert y.shape == spec.shape
+    mag_rec = np.asarray(fitted.invert(y))
+    mag = np.asarray(jnp.abs(spec))
+    # mel pseudo-inverse is approximate; magnitudes should correlate strongly
+    num = (mag_rec * mag).sum()
+    corr = num / (np.linalg.norm(mag_rec) * np.linalg.norm(mag))
+    assert corr > 0.95, corr
+
+
+def test_magnitude_nomel_exact_roundtrip(test_files):
+    sig, _ = test_files
+    spec = _spec(sig)
+    t = T.Magnitude(mode="unipolar", contrast="log1p", mel=False).fit(spec)
+    y = t.forward(spec)
+    mag_rec = np.asarray(t.invert(y))
+    assert snr_db(np.asarray(jnp.abs(spec)), mag_rec) > 60
+
+
+@pytest.mark.parametrize("contrast", ["log1p", "log", "log10", "none"])
+def test_magnitude_contrast_inverses(contrast, test_files):
+    sig, _ = test_files
+    spec = _spec(sig)
+    t = T.Magnitude(mode=None, contrast=contrast, mel=False)
+    mag = jnp.abs(spec) + 1e-3
+    rec = np.asarray(t.invert_contrast(t.contrast(mag)))
+    assert snr_db(np.asarray(mag), rec) > 70
+
+
+def test_real_imaginary_recombine(test_files):
+    sig, _ = test_files
+    spec = _spec(sig)
+    re_t = T.Real(mode="gaussian").fit(spec)
+    im_t = T.Imaginary(mode="gaussian").fit(spec)
+    re = re_t.forward(spec)
+    im = im_t.forward(spec)
+    rec = np.asarray(re_t.invert(re) + 1j * im_t.invert(im))
+    assert snr_db(np.asarray(spec.real), rec.real) > 80
+    assert snr_db(np.asarray(spec.imag), rec.imag) > 80
+
+
+def test_phase_roundtrip(test_files):
+    sig, _ = test_files
+    spec = _spec(sig)
+    t = T.Phase(mode="bipolar").fit(spec)
+    p = t.forward(spec)
+    rec = np.asarray(t.invert(p))
+    assert snr_db(np.asarray(jnp.angle(spec)), rec) > 80
+
+
+@pytest.mark.parametrize("method", ["backward", "forward", "central"])
+def test_if_roundtrip(method, test_files):
+    sig, _ = test_files
+    spec = _spec(sig)
+    t = T.IF(mode="gaussian", method=method).fit(spec)
+    y = t.forward(spec)
+    phase_rec = np.asarray(t.invert(y))
+    phase_ref = np.asarray(
+        att.ops.phase.unwrap(jnp.angle(spec))
+    )
+    tol = 40 if method != "central" else 10  # central loses one parity anchor
+    assert snr_db(phase_ref, phase_rec) > tol
+
+
+def test_polar_roundtrip_to_audio(test_files):
+    sig, _ = test_files
+    stft_t = T.STFT(n_fft=1024, hop_length=256)
+    spec = stft_t.forward(jnp.asarray(sig))
+    t = T.Polar().fit(spec)
+    y = t.forward(spec)
+    assert y.shape[-2] == 2  # stacked on -2
+    spec_rec = t.invert(y)
+    rec = np.asarray(stft_t.invert(spec_rec))
+    # default Polar uses the mel-projected Magnitude whose pseudo-inverse is
+    # lossy (reference spectral_repr.py:179-189) — ~30 dB is the expected SNR
+    assert snr_db(sig, rec) > 25
+
+
+def test_polar_nomel_roundtrip_to_audio(test_files):
+    sig, _ = test_files
+    stft_t = T.STFT(n_fft=1024, hop_length=256)
+    spec = stft_t.forward(jnp.asarray(sig))
+    t = T.Polar(magnitude_args={"mode": "bipolar", "mel": False}).fit(spec)
+    spec_rec = t.invert(t.forward(spec))
+    rec = np.asarray(stft_t.invert(spec_rec))
+    assert snr_db(sig, rec) > 50
+
+
+def test_cartesian_roundtrip(test_files):
+    sig, _ = test_files
+    stft_t = T.STFT(n_fft=1024, hop_length=256)
+    spec = stft_t.forward(jnp.asarray(sig))
+    t = T.Cartesian().fit(spec)
+    spec_rec = t.invert(t.forward(spec))
+    rec = np.asarray(stft_t.invert(spec_rec))
+    assert snr_db(sig, rec) > 40
+
+
+# ----------------------------------------------------------------- shapes
+def test_unsqueeze_squeeze_transpose():
+    x = jnp.zeros((2, 512))
+    u = T.Unsqueeze(dim=1)
+    assert u.forward(x).shape == (2, 1, 512)
+    assert u.invert(u.forward(x)).shape == (2, 512)
+    s = T.Squeeze(dim=1)
+    assert s.forward(jnp.zeros((2, 1, 512))).shape == (2, 512)
+    assert s.invert(s.forward(jnp.zeros((2, 1, 512)))).shape == (2, 1, 512)
+    assert not T.Squeeze(dim=None).invertible
+    tr = T.Transpose(dims=(-2, -1))
+    assert tr.forward(jnp.zeros((2, 128, 512))).shape == (2, 512, 128)
+    assert tr.invert(tr.forward(jnp.zeros((2, 128, 512)))).shape == (2, 128, 512)
+
+
+def test_onehot_scale_data_and_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 1000)))
+    t = T.OneHot()
+    assert t.needs_scaling
+    t.scale_data(x)
+    assert t.n_classes == int(x.max()) + 1
+    y = t.forward(x)
+    rec = np.asarray(t.invert(y))
+    np.testing.assert_array_equal(rec, np.asarray(x))
+
+
+# ------------------------------------------------------------------- mfcc
+def test_mfcc_forward_and_not_invertible(mono_signal):
+    t = T.MFCC(n_fft=1024, hop_length=256, n_mels=128)
+    y = t.forward(jnp.asarray(mono_signal))
+    L = mono_signal.shape[-1]
+    assert y.shape == (128, 1 + L // 256)
+    assert not t.invertible
+    with pytest.raises(T.NotInvertibleError):
+        t.invert(y)
+
+
+def test_mfcc_with_norm(test_files):
+    sig, _ = test_files
+    t = T.MFCC(norm_mode="unipolar")
+    assert t.needs_scaling
+    t.scale_data(jnp.asarray(sig))
+    y = np.asarray(t.forward(jnp.asarray(sig)))
+    assert np.isfinite(y).all()
+
+
+# ------------------------------------------------------------ composition
+def test_compose_add_semantics():
+    chain = T.Mono() + T.STFT() + T.Magnitude()
+    assert isinstance(chain, T.ComposeAudioTransform)
+    assert len(chain) == 3
+    chain2 = T.Stereo() + chain
+    assert len(chain2) == 4
+    chain3 = chain + T.Normalize()
+    assert len(chain3) == 4
+    assert chain.needs_scaling  # Magnitude needs scaling
+    assert chain.invertible
+    assert chain.ratio == 256
+
+
+def test_compose_forward_invert_chain(test_files):
+    sig, _ = test_files
+    chain = T.Mono() + T.STFT(n_fft=1024, hop_length=256) + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=False
+    )
+    fitted = chain.fit(jnp.asarray(sig))
+    y = fitted.forward(jnp.asarray(sig))
+    rec = np.asarray(fitted.invert(y, inversion_mode="keep_input"))
+    mono = sig.mean(1)
+    assert snr_db(mono, rec[..., 0, :]) > 50
+
+
+def test_compose_scale_data_inplace(test_files):
+    sig, _ = test_files
+    chain = T.Mono() + T.STFT() + T.Magnitude(mode="unipolar", mel=False)
+    chain.scale_data(jnp.asarray(sig))
+    y = np.asarray(chain.forward(jnp.asarray(sig)))
+    assert y.max() <= 1.0 + 1e-4
+
+
+def test_compose_forward_with_time(test_files):
+    sig, _ = test_files
+    chain = T.Mono() + T.STFT(n_fft=1024, hop_length=256)
+    time0 = jnp.zeros(sig.shape[:-1])
+    y, tt = chain.forward_with_time(jnp.asarray(sig), time0)
+    assert tt.shape == (sig.shape[0], y.shape[-2])
+
+
+def test_compose_jit_forward(test_files):
+    sig, _ = test_files
+    chain = T.Mono() + T.STFT(n_fft=512, hop_length=128)
+    y_eager = chain.forward(jnp.asarray(sig))
+    y_jit = jax.jit(lambda c, x: c.forward(x))(chain, jnp.asarray(sig))
+    np.testing.assert_allclose(
+        np.asarray(y_eager), np.asarray(y_jit), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_realtime_conversion_chain():
+    chain = T.OverlapAdd(1024, 256) + T.STFT(n_fft=1024, hop_length=256)
+    rt = chain.realtime()
+    assert isinstance(rt[1], T.RealtimeSTFT)
