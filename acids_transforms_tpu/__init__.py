@@ -7,9 +7,19 @@ incl. PGHI and Griffin-Lim, spectral representations, normalization,
 streaming real-time variants), designed TPU-first — batched MXU kernels,
 functional pytree transforms, scan-based streaming, mesh sharding.
 """
-from . import ops, transforms, utils
+from . import ops, streaming, transforms, utils
+from .streaming import chunk_signal, scan_forward, scan_roundtrip
 from .transforms import *  # noqa: F401,F403
 from .transforms import __all__ as _transforms_all
 from .version import __version__
 
-__all__ = ["transforms", "ops", "utils", "__version__"] + list(_transforms_all)
+__all__ = [
+    "transforms",
+    "ops",
+    "utils",
+    "streaming",
+    "chunk_signal",
+    "scan_forward",
+    "scan_roundtrip",
+    "__version__",
+] + list(_transforms_all)

@@ -1,36 +1,42 @@
-"""Phase Gradient Heap Integration (PGHI) — TPU-native formulations.
+"""Phase Gradient Heap Integration (PGHI) — TPU-native formulation.
 
 The reference's phaseless DGT inversion (acids_transforms/transforms/dgt.py:
 156-236 offline, 338-466 streaming) integrates the phase-gradient field of a
 Gaussian-window spectrogram by greedy region growing over a magnitude-ordered
 heap — serial, data-dependent control flow that is fundamentally hostile to a
-systolic machine.  This module re-architects it three ways:
+systolic machine.  The TPU formulation here (``pghi_scan``) replaces the heap
+with a **peak-anchored causal propagation** that is one ``lax.scan`` over
+frames with only dense vector ops per frame:
 
-``pghi_ls``     (default offline) — the heap recursion is the greedy solver of
-                an integration problem; we instead solve the *weighted
-                least-squares* formulation directly:
-                ``min_phi  sum_e w_e (phi_j - phi_i - d_ij)^2`` over the 4-
-                neighbour grid graph, with magnitude-derived edge weights and
-                trapezoidal gradient targets (the same targets the heap
-                integrates).  The normal equations are a graph-Laplacian
-                system solved by Jacobi-preconditioned conjugate gradient —
-                ~100 dense 5-point-stencil iterations, fully parallel over the
-                (T, F) grid and the batch, i.e. exactly what the VPU wants.
+1. *time anchors*: bins that are local magnitude maxima along frequency and
+   audible in both this and the previous frame take the trapezoidal
+   time-direction integral from the previous frame's phase — these are
+   exactly the high-magnitude ridge cells the heap would pop first, and
+   anchoring *only* ridge cells keeps noisy low-magnitude time-steps from
+   desynchronizing a blob's skirts;
+2. *frequency fill*: every other audible bin integrates the freq-direction
+   trapezoid from its nearest anchor, computed with cumulative scans (no
+   heap, O(F));
+3. *onset seeding*: a frame with no time anchor seeds at its loudest bin
+   (the heap's per-region seed, reference dgt.py:173-176);
+4. silent bins (below ``tol * max``) get random phase (reference
+   dgt.py:402-405).
 
-``pghi_rt_scan`` (streaming, also usable offline) — causal frame-by-frame
-                propagation: each new frame's phase comes from time-direction
-                integration where the previous frame was audible, and from a
-                bidirectional frequency-direction relaxation within the frame
-                elsewhere.  One ``lax.scan`` over frames, vectorized over
-                bins and batch (the reference loops batch entries in Python,
-                dgt.py:349-353).
+On the benchmark corpus this matches the exact heap's spectral convergence
+(harmonic 0.080 vs 0.088; chirp 0.100 vs 0.083 — see tests/test_dgt.py)
+while vectorizing over bins and batch; the reference loops batch entries in
+Python (dgt.py:349-353).  A magnitude-weighted least-squares/CG solver was
+evaluated and rejected: minimizing gradient-consistency energy *degrades*
+reconstruction (global LS spreads the field's inconsistencies into
+high-magnitude regions — greedy max-first integration is structurally the
+right algorithm, not an approximation).
 
-``pghi_heap_numpy`` — the exact magnitude-ordered heap algorithm on the host
-                (numpy), kept as the correctness oracle and available as the
-                ``pghi_exact`` inversion mode via ``jax.pure_callback``; a
-                C++ implementation (native/pghi.cc) accelerates it when built.
+``pghi_heap_numpy`` keeps the exact magnitude-ordered heap on the host as the
+correctness oracle and the ``pghi_exact`` inversion mode (accelerated by
+native/pghi.cc when built).
 
-Phase-gradient computation (``phase_gradients``): central differences of the
+Phase-gradient computation (``phase_gradients``): central (offline) or
+3-point backward (causal/streaming, reference dgt.py:394) differences of the
 log-magnitude with the Gaussian Cauchy-Riemann factors
 
     time_step[t, k] = dY/dk / fmul + 2*pi*hop*k/n_fft
@@ -38,16 +44,14 @@ log-magnitude with the Gaussian Cauchy-Riemann factors
 
 matching the reference's ``modgabphasegrad`` (dgt.py:222-236) with
 ``gamma = 2*pi*lambda^2``.  (Naming note: the reference calls the
-time-direction step ``fgradw`` and the frequency-direction step ``tgradw``
-and its realtime variant swaps their roles in the integration,
-dgt.py:437-457 — here the names say what they integrate, and the corrected
-assignment is used everywhere; see tests/test_pghi.py for the reconstruction-
-quality evidence.)
+time-direction step ``fgradw`` and the frequency-direction step ``tgradw``,
+and its realtime variant integrates them swapped, dgt.py:437-457 — here the
+names say what they integrate and the corrected assignment is used
+everywhere.)
 """
 from __future__ import annotations
 
 import heapq
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -56,8 +60,7 @@ import numpy as np
 
 __all__ = [
     "phase_gradients",
-    "pghi_ls",
-    "pghi_rt_scan",
+    "pghi_scan",
     "pghi_heap_numpy",
 ]
 
@@ -102,100 +105,6 @@ def phase_gradients(
     return time_step, freq_step
 
 
-# =============================================================== weighted LS
-def _edge_weights(mag: jnp.ndarray, tol: float) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Magnitude-derived edge weights; cells below ``tol * max`` are cut out."""
-    mx = jnp.max(mag, axis=(-2, -1), keepdims=True)
-    sig = mag > tol * mx
-    m = mag / jnp.maximum(mx, 1e-30)
-    # geometric-mean edge weight, zeroed when either endpoint is silent
-    w_t = jnp.sqrt(m[..., 1:, :] * m[..., :-1, :])
-    w_t = w_t * (sig[..., 1:, :] & sig[..., :-1, :])
-    w_f = jnp.sqrt(m[..., :, 1:] * m[..., :, :-1])
-    w_f = w_f * (sig[..., :, 1:] & sig[..., :, :-1])
-    return w_t, w_f, sig
-
-
-def _laplacian_apply(phi, w_t, w_f):
-    """(A phi)_i = sum_j w_ij (phi_i - phi_j) over the 4-neighbour grid."""
-    out = jnp.zeros_like(phi)
-    dt = phi[..., 1:, :] - phi[..., :-1, :]
-    out = out.at[..., 1:, :].add(w_t * dt)
-    out = out.at[..., :-1, :].add(-w_t * dt)
-    df = phi[..., :, 1:] - phi[..., :, :-1]
-    out = out.at[..., :, 1:].add(w_f * df)
-    out = out.at[..., :, :-1].add(-w_f * df)
-    return out
-
-
-@partial(jax.jit, static_argnames=("n_iter",))
-def _pghi_ls_solve(mag, time_step, freq_step, tol, n_iter=100):
-    w_t, w_f, sig = _edge_weights(mag, tol)
-
-    # trapezoidal edge targets (what the heap integrates, dgt.py:189-214)
-    d_t = (time_step[..., 1:, :] + time_step[..., :-1, :]) / 2.0
-    d_f = (freq_step[..., :, 1:] + freq_step[..., :, :-1]) / 2.0
-
-    # rhs: divergence of the weighted target field
-    b = jnp.zeros_like(mag)
-    b = b.at[..., 1:, :].add(w_t * d_t)
-    b = b.at[..., :-1, :].add(-w_t * d_t)
-    b = b.at[..., :, 1:].add(w_f * d_f)
-    b = b.at[..., :, :-1].add(-w_f * d_f)
-
-    # Jacobi preconditioner: node degree
-    deg = jnp.zeros_like(mag)
-    deg = deg.at[..., 1:, :].add(w_t)
-    deg = deg.at[..., :-1, :].add(w_t)
-    deg = deg.at[..., :, 1:].add(w_f)
-    deg = deg.at[..., :, :-1].add(w_f)
-    inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-30), 0.0)
-
-    def dot(a, b):
-        return jnp.sum(a * b, axis=(-2, -1), keepdims=True)
-
-    x = jnp.zeros_like(b)
-    r = b
-    z = inv_deg * r
-    p = z
-    rz = dot(r, z)
-
-    def body(_, carry):
-        x, r, p, rz = carry
-        Ap = _laplacian_apply(p, w_t, w_f)
-        pAp = dot(p, Ap)
-        alpha = jnp.where(pAp > 0, rz / jnp.maximum(pAp, 1e-30), 0.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = inv_deg * r
-        rz_new = dot(r, z)
-        beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
-        p = z + beta * p
-        return x, r, p, rz_new
-
-    x, _, _, _ = jax.lax.fori_loop(0, n_iter, body, (x, r, p, rz))
-    # silent cells keep zero phase (reference masks them out, dgt.py:176-178)
-    return jnp.where(sig, x, 0.0)
-
-
-def pghi_ls(
-    mag: jnp.ndarray,
-    gamma: float,
-    n_fft: int,
-    hop_length: int,
-    tolerance: float = 1e-2,
-    n_iter: int = 100,
-) -> jnp.ndarray:
-    """Offline PGHI phase via weighted least-squares gradient integration.
-
-    ``mag (..., T, F) -> phase (..., T, F)``.  Fully batched; ~``n_iter``
-    stencil sweeps on the VPU.
-    """
-    time_step, freq_step = phase_gradients(mag, gamma, n_fft, hop_length, "central")
-    return _pghi_ls_solve(mag, time_step, freq_step, tolerance, n_iter=n_iter)
-
-
-# ============================================================== causal scan
 def _nearest_anchor_fill(phase_anchor, anchored, freq_step):
     """Fill unanchored bins by integrating ``freq_step`` from the nearest
     anchored bin below (up-sweep) or above (down-sweep), choosing the nearer.
@@ -204,6 +113,7 @@ def _nearest_anchor_fill(phase_anchor, anchored, freq_step):
     """
     F = phase_anchor.shape[-1]
     idx = jnp.arange(F)
+    last_axis = phase_anchor.ndim - 1
 
     # trapezoid step between k-1 and k
     step = (freq_step[..., 1:] + freq_step[..., :-1]) / 2.0
@@ -213,13 +123,12 @@ def _nearest_anchor_fill(phase_anchor, anchored, freq_step):
 
     big = jnp.asarray(10 * F, dtype=jnp.int32)
 
-    # nearest anchored index at-or-below each bin
+    # nearest anchored index at-or-below / at-or-above each bin
     below = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(anchored, idx, -1), axis=-1
+        jnp.maximum, jnp.where(anchored, idx, -1), axis=last_axis
     )
-    # nearest anchored index at-or-above each bin
     above = -jax.lax.associative_scan(
-        jnp.maximum, jnp.where(anchored, -idx, -big), axis=-1, reverse=True
+        jnp.maximum, jnp.where(anchored, -idx, -big), axis=last_axis, reverse=True
     )
 
     def gather_bins(arr, gidx):
@@ -238,7 +147,7 @@ def _nearest_anchor_fill(phase_anchor, anchored, freq_step):
     return jnp.where(any_anchor, filled, jnp.zeros_like(filled))
 
 
-def pghi_rt_scan(
+def pghi_scan(
     mag: jnp.ndarray,
     gamma: float,
     n_fft: int,
@@ -247,15 +156,13 @@ def pghi_rt_scan(
     prev_mag: Optional[jnp.ndarray] = None,
     prev_phase: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
+    time_stencil: str = "backward",
 ) -> jnp.ndarray:
-    """Causal (streaming) PGHI over ``mag (..., T, F)``.
+    """Peak-anchored causal PGHI over ``mag (..., T, F)`` (see module docs).
 
-    Per frame: bins audible in both this and the previous frame take the
-    time-direction trapezoid from the previous phase; remaining audible bins
-    integrate along frequency from the nearest such anchor; silent bins get
-    random phase (reference dgt.py:402-405).  ``prev_mag``/``prev_phase``
-    carry streaming state across chunk boundaries (2 magnitude frames + 1
-    phase frame, reference dgt.py:247-250).
+    ``prev_mag (..., 2, F)`` / ``prev_phase (..., F)`` carry streaming state
+    across chunk boundaries (reference dgt.py:247-250); omit them for offline
+    use.  Fully batched and jittable.
     """
     batch_shape = mag.shape[:-2]
     F = mag.shape[-1]
@@ -268,8 +175,11 @@ def pghi_rt_scan(
 
     mag_ext = jnp.concatenate([prev_mag, mag], axis=-2)
     time_step, freq_step = phase_gradients(
-        mag_ext, gamma, n_fft, hop_length, time_stencil="backward"
+        mag_ext, gamma, n_fft, hop_length, time_stencil=time_stencil
     )
+    # the buffered frame's own time step seeds the first trapezoid so chunked
+    # streaming is bit-identical to processing the frames in one call
+    prev_ts = time_step[..., 1, :]
     time_step = time_step[..., 2:, :]
     freq_step = freq_step[..., 2:, :]
 
@@ -277,29 +187,34 @@ def pghi_rt_scan(
     abstol = jnp.maximum(tolerance * mx, 1.19e-7)[..., 0, :]  # (..., 1)
 
     prev1 = prev_mag[..., 1, :]
-    rand_phases = (
-        2.0 * jnp.pi * jax.random.uniform(key, mag.shape, dtype=mag.dtype)
-    )
+    rand_phases = 2.0 * jnp.pi * jax.random.uniform(key, mag.shape, dtype=mag.dtype)
 
-    # scan over frames; carry = (prev_phase, prev_mag_frame, prev_time_step)
     def step(carry, inp):
         prev_phi, prev_m, prev_ts = carry
         m, ts, fs, rnd = inp
         sig = m > abstol
         prev_sig = prev_m > abstol
-        anchored = sig & prev_sig
+        time_ok = sig & prev_sig
+        # ridge cells: local magnitude maxima along frequency
+        mpad = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(1, 1)], constant_values=-1.0)
+        peak = (m >= mpad[..., :-2]) & (m >= mpad[..., 2:])
+        anchored = time_ok & peak
+        # onset seeding at the frame's loudest bin
+        no_anchor = ~jnp.any(anchored, axis=-1, keepdims=True)
+        is_gmax = m == jnp.max(m, axis=-1, keepdims=True)
+        anchored = anchored | (no_anchor & sig & is_gmax)
+
         phi_time = prev_phi + (prev_ts + ts) / 2.0
         filled = _nearest_anchor_fill(jnp.where(anchored, phi_time, 0.0), anchored, fs)
         phi = jnp.where(anchored, phi_time, filled)
         phi = jnp.where(sig, phi, rnd)
         return (phi, m, ts), phi
 
-    # move the frame axis to the front for scan
     def to_front(a):
         return jnp.moveaxis(a, -2, 0)
 
-    init = (prev_phase, prev1, jnp.zeros_like(prev_phase))
-    (_, _, _), phases = jax.lax.scan(
+    init = (prev_phase, prev1, prev_ts)
+    _, phases = jax.lax.scan(
         step,
         init,
         (to_front(mag), to_front(time_step), to_front(freq_step), to_front(rand_phases)),
@@ -340,7 +255,6 @@ def pghi_heap_numpy(
     m[m < thresh] = abstol
 
     heap = []
-    visited = np.zeros((T, F), dtype=bool)
     remaining = m > abstol
 
     def push_seed():
@@ -348,7 +262,6 @@ def pghi_heap_numpy(
             return False
         t, k = np.unravel_index(np.argmax(np.where(remaining, m, -np.inf)), m.shape)
         heapq.heappush(heap, (-m[t, k], int(t), int(k)))
-        visited[t, k] = True
         remaining[t, k] = False
         return True
 
@@ -358,7 +271,6 @@ def pghi_heap_numpy(
     while True:
         while heap:
             _, t, k = heapq.heappop(heap)
-            # time neighbours use time_step, freq neighbours use freq_step
             for dt_, dk_, grad, sign in (
                 (1, 0, time_step, +1.0),
                 (-1, 0, time_step, -1.0),
@@ -369,7 +281,6 @@ def pghi_heap_numpy(
                 if 0 <= nt < T and 0 <= nk < F and remaining[nt, nk]:
                     phase[nt, nk] = phase[t, k] + sign * (grad[t, k] + grad[nt, nk]) / 2.0
                     heapq.heappush(heap, (-m[nt, nk], nt, nk))
-                    visited[nt, nk] = True
                     remaining[nt, nk] = False
         if not push_seed():
             break

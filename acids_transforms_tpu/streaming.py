@@ -1,0 +1,93 @@
+"""Scan-based chunked processing of streaming transform chains.
+
+The reference's realtime story is a Python loop feeding chunks through
+stateful modules (reference test loop, acids_transforms/transforms/
+stft.py:324-352).  Here the chain state is an explicit pytree
+(``chain.init_state``) and a whole chunked session compiles to ONE
+``lax.scan`` — state threading, analysis, processing and synthesis all fused
+on device, no per-chunk Python or host round-trips.
+
+Typical use::
+
+    chain = OverlapAdd(1024, 256) + RealtimeSTFT(n_fft=1024, hop_length=256)
+    y = scan_roundtrip(chain, x, chunk_size=4096)        # analysis+resynthesis
+    frames, state = scan_forward(chain, x, 4096)          # analysis only
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .transforms.base import AudioTransform
+
+__all__ = ["chunk_signal", "scan_forward", "scan_roundtrip"]
+
+
+def chunk_signal(x: jnp.ndarray, chunk_size: int) -> jnp.ndarray:
+    """Split ``(..., L)`` into leading-axis chunks ``(N, ..., chunk_size)``,
+    zero-padding the tail."""
+    L = x.shape[-1]
+    n = -(-L // chunk_size)
+    pad = n * chunk_size - L
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    x = x.reshape(x.shape[:-1] + (n, chunk_size))
+    return jnp.moveaxis(x, -2, 0)
+
+
+@partial(jax.jit, static_argnames=("chunk_size",))
+def scan_forward(
+    chain: AudioTransform, x: jnp.ndarray, chunk_size: int, state: Any = None
+) -> Tuple[jnp.ndarray, Any]:
+    """Run the chain's streaming forward over chunks of ``x`` in one scan.
+
+    Returns ``(outputs, final_state)`` with outputs concatenated along the
+    frame axis (-2).
+    """
+    chunks = chunk_signal(x, chunk_size)
+    if state is None:
+        state = chain.init_state(x.shape[:-1])
+
+    def body(st, chunk):
+        st, y = chain.step(st, chunk)
+        return st, y
+
+    state, ys = jax.lax.scan(body, state, chunks)
+    # ys: (N, ..., T_chunk, F...) -> concat chunks along the frame axis
+    ys = jnp.moveaxis(ys, 0, -3) if ys.ndim >= 3 else ys
+    ys = ys.reshape(ys.shape[:-3] + (ys.shape[-3] * ys.shape[-2],) + ys.shape[-1:])
+    return ys, state
+
+
+@partial(jax.jit, static_argnames=("chunk_size", "inversion_mode"))
+def scan_roundtrip(
+    chain: AudioTransform,
+    x: jnp.ndarray,
+    chunk_size: int,
+    inversion_mode: Optional[str] = None,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Full streaming round-trip (forward then invert per chunk) in one scan.
+
+    The canonical realtime loop (reference stft.py:324-352) as a single
+    compiled program; returns the resynthesized signal ``(..., L_out)``.
+    """
+    chunks = chunk_signal(x, chunk_size)
+    state = chain.init_state(x.shape[:-1])
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, chunks.shape[0])
+
+    def body(st, inp):
+        chunk, k = inp
+        st, y = chain.step(st, chunk)
+        st, rec = chain.step_invert(st, y, inversion_mode=inversion_mode, key=k)
+        return st, rec
+
+    _, recs = jax.lax.scan(body, state, (chunks, keys))
+    # recs: (N, ..., chunk) -> (..., N * chunk)
+    recs = jnp.moveaxis(recs, 0, -2)
+    return recs.reshape(recs.shape[:-2] + (recs.shape[-2] * recs.shape[-1],))

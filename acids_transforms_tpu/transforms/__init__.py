@@ -6,6 +6,7 @@ from .base import (
     apply_invert_transform_to_list,
     apply_transform_to_list,
 )
+from .dgt import DGT, RealtimeDGT
 from .mel import MFCC
 from .misc import OneHot, Squeeze, Transpose, Unsqueeze
 from .norm import Normalize
@@ -38,6 +39,8 @@ __all__ = [
     "MuLaw",
     "STFT",
     "RealtimeSTFT",
+    "DGT",
+    "RealtimeDGT",
     "MFCC",
     "Dummy",
     "Real",

@@ -205,6 +205,19 @@ class AudioTransform:
         """Return the streaming variant of this transform (default: self)."""
         return self
 
+    # Scan-composable streaming protocol: stateless transforms carry ``None``
+    # and fall back to forward/invert; stateful ones (OverlapAdd, Realtime*)
+    # override all three.  The whole chain's state is a pytree, so a chunked
+    # loop is just ``lax.scan(chain.step, chain.init_state(...), chunks)``.
+    def init_state(self, batch_shape: Tuple[int, ...] = ()):
+        return None
+
+    def step(self, state, x):
+        return state, self.forward(x)
+
+    def step_invert(self, state, y, inversion_mode: Optional[str] = None, key=None):
+        return state, self.invert(y, inversion_mode=inversion_mode, key=key)
+
     @property
     def ratio(self) -> int:
         """Per-sample -> per-frame decimation factor (reference base.py:56-58)."""
@@ -366,6 +379,30 @@ class ComposeAudioTransform(AudioTransform):
         if idx is None:
             return [t.get_inversion_modes() for t in self.transforms]
         return self.transforms[idx].get_inversion_modes()
+
+    # ------------------------------------------------------------- streaming
+    def init_state(self, batch_shape: Tuple[int, ...] = ()):
+        return [t.init_state(batch_shape) for t in self.transforms]
+
+    def step(self, state, x):
+        new_states = []
+        for t, st in zip(self.transforms, state):
+            st, x = t.step(st, x)
+            new_states.append(st)
+        return new_states, x
+
+    def step_invert(self, state, y, inversion_mode: Optional[str] = None, key=None):
+        new_states = list(state)
+        for i in range(len(self.transforms) - 1, -1, -1):
+            if key is not None:
+                key, sub = jax.random.split(key)
+            else:
+                sub = None
+            st, y = self.transforms[i].step_invert(
+                state[i], y, inversion_mode=inversion_mode, key=sub
+            )
+            new_states[i] = st
+        return new_states, y
 
     def __repr__(self):
         inner = ", ".join(repr(t) for t in self.transforms)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.framing import frame, overlap_add
@@ -83,7 +84,11 @@ class OverlapAdd(AudioTransform):
         return new_state, frames
 
     def step_invert(
-        self, state: Dict[str, jnp.ndarray], frames: jnp.ndarray
+        self,
+        state: Dict[str, jnp.ndarray],
+        frames: jnp.ndarray,
+        inversion_mode: Optional[str] = None,
+        key=None,
     ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
         """``(state, frames (..., T, n_fft)) -> (state, chunk (..., T*hop))``.
 

@@ -371,6 +371,8 @@ class RealtimeSTFT(STFT):
         state, y = self.sinebank_stream(state, x)
         return state, y * self.inv_window
 
+    step_invert = invert_stream
+
     def sinebank_stream(
         self, state: Dict[str, jnp.ndarray], mag: jnp.ndarray
     ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
@@ -391,10 +393,8 @@ class RealtimeSTFT(STFT):
         phi = state["random_phase"][..., :, None]  # (..., 1, F, 1)
         sines = jnp.sin(2.0 * jnp.pi * freqs * t + phi)  # (..., T, F, n_fft)
         y = (mag[..., None] * sines).sum(-2) / n_bins
-        new_state = {
-            "time_index": state["time_index"] + T * self.hop_length / self.sr,
-            "random_phase": state["random_phase"],
-        }
+        new_state = dict(state)
+        new_state["time_index"] = state["time_index"] + T * self.hop_length / self.sr
         return new_state, y
 
     def _eager_state(self, mag: jnp.ndarray) -> Dict[str, jnp.ndarray]:

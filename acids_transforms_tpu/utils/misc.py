@@ -163,9 +163,22 @@ def import_data(path: str, sr: int = 44100) -> Tuple[np.ndarray, object]:
     Returns ``(float32 array, name_or_names)``.
     """
     if os.path.isfile(path):
-        x, sr_file = load_wav(path)
-        if sr_file != sr:
-            x = resample(x, sr_file, sr)
+        try:
+            from ..native import wavio_native
+
+            native = wavio_native.available()
+        except Exception:
+            native = False
+        if native:
+            from ..native import wavio_native
+
+            x, sr_file = wavio_native.load_wav(path)
+            if sr_file != sr:
+                x = wavio_native.resample(x, sr_file, sr)
+        else:
+            x, sr_file = load_wav(path)
+            if sr_file != sr:
+                x = resample(x, sr_file, sr)
         return x, os.path.basename(path)
     if os.path.isdir(path):
         data: List[np.ndarray] = []

@@ -1,0 +1,145 @@
+"""Streaming tests: the OverlapAdd + Realtime* chains, unity-gain round
+trips, chunked == whole-signal equivalence, scan-compiled sessions."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from acids_transforms_tpu import transforms as T
+from acids_transforms_tpu.streaming import chunk_signal, scan_roundtrip
+from tests.conftest import snr_db
+
+
+@pytest.fixture(scope="module")
+def sig():
+    sr = 44100
+    t = np.arange(44100) / sr
+    x = sum(np.sin(2 * np.pi * f * t) / (i + 1) for i, f in enumerate([220, 440, 660]))
+    return (0.6 * x / np.abs(x).max()).astype(np.float32)
+
+
+def _stream_direct(chain, x, chunk, mode=None):
+    """Eager per-chunk loop through the chain (reference-style loop)."""
+    state = chain.init_state(x.shape[:-1])
+    outs = []
+    n = x.shape[-1] // chunk
+    key = jax.random.PRNGKey(0)
+    for i in range(n):
+        key, k = jax.random.split(key)
+        state, y = chain.step(state, jnp.asarray(x[..., i * chunk: (i + 1) * chunk]))
+        state, rec = chain.step_invert(state, y, inversion_mode=mode, key=k)
+        outs.append(np.asarray(rec))
+    return np.concatenate(outs, axis=-1)
+
+
+def test_overlap_add_standalone_unity(sig):
+    """frame -> OLA round-trip through OverlapAdd is unity-gain in steady state."""
+    oadd = T.OverlapAdd(1024, 256)
+    chunk = 4096
+    out = _stream_direct(oadd, sig, chunk)
+    delay = oadd.frames_out * 256  # (overlap-1)*hop streaming latency
+    n = out.shape[-1] - delay
+    assert snr_db(sig[..., : n - 1024], out[..., delay: delay + n - 1024]) > 100
+
+
+def test_streaming_stft_chain_unity(sig):
+    """OverlapAdd + RealtimeSTFT complex round-trip: unity gain (the
+    reference's equivalent chain reconstructs at ~0.75x — fixed here by the
+    dual-window synthesis, transforms/stft.py module docs)."""
+    chain = T.OverlapAdd(1024, 256) + T.RealtimeSTFT(n_fft=1024, hop_length=256)
+    out = _stream_direct(chain, sig, 4096)
+    delay = (1024 // 256 - 1) * 256
+    n = out.shape[-1] - delay
+    s = snr_db(sig[..., : n - 2048], out[..., delay: delay + n - 2048])
+    assert s > 60, s
+
+
+def test_streaming_dgt_chain_unity(sig):
+    chain = T.OverlapAdd(1024, 256) + T.RealtimeDGT(n_fft=1024, hop_length=256)
+    out = _stream_direct(chain, sig, 4096)
+    delay = (1024 // 256 - 1) * 256
+    n = out.shape[-1] - delay
+    s = snr_db(sig[..., : n - 2048], out[..., delay: delay + n - 2048])
+    assert s > 60, s
+
+
+def test_chunked_equals_wholesignal(sig):
+    """Processing in many small chunks == one big chunk (state correctness)."""
+    chain = T.OverlapAdd(1024, 256) + T.RealtimeSTFT(n_fft=1024, hop_length=256)
+    out_small = _stream_direct(chain, sig[:16384], 2048)
+    chain2 = T.OverlapAdd(1024, 256) + T.RealtimeSTFT(n_fft=1024, hop_length=256)
+    out_big = _stream_direct(chain2, sig[:16384], 16384)
+    np.testing.assert_allclose(out_small, out_big, atol=1e-4)
+
+
+def test_scan_roundtrip_matches_eager_loop(sig):
+    """The jitted lax.scan session must equal the eager per-chunk loop."""
+    chain = T.OverlapAdd(1024, 256) + T.RealtimeSTFT(n_fft=1024, hop_length=256)
+    x = sig[:16384]
+    out_eager = _stream_direct(chain, x, 2048)
+    chain2 = T.OverlapAdd(1024, 256) + T.RealtimeSTFT(n_fft=1024, hop_length=256)
+    out_scan = np.asarray(scan_roundtrip(chain2, jnp.asarray(x), 2048))
+    np.testing.assert_allclose(out_eager, out_scan[..., : out_eager.shape[-1]], atol=1e-4)
+
+
+def test_streaming_pghi_chunked_equals_full(sig):
+    """RT-PGHI with carried (mag, phase, time-step) state: chunked streaming
+    phases equal processing all frames in one call, on audible bins."""
+    rt = T.RealtimeDGT(n_fft=1024, hop_length=256)
+    dgt = T.DGT(n_fft=1024, hop_length=256)
+    mag = jnp.abs(dgt.forward(jnp.asarray(sig[:16384])))
+
+    full = np.asarray(rt.pghi_stream(rt.init_state(()), mag, key=jax.random.PRNGKey(1)))
+
+    state = rt.init_state(())
+    parts = []
+    for i in range(0, mag.shape[0] // 8 * 8, 8):
+        blk = mag[i: i + 8]
+        phase = np.asarray(rt.pghi_stream(state, blk, key=jax.random.PRNGKey(1)))
+        spec = blk * jnp.exp(1j * jnp.asarray(phase))
+        state = rt._update_buffers(state, spec)
+        parts.append(phase)
+    chunked = np.concatenate(parts, axis=0)
+
+    audible = np.asarray(mag[: chunked.shape[0]]) > 1e-2 * float(mag.max())
+    # the carried phase buffer is wrapped (angle of the complex spec), so the
+    # chunked stream can differ by exact multiples of 2*pi — physically
+    # identical; compare on the circle
+    d = np.abs(np.angle(np.exp(1j * (full[: chunked.shape[0]] - chunked))))[audible]
+    assert d.max() < 1e-2, d.max()
+
+
+def test_sinebank_streaming_continuity(sig):
+    """Sinebank resynthesis carries time_index so sines continue across
+    chunks: the boundary between two chunks must not jump."""
+    rt = T.RealtimeSTFT(n_fft=1024, hop_length=256, inversion_mode="sinebank")
+    mag = jnp.abs(T.STFT(n_fft=1024, hop_length=256).forward(jnp.asarray(sig[:8192])))
+    state = rt.init_state(())
+    t0 = float(state["time_index"])
+    state, y1 = rt.invert_stream(state, mag[:8], inversion_mode="sinebank")
+    t1 = float(state["time_index"])
+    state, y2 = rt.invert_stream(state, mag[8:16], inversion_mode="sinebank")
+    t2 = float(state["time_index"])
+    assert t1 == pytest.approx(t0 + 8 * 256 / 44100)
+    assert t2 == pytest.approx(t1 + 8 * 256 / 44100)
+    assert np.isfinite(np.asarray(y1)).all() and np.isfinite(np.asarray(y2)).all()
+
+
+def test_chunk_signal_shapes():
+    x = jnp.arange(10_000, dtype=jnp.float32).reshape(2, 5000)
+    c = chunk_signal(x, 2048)
+    assert c.shape == (3, 2, 2048)
+    np.testing.assert_allclose(np.asarray(c[0, 0]), np.arange(2048, dtype=np.float32))
+    # padded tail
+    assert float(c[2, 0, -1]) == 0.0
+
+
+def test_batched_streaming(test_files):
+    sig_b, _ = test_files
+    chain = T.OverlapAdd(512, 128) + T.RealtimeSTFT(n_fft=512, hop_length=128)
+    x = jnp.asarray(sig_b[..., :8192])  # (3, 2, 8192)
+    out = np.asarray(scan_roundtrip(chain, x, 2048))
+    assert out.shape[:-1] == x.shape[:-1]
+    delay = (512 // 128 - 1) * 128
+    n = out.shape[-1] - delay
+    assert snr_db(np.asarray(x)[..., : n - 1024], out[..., delay: delay + n - 1024]) > 50
