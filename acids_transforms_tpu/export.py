@@ -1,0 +1,151 @@
+"""Deployment: transform serialization and StableHLO export.
+
+The reference's deploy story is TorchScript — ``torch.jit.script(transform)``
+consumed by C++ hosts (reference README.md:58-59, base.py buffer discipline).
+The TPU-native equivalents:
+
+* ``save_transform`` / ``load_transform`` — checkpoint a transform (or chain)
+  to a single ``.npz``: array leaves plus a JSON manifest of classes/config.
+  No pickle; files are portable and inspectable.  This covers the
+  reference's ``state_dict``-via-buffers behaviour (SURVEY.md §5 checkpoint
+  row) including fitted normalizer statistics.
+
+* ``export_stablehlo`` / ``load_stablehlo`` — ``jax.export`` a jitted
+  forward/invert to serialized StableHLO bytes, loadable into any JAX host
+  (or compiled by PJRT from C++) without the Python transform classes.
+"""
+from __future__ import annotations
+
+import importlib
+import io
+import json
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .transforms.base import AudioTransform, _hashable, _unhashable
+
+__all__ = [
+    "save_transform",
+    "load_transform",
+    "export_stablehlo",
+    "load_stablehlo",
+]
+
+
+def _encode(obj: Any, arrays: Dict[str, np.ndarray], path: str) -> Any:
+    """Recursively encode a transform / pytree into JSON + a flat array dict."""
+    if isinstance(obj, AudioTransform):
+        cls = type(obj)
+        leaves, aux = obj._tree_flatten()
+        return {
+            "__kind__": "transform",
+            "module": cls.__module__,
+            "cls": cls.__qualname__,
+            "aux": [[k, _jsonable(v)] for k, v in aux],
+            "leaves": {
+                name: _encode(leaf, arrays, f"{path}/{name}")
+                for name, leaf in zip(cls._leaves, leaves)
+            },
+        }
+    if obj is None:
+        return {"__kind__": "none"}
+    if isinstance(obj, (list, tuple)):
+        return {
+            "__kind__": "list" if isinstance(obj, list) else "tuple",
+            "items": [_encode(v, arrays, f"{path}/{i}") for i, v in enumerate(obj)],
+        }
+    if isinstance(obj, dict):
+        return {
+            "__kind__": "dict",
+            "items": {k: _encode(v, arrays, f"{path}/{k}") for k, v in obj.items()},
+        }
+    if isinstance(obj, (jnp.ndarray, np.ndarray)) or np.isscalar(obj):
+        arr = np.asarray(obj)
+        arrays[path] = arr
+        return {"__kind__": "array", "key": path}
+    raise TypeError("cannot serialize leaf of type %s" % type(obj))
+
+
+def _jsonable(v: Any) -> Any:
+    """Aux config values are hashable trees; make them JSON-round-trippable."""
+    if isinstance(v, tuple):
+        return {"__tuple__": [_jsonable(x) for x in v]}
+    return v
+
+
+def _unjsonable(v: Any) -> Any:
+    if isinstance(v, dict) and "__tuple__" in v:
+        return tuple(_unjsonable(x) for x in v["__tuple__"])
+    return v
+
+
+def _decode(spec: Any, arrays) -> Any:
+    kind = spec["__kind__"]
+    if kind == "transform":
+        mod = importlib.import_module(spec["module"])
+        cls = mod
+        for part in spec["cls"].split("."):
+            cls = getattr(cls, part)
+        aux = tuple((k, _unjsonable(v)) for k, v in spec["aux"])
+        leaves = tuple(_decode(spec["leaves"][name], arrays) for name in cls._leaves)
+        return cls._tree_unflatten(aux, leaves)
+    if kind == "none":
+        return None
+    if kind in ("list", "tuple"):
+        items = [_decode(s, arrays) for s in spec["items"]]
+        return items if kind == "list" else tuple(items)
+    if kind == "dict":
+        return {k: _decode(s, arrays) for k, s in spec["items"].items()}
+    if kind == "array":
+        return jnp.asarray(arrays[spec["key"]])
+    raise ValueError("unknown spec kind %r" % kind)
+
+
+def save_transform(transform: AudioTransform, path: str) -> None:
+    """Serialize a transform (or Compose chain) to ``path`` (.npz)."""
+    arrays: Dict[str, np.ndarray] = {}
+    manifest = _encode(transform, arrays, "root")
+    arrays["__manifest__"] = np.frombuffer(
+        json.dumps(manifest).encode(), dtype=np.uint8
+    )
+    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+
+
+def load_transform(path: str) -> AudioTransform:
+    """Load a transform saved by :func:`save_transform`."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    manifest = json.loads(bytes(data["__manifest__"].tobytes()).decode())
+    return _decode(manifest, data)
+
+
+def export_stablehlo(
+    fn: Callable,
+    example_args: Sequence[Any],
+    path: Optional[str] = None,
+) -> bytes:
+    """Serialize ``jit(fn)(*example_args)`` to portable StableHLO bytes.
+
+    ``fn`` must be jit-compatible (e.g. ``lambda x: chain.forward(x)`` with a
+    fitted chain closed over — its parameters become constants, exactly like
+    TorchScript freezing).
+    """
+    exported = jax.export.export(jax.jit(fn))(*example_args)
+    blob = exported.serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def load_stablehlo(path_or_bytes) -> Callable:
+    """Load serialized StableHLO back into a callable."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        blob = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            blob = f.read()
+    exported = jax.export.deserialize(blob)
+    return exported.call

@@ -1,0 +1,172 @@
+"""Sharded execution of transform chains.
+
+Two modes (SURVEY.md §5, long-context row):
+
+* **batch (data) parallelism** — the production mode: shard leading batch
+  dims over the mesh and ``jit`` the whole chain; XLA inserts no collectives
+  at all (embarrassingly parallel), per-chip throughput is the metric.
+
+* **sequence parallelism** — for single long signals: shard the *time* axis,
+  exchange the ``n_fft - hop`` halo between neighbouring shards over ICI with
+  ``shard_map`` + ``lax.ppermute``, so framing (analysis) and overlap-add
+  (synthesis) are exact at shard boundaries.  This is the DSP analogue of
+  context parallelism; PGHI stays batch-sharded (its scan is causal over the
+  whole frame axis).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.fft import irfft_frames, rfft_frames
+from ..ops.framing import frame, overlap_add
+
+__all__ = [
+    "shard_along",
+    "data_parallel",
+    "sequence_parallel_stft",
+    "sequence_parallel_istft",
+]
+
+
+def shard_along(x: jnp.ndarray, mesh: Mesh, axis_name: str = "data", dim: int = 0):
+    """Place ``x`` with dimension ``dim`` sharded over ``axis_name``."""
+    spec = [None] * x.ndim
+    spec[dim] = axis_name
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def data_parallel(
+    fn: Callable, mesh: Mesh, axis_name: str = "data", dim: int = 0
+) -> Callable:
+    """Jit ``fn(transform, x)`` with ``x`` (and the output) batch-sharded.
+
+    The transform's parameter leaves are replicated; the batch dim is split
+    over the mesh.  Example::
+
+        fwd = data_parallel(lambda t, x: t.forward(x), mesh)
+        y = fwd(chain, x)   # x: (B, ...) with B % mesh.size == 0
+    """
+
+    @jax.jit
+    def wrapped(t, x):
+        spec = [None] * x.ndim
+        spec[dim] = axis_name
+        x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+        return fn(t, x)
+
+    return wrapped
+
+
+def _halo_from_next(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """Fetch the first ``halo`` samples of the *next* shard (zeros on the last)."""
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    head = x[..., :halo]
+    # send my head to my left neighbour: perm maps source -> destination
+    perm = [(i, i - 1) for i in range(1, n)]
+    received = jax.lax.ppermute(head, axis_name, perm)
+    is_last = idx == n - 1
+    return jnp.where(is_last, jnp.zeros_like(received), received)
+
+
+def _halo_to_next(x_tail: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Send my tail to the next shard; receive the previous shard's tail
+    (zeros on the first shard)."""
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, i + 1) for i in range(n - 1)]
+    received = jax.lax.ppermute(x_tail, axis_name, perm)
+    is_first = idx == 0
+    return jnp.where(is_first, jnp.zeros_like(received), received)
+
+
+def sequence_parallel_stft(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    window: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "seq",
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """STFT of a time-sharded signal; output frame axis is sharded the same.
+
+    ``x (..., L)`` with ``L`` divisible by ``mesh.shape[axis_name] * hop``;
+    no centre padding (``center=False`` semantics — pre-pad globally if
+    centred frames are wanted).  Each shard fetches an ``n_fft - hop`` halo
+    from its right neighbour over ICI and frames locally; frame counts per
+    shard are identical, so the global result is exactly the unsharded STFT
+    of ``x`` with ``L // hop`` frames.
+    """
+    halo = n_fft - hop_length
+
+    def local_fn(xs):
+        # xs: (..., L_loc)
+        nxt = _halo_from_next(xs, halo, axis_name)
+        xc = jnp.concatenate([xs, nxt], axis=-1)
+        L_loc = xs.shape[-1]
+        n_frames = L_loc // hop_length
+        frames = frame(xc, n_fft, hop_length, -1)[..., :n_frames, :]
+        return rfft_frames(frames * window, impl=impl)
+
+    n_dims = x.ndim
+    in_spec = P(*([None] * (n_dims - 1) + [axis_name]))
+    out_spec = P(*([None] * (n_dims - 1) + [axis_name, None]))
+    return shard_map(
+        local_fn, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec
+    )(x)
+
+
+def sequence_parallel_istft(
+    spec: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    window: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "seq",
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Least-squares ISTFT of frame-sharded spectra; output time-sharded.
+
+    Inverse of :func:`sequence_parallel_stft`: each shard synthesizes and
+    overlap-adds its frames locally, sends the ``n_fft - hop`` OLA tail to
+    its right neighbour over ICI, and divides by the (periodic) squared-
+    window envelope.  Exact at shard boundaries.
+    """
+    halo = n_fft - hop_length
+
+    def _ola_with_halo(frames):
+        """Local OLA + boundary tail exchange; returns the exact global OLA
+        restricted to this shard's T_loc * hop samples."""
+        ola = overlap_add(frames, hop_length)  # (..., (T_loc-1)*hop + n_fft)
+        body_len = frames.shape[-2] * hop_length
+        tail = ola[..., body_len:]  # length halo, overlaps the next shard
+        prev_tail = _halo_to_next(tail, axis_name)
+        body = ola[..., :body_len]
+        pad = [(0, 0)] * (body.ndim - 1) + [(0, body_len - halo)]
+        return body + jnp.pad(prev_tail, pad)
+
+    def local_fn(sp):
+        # sp: (..., T_loc, F)
+        y_frames = irfft_frames(sp, n_fft=n_fft, impl=impl) * window
+        body = _ola_with_halo(y_frames)
+        env_frames = jnp.broadcast_to(window[None, :] ** 2, (sp.shape[-2], n_fft))
+        env = _ola_with_halo(env_frames)
+        tiny = jnp.finfo(body.dtype).tiny
+        return body / jnp.where(env > tiny, env, jnp.ones_like(env))
+
+    n_dims = spec.ndim
+    in_spec = P(*([None] * (n_dims - 2) + [axis_name, None]))
+    out_spec = P(*([None] * (n_dims - 2) + [axis_name]))
+    return shard_map(
+        local_fn, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec
+    )(spec)

@@ -54,6 +54,9 @@ class Squeeze(AudioTransform):
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.dim is None:
             return jnp.squeeze(x)
+        # torch semantics: squeezing a non-singleton dim is a no-op
+        if x.shape[self.dim] != 1:
+            return x
         return jnp.squeeze(x, self.dim)
 
     def invert(self, x, inversion_mode=None, key=None):

@@ -63,7 +63,7 @@ class Mono(AudioTransform):
                 x = x[..., 0:1, :]
         if self.normalize:
             x = x / x.max()
-        if self.squeeze:
+        if self.squeeze and x.ndim >= 2 and x.shape[-2] == 1:
             x = x.squeeze(-2)
         return x
 

@@ -1,0 +1,72 @@
+"""Serialization / deployment tests: npz checkpoints round-trip fitted
+chains; StableHLO export reproduces the jitted forward."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from acids_transforms_tpu import transforms as T
+from acids_transforms_tpu.export import (
+    export_stablehlo,
+    load_stablehlo,
+    load_transform,
+    save_transform,
+)
+
+
+def test_save_load_fitted_chain(tmp_path, test_files):
+    sig, _ = test_files
+    chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=True, n_fft=512
+    )
+    fitted = chain.fit(jnp.asarray(sig))
+    y_ref = np.asarray(fitted.forward(jnp.asarray(sig)))
+
+    path = str(tmp_path / "chain.npz")
+    save_transform(fitted, path)
+    loaded = load_transform(path)
+
+    assert isinstance(loaded, T.ComposeAudioTransform)
+    assert len(loaded) == 3
+    y = np.asarray(loaded.forward(jnp.asarray(sig)))
+    np.testing.assert_allclose(y, y_ref, atol=1e-6)
+    # fitted stats survived
+    assert not loaded.needs_scaling or not loaded[2].norm.needs_scaling
+
+
+def test_save_load_single_transform(tmp_path):
+    t = T.Normalize(mode="bipolar")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 100)).astype(np.float32))
+    t.scale_data(x)
+    path = str(tmp_path / "norm.npz")
+    save_transform(t, path)
+    t2 = load_transform(path)
+    np.testing.assert_allclose(np.asarray(t2.forward(x)), np.asarray(t.forward(x)))
+
+
+def test_save_load_dgt(tmp_path):
+    t = T.DGT(n_fft=512, hop_length=128, tolerance=5e-3)
+    path = str(tmp_path / "dgt.npz")
+    save_transform(t, path)
+    t2 = load_transform(path)
+    assert t2.tolerance == 5e-3
+    assert t2.n_fft == 512
+    np.testing.assert_allclose(np.asarray(t2.window), np.asarray(t.window))
+
+
+def test_stablehlo_export_roundtrip(tmp_path, test_files):
+    sig, _ = test_files
+    x = jnp.asarray(sig[..., :8192])
+    chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", mel=False, n_fft=512
+    )
+    fitted = chain.fit(x)
+
+    def fn(v):
+        return fitted.forward(v)
+
+    path = str(tmp_path / "chain.stablehlo")
+    export_stablehlo(fn, (x,), path)
+    call = load_stablehlo(path)
+    y = np.asarray(call(x))
+    np.testing.assert_allclose(y, np.asarray(fn(x)), atol=1e-5)

@@ -1,0 +1,128 @@
+"""Sharding tests on the virtual 8-device CPU mesh: batch data parallelism
+and sequence parallelism with halo exchange must match unsharded results."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from acids_transforms_tpu import transforms as T
+from acids_transforms_tpu.ops.fft import istft, stft
+from acids_transforms_tpu.ops.windows import hann_window
+from acids_transforms_tpu.parallel import (
+    data_parallel,
+    local_mesh,
+    make_mesh,
+    sequence_parallel_istft,
+    sequence_parallel_stft,
+    shard_along,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs the multi-device CPU mesh"
+)
+
+RNG = np.random.default_rng(7)
+
+
+def test_make_mesh_shapes():
+    mesh = local_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = make_mesh({"data": 4, "seq": 2})
+    assert mesh2.shape == {"data": 4, "seq": 2}
+
+
+def test_data_parallel_stft_matches_single_device():
+    mesh = local_mesh()
+    n_dev = mesh.devices.size
+    x = RNG.standard_normal((n_dev * 2, 8192)).astype(np.float32)
+    chain = T.Mono() + T.STFT(n_fft=512, hop_length=128)
+
+    fwd = data_parallel(lambda t, xx: t.forward(xx), mesh)
+    xs = shard_along(jnp.asarray(x), mesh, "data", dim=0)
+    y_sharded = np.asarray(fwd(chain, xs))
+    y_ref = np.asarray(chain.forward(jnp.asarray(x)))
+    np.testing.assert_allclose(np.abs(y_sharded), np.abs(y_ref), atol=2e-4)
+
+
+def test_sequence_parallel_stft_exact():
+    mesh = local_mesh(axis="seq")
+    n_dev = mesh.devices.size
+    n_fft, hop = 512, 128
+    L = n_dev * 16 * hop
+    x = RNG.standard_normal((2, L)).astype(np.float32)
+    w = hann_window(n_fft)
+
+    y_sharded = np.asarray(
+        sequence_parallel_stft(jnp.asarray(x), n_fft, hop, w, mesh)
+    )
+    # unsharded reference: center=False framing of the same signal
+    ref = np.asarray(stft(jnp.asarray(x), n_fft, hop, w, center=False))
+    n = y_sharded.shape[-2]
+    assert n == L // hop
+    m = min(n, ref.shape[-2])
+    np.testing.assert_allclose(
+        np.abs(y_sharded[..., :m, :]), np.abs(ref[..., :m, :]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        y_sharded[..., :m, :].real, ref[..., :m, :].real, atol=2e-4
+    )
+
+
+def test_sequence_parallel_roundtrip_exact():
+    """sharded istft(sharded stft(x)) == x on the interior."""
+    mesh = local_mesh(axis="seq")
+    n_dev = mesh.devices.size
+    n_fft, hop = 512, 128
+    L = n_dev * 16 * hop
+    x = RNG.standard_normal((2, L)).astype(np.float32)
+    w = hann_window(n_fft)
+
+    spec = sequence_parallel_stft(jnp.asarray(x), n_fft, hop, w, mesh)
+    y = np.asarray(sequence_parallel_istft(spec, n_fft, hop, w, mesh))
+    assert y.shape[-1] == L
+    # exact where window coverage is complete (after the first n_fft samples,
+    # before the untransformed tail)
+    inner = slice(n_fft, L - n_fft)
+    err = np.abs(y[..., inner] - x[..., inner]).max()
+    assert err < 1e-4, err
+
+
+def test_sequence_parallel_istft_matches_unsharded():
+    mesh = local_mesh(axis="seq")
+    n_dev = mesh.devices.size
+    n_fft, hop = 512, 128
+    T_frames = n_dev * 8
+    spec_np = (
+        RNG.standard_normal((T_frames, n_fft // 2 + 1))
+        + 1j * RNG.standard_normal((T_frames, n_fft // 2 + 1))
+    ).astype(np.complex64)
+    w = hann_window(n_fft)
+
+    y_sh = np.asarray(sequence_parallel_istft(jnp.asarray(spec_np), n_fft, hop, w, mesh))
+    y_ref = np.asarray(istft(jnp.asarray(spec_np), n_fft, hop, w, center=False))
+    n = y_sh.shape[-1]
+    np.testing.assert_allclose(y_sh, y_ref[..., :n], atol=1e-3)
+
+
+def test_data_parallel_full_chain_roundtrip(test_files):
+    """Batch-sharded fit + forward + PGHI invert of the flagship chain."""
+    mesh = local_mesh()
+    n_dev = mesh.devices.size
+    sig, _ = test_files
+    x = np.tile(sig.mean(1), (max(1, n_dev // sig.shape[0]) * sig.shape[0] // sig.shape[0], 1))
+    x = np.tile(sig.mean(1), (3, 1))[: n_dev]  # (n_dev, L)
+    if x.shape[0] < n_dev:
+        x = np.tile(x, (-(-n_dev // x.shape[0]), 1))[:n_dev]
+    chain = T.DGT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=False, n_fft=512
+    )
+    fitted = chain.fit(jnp.asarray(x))
+    fwd = data_parallel(lambda t, xx: t.forward(xx), mesh)
+    xs = shard_along(jnp.asarray(x), mesh, "data", dim=0)
+    y = fwd(fitted, xs)
+    inv = data_parallel(
+        lambda t, yy: t.invert(yy, inversion_mode="pghi"), mesh
+    )
+    rec = np.asarray(inv(fitted, y))
+    assert rec.shape[0] == n_dev
+    assert np.isfinite(rec).all()
