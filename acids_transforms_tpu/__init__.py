@@ -7,7 +7,8 @@ incl. PGHI and Griffin-Lim, spectral representations, normalization,
 streaming real-time variants), designed TPU-first — batched MXU kernels,
 functional pytree transforms, scan-based streaming, mesh sharding.
 """
-from . import ops, streaming, transforms, utils
+from . import export, fuse, ops, parallel, streaming, transforms, utils
+from .fuse import fuse_forward
 from .streaming import chunk_signal, scan_forward, scan_roundtrip
 from .transforms import *  # noqa: F401,F403
 from .transforms import __all__ as _transforms_all
@@ -18,6 +19,10 @@ __all__ = [
     "ops",
     "utils",
     "streaming",
+    "parallel",
+    "export",
+    "fuse",
+    "fuse_forward",
     "chunk_signal",
     "scan_forward",
     "scan_roundtrip",

@@ -1,6 +1,6 @@
 """Numerical kernels: framing, windows, FFT/DFT, mel, mu-law, phase, PGHI."""
-from . import fft, framing, griffinlim, interp, mel, mulaw, phase, windows
-from .fft import istft, stft
+from . import fft, framing, griffinlim, interp, mel, mulaw, pghi, phase, windows
+from .fft import istft, matmul_precision, set_matmul_precision, stft
 from .framing import frame, overlap_add, pad_axis, reshape_batches
 
 __all__ = [
@@ -10,10 +10,13 @@ __all__ = [
     "interp",
     "mel",
     "mulaw",
+    "pghi",
     "phase",
     "windows",
     "stft",
     "istft",
+    "set_matmul_precision",
+    "matmul_precision",
     "frame",
     "overlap_add",
     "pad_axis",

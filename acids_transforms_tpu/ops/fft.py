@@ -41,7 +41,27 @@ __all__ = [
 
 MATMUL_MAX_NFFT = 4096
 
-_PRECISION = jax.lax.Precision.HIGHEST
+# bf16x3 ("HIGH") keeps the DFT GEMMs at ~1e-5 relative error — an order of
+# magnitude inside the 1e-4 parity budget — at ~1.5x the throughput of the
+# 6-pass HIGHEST mode on v5e (measured; see bench.py history).
+_PRECISION = jax.lax.Precision.HIGH
+
+
+def set_matmul_precision(precision) -> None:
+    """Set the MXU precision for the DFT/mel GEMM paths
+    (``jax.lax.Precision`` or one of "default"/"high"/"highest")."""
+    global _PRECISION
+    if isinstance(precision, str):
+        precision = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[precision]
+    _PRECISION = precision
+
+
+def matmul_precision():
+    return _PRECISION
 
 
 @functools.lru_cache(maxsize=None)
@@ -88,8 +108,9 @@ def rfft_frames(frames_w: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     if impl == "fft":
         return jnp.fft.rfft(frames_w, axis=-1)
     C, S = _dft_matrices(n_fft)
-    re = jnp.matmul(frames_w, jnp.asarray(C), precision=_PRECISION)
-    im = jnp.matmul(frames_w, jnp.asarray(S), precision=_PRECISION)
+    prec = _PRECISION
+    re = jnp.matmul(frames_w, jnp.asarray(C), precision=prec)
+    im = jnp.matmul(frames_w, jnp.asarray(S), precision=prec)
     return jax.lax.complex(re, im)
 
 

@@ -226,17 +226,35 @@ class AudioTransform:
     def get_inversion_modes(self) -> Optional[List[str]]:
         return None
 
+    #: every inversion-mode name any transform in the library understands —
+    #: used to distinguish "mode meant for another child in the chain" from a
+    #: genuine typo in :meth:`_resolve_mode`.
+    _KNOWN_INVERSION_MODES = frozenset(
+        {
+            "mono", "stereo", "crop",
+            "griffin_lim", "keep_input", "random", "sinebank",
+            "pghi", "pghi_exact",
+        }
+    )
+
     def _resolve_mode(self, inversion_mode: Optional[str]) -> Optional[str]:
         """Resolve a requested inversion mode against this transform's own.
 
         Compose chains broadcast one ``inversion_mode`` to every child
         (reference base.py:162-166); a mode that belongs to a *different*
-        child (e.g. ``"pghi"`` reaching a ``Mono``) falls back to this
-        transform's configured default instead of erroring.
+        transform type (e.g. ``"pghi"`` reaching a ``Mono``) falls back to
+        this transform's configured default.  A string no transform in the
+        library knows raises immediately (typo protection).
         """
         modes = self.get_inversion_modes() or []
-        if inversion_mode is not None and inversion_mode in modes:
-            return inversion_mode
+        if inversion_mode is not None:
+            if inversion_mode in modes:
+                return inversion_mode
+            if inversion_mode not in self._KNOWN_INVERSION_MODES:
+                raise ValueError(
+                    "inversion mode %r not valid (known: %s)"
+                    % (inversion_mode, sorted(self._KNOWN_INVERSION_MODES))
+                )
         return getattr(self, "inversion_mode", None)
 
     # -------------------------------------------------------------------- jit

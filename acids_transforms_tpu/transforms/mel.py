@@ -16,7 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.fft import stft as stft_op
+from ..ops.fft import matmul_precision, stft as stft_op
 from ..ops.mel import mel_banks
 from ..ops.windows import hann_window
 from .base import AudioTransform, NotInvertibleError
@@ -62,7 +62,7 @@ class MFCC(AudioTransform):
     def _melspec(self, x: jnp.ndarray) -> jnp.ndarray:
         spec = stft_op(x, self.n_fft, self.hop_length, self.window, impl=self.impl)
         p = jnp.abs(spec) ** self.power  # (..., T, F)
-        mel = jnp.matmul(p, self.mel_bank, precision=jax.lax.Precision.HIGHEST)
+        mel = jnp.matmul(p, self.mel_bank, precision=matmul_precision())
         return jnp.swapaxes(mel, -2, -1)  # (..., n_mels, T) — torchaudio layout
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:

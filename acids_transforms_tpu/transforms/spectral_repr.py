@@ -16,6 +16,7 @@ from typing import Dict, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from ..ops.fft import matmul_precision
 from ..ops.mel import square_mel_banks
 from ..ops.phase import (
     fdiff_backward,
@@ -42,7 +43,7 @@ __all__ = [
     "PolarIF",
 ]
 
-_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
 
 
 class Dummy(AudioTransform):
@@ -180,7 +181,7 @@ class Magnitude(_Representation):
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         mag = jnp.abs(x)
         if self.mel:
-            mag = jnp.matmul(mag, self.mel_bank, precision=_MATMUL_PRECISION)
+            mag = jnp.matmul(mag, self.mel_bank, precision=matmul_precision())
         mag = self.contrast(mag)
         mag = self.norm.forward(mag)
         return self._drop_nyquist(mag)
@@ -190,7 +191,7 @@ class Magnitude(_Representation):
         mag = self._pad_nyquist(mag)
         mag = self.invert_contrast(mag)
         if self.mel:
-            mag = jnp.matmul(mag, self.inverse_mel_bank, precision=_MATMUL_PRECISION)
+            mag = jnp.matmul(mag, self.inverse_mel_bank, precision=matmul_precision())
         return mag
 
     def fit(self, x: jnp.ndarray) -> "Magnitude":

@@ -1,0 +1,65 @@
+"""Fused Pallas kernel tests (interpret mode on CPU; the same kernel
+compiles via Mosaic on TPU — verified by bench.py)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from acids_transforms_tpu import transforms as T
+from acids_transforms_tpu.fuse import fusable, fuse_forward
+from acids_transforms_tpu.ops.fft import stft
+from acids_transforms_tpu.ops.mel import square_mel_banks
+from acids_transforms_tpu.ops.pallas.spectral import fused_melspec
+from acids_transforms_tpu.ops.windows import hann_window
+
+RNG = np.random.default_rng(3)
+
+
+def test_fused_melspec_matches_reference_path():
+    x = RNG.standard_normal((2, 20000)).astype(np.float32)
+    n_fft, hop = 1024, 256
+    w = hann_window(n_fft)
+    fwd, _ = square_mel_banks(n_fft, 44100)
+    y = np.asarray(
+        fused_melspec(jnp.asarray(x), n_fft, hop, w, jnp.asarray(fwd), 0.1, 2.0, "log1p")
+    )
+    spec = stft(jnp.asarray(x), n_fft, hop, w)
+    ref = (np.log1p(np.abs(np.asarray(spec)) @ fwd) - 0.1) / 2.0
+    assert y.shape == ref.shape
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_fused_melspec_no_mel_and_contrasts():
+    x = RNG.standard_normal(9000).astype(np.float32)
+    n_fft, hop = 512, 128
+    w = hann_window(n_fft)
+    spec = stft(jnp.asarray(x), n_fft, hop, w)
+    mag = np.abs(np.asarray(spec))
+    for contrast, f in [
+        ("log1p", np.log1p),
+        ("none", lambda v: v),
+    ]:
+        y = np.asarray(fused_melspec(jnp.asarray(x), n_fft, hop, w, None, 0.0, 1.0, contrast))
+        ref = f(mag)
+        rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 1e-4, (contrast, rel)
+
+
+def test_fuse_forward_dispatch(test_files):
+    sig, _ = test_files
+    chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=True, n_fft=512
+    )
+    fitted = chain.fit(jnp.asarray(sig))
+    assert fusable(fitted)
+    fused = fuse_forward(fitted)
+    y_fused = np.asarray(fused(jnp.asarray(sig)))
+    y_ref = np.asarray(fitted.forward(jnp.asarray(sig)))
+    assert y_fused.shape == y_ref.shape
+    assert np.abs(y_fused - y_ref).max() / (np.abs(y_ref).max() + 1e-9) < 1e-4
+
+
+def test_fuse_forward_fallback():
+    chain = T.Stereo() + T.STFT()
+    assert not fusable(chain)
+    fn = fuse_forward(chain)
+    assert fn == chain.jforward
