@@ -19,6 +19,8 @@ __all__ = [
     "fint_forward",
     "fint_backward",
     "fint_central",
+    "deriv",
+    "get_fft_idx",
 ]
 
 
@@ -68,6 +70,45 @@ def fint_forward(x: jnp.ndarray) -> jnp.ndarray:
 
 def fint_backward(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.flip(fint_forward(jnp.flip(x, axis=-2)), axis=-2)
+
+
+def get_fft_idx(L: int) -> jnp.ndarray:
+    """Signed FFT bin indices (reference utils/misc.py:130-135; unused by the
+    reference's own call graph, kept for API completeness)."""
+    if L % 2 == 0:
+        return jnp.concatenate([jnp.arange(0, L // 2 + 1), jnp.arange(-L // 2 + 1, 0)])
+    return jnp.concatenate([jnp.arange(0, (L + 1) // 2), jnp.arange(-(L - 1) // 2, 0)])
+
+
+def deriv(mag: jnp.ndarray, order: int = 2) -> jnp.ndarray:
+    """Periodic derivative along axis 0 of order 2 / 4 / inf (spectral).
+
+    ltfat-style ``pderiv`` (reference utils/misc.py:107-128 — dead code in
+    the reference; provided here for parity/completeness).
+    """
+    L = mag.shape[0]
+    if order == 2:
+        return L * (jnp.roll(mag, -1, axis=0) - jnp.roll(mag, 1, axis=0)) / 2.0
+    if order == 4:
+        return (
+            L
+            * (
+                -jnp.roll(mag, -2, axis=0)
+                + 8.0 * jnp.roll(mag, -1, axis=0)
+                - 8.0 * jnp.roll(mag, 1, axis=0)
+                + jnp.roll(mag, 2, axis=0)
+            )
+            / 12.0
+        )
+    if order == float("inf"):
+        n = get_fft_idx(L).astype(jnp.float32)
+        shape = (L,) + (1,) * (mag.ndim - 1)
+        return jnp.real(
+            2.0
+            * jnp.pi
+            * jnp.fft.ifft(1j * n.reshape(shape) * jnp.fft.fft(mag, axis=0), axis=0)
+        )
+    raise ValueError("order must be 2, 4 or inf")
 
 
 def fint_central(x: jnp.ndarray) -> jnp.ndarray:

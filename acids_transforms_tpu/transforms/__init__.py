@@ -2,6 +2,7 @@
 from .base import (
     AudioTransform,
     ComposeAudioTransform,
+    InversionEnumType,
     NotInvertibleError,
     apply_invert_transform_to_list,
     apply_transform_to_list,
@@ -30,6 +31,7 @@ __all__ = [
     "AudioTransform",
     "ComposeAudioTransform",
     "NotInvertibleError",
+    "InversionEnumType",
     "apply_transform_to_list",
     "apply_invert_transform_to_list",
     "Mono",

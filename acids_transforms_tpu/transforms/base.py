@@ -29,6 +29,7 @@ __all__ = [
     "AudioTransform",
     "ComposeAudioTransform",
     "NotInvertibleError",
+    "InversionEnumType",
     "apply_transform_to_list",
     "apply_invert_transform_to_list",
 ]
@@ -37,6 +38,10 @@ __all__ = [
 class NotInvertibleError(Exception):
     """Raised when ``invert`` is called on a non-invertible transform
     (reference: base.py:6-7)."""
+
+
+#: type of ``inversion_mode`` arguments (reference base.py:10)
+InversionEnumType = Optional[str]
 
 
 def _hashable(value: Any) -> Any:

@@ -53,7 +53,9 @@ class Mono(AudioTransform):
     def get_inversion_modes(self) -> List[str]:
         return ["mono", "stereo"]
 
-    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+    def forward(self, x) -> jnp.ndarray:
+        if isinstance(x, list):  # reference raw.py:36-37
+            return [self.forward(v) for v in x]
         if x.ndim >= 2 and x.shape[-2] == 2:
             if self.mode == "mix":
                 x = (x.sum(-2) / 2.0)[..., None, :]
@@ -168,6 +170,7 @@ class Window(AudioTransform):
         window_size: int = 1024,
         hop_size: Optional[int] = 256,
         dim: int = -1,
+        batch_dim: int = 0,
         inversion_mode: str = "crop",
     ):
         super().__init__(sr=sr)
@@ -176,6 +179,7 @@ class Window(AudioTransform):
         if self.window_size < self.hop_size:
             raise ValueError("window_size must be >= hop_size")
         self.dim = int(dim)
+        self.batch_dim = int(batch_dim)  # accepted for parity (reference raw.py:196)
         self.inversion_mode = inversion_mode
 
     def get_inversion_modes(self) -> List[str]:

@@ -1,0 +1,101 @@
+"""Utility-layer tests: WAV IO (numpy + native parity), resampling quality,
+numerical guards, list helpers."""
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from acids_transforms_tpu import transforms as T
+from acids_transforms_tpu.transforms.base import (
+    apply_invert_transform_to_list,
+    apply_transform_to_list,
+)
+from acids_transforms_tpu.utils.debug import checked
+from acids_transforms_tpu.utils.misc import import_data, load_wav, resample, save_wav
+
+RNG = np.random.default_rng(11)
+REF_WAVS = "/root/reference/test/source_files"
+
+
+def test_wav_roundtrip_float32(tmp_path):
+    x = RNG.standard_normal((2, 10000)).astype(np.float32) * 0.5
+    p = str(tmp_path / "a.wav")
+    save_wav(p, x, 22050)
+    y, sr = load_wav(p)
+    assert sr == 22050
+    np.testing.assert_allclose(y, x, atol=0)
+
+
+def test_wav_roundtrip_pcm16(tmp_path):
+    x = np.clip(RNG.standard_normal(5000).astype(np.float32) * 0.3, -0.99, 0.99)
+    p = str(tmp_path / "b.wav")
+    save_wav(p, x, 44100, pcm16=True)
+    y, sr = load_wav(p)
+    assert np.abs(y[0] - x).max() < 1e-3  # 16-bit quantization
+
+
+def test_load_reference_corpus():
+    """The reference WAVs (incl. the BWF kick.wav with a bext chunk and the
+    22.05k additive.wav) load and resample correctly."""
+    if not os.path.isdir(REF_WAVS):
+        pytest.skip("reference corpus not mounted")
+    batch, names = import_data(REF_WAVS, sr=44100)
+    assert batch.ndim == 3 and batch.shape[0] == len(names)
+    assert np.isfinite(batch).all()
+
+
+def test_resample_preserves_sine():
+    sr_in, sr_out, f0 = 22050, 44100, 440.0
+    t = np.arange(22050) / sr_in
+    x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    y = resample(x, sr_in, sr_out)
+    assert abs(y.shape[-1] - 44100) <= 1
+    t2 = np.arange(y.shape[-1]) / sr_out
+    ref = np.sin(2 * np.pi * f0 * t2)
+    inner = slice(1000, -1000)
+    err = np.abs(y[inner] - ref[inner]).max()
+    assert err < 1e-3, err
+
+
+def test_resample_rejects_aliases():
+    """Downsampling must lowpass: a tone above the target nyquist vanishes."""
+    sr_in, sr_out = 44100, 22050
+    t = np.arange(44100) / sr_in
+    x = np.sin(2 * np.pi * 15000.0 * t).astype(np.float32)  # > 11.025 kHz
+    y = resample(x, sr_in, sr_out)
+    assert np.abs(y[1000:-1000]).max() < 1e-2
+
+
+def test_native_wavio_matches_numpy(tmp_path):
+    from acids_transforms_tpu.native import wavio_native
+
+    if not wavio_native.available():
+        pytest.skip("native library not built")
+    x = RNG.standard_normal((2, 30000)).astype(np.float32) * 0.5
+    p = str(tmp_path / "n.wav")
+    save_wav(p, x, 44100)
+    a, sr_a = load_wav(p)
+    b, sr_b = wavio_native.load_wav(p)
+    assert sr_a == sr_b
+    np.testing.assert_allclose(a, b, atol=0)
+    ra = resample(x, 44100, 22050)
+    rb = wavio_native.resample(x, 44100, 22050)
+    assert ra.shape == rb.shape
+    assert np.abs(ra - rb).max() < 1e-4
+
+
+def test_checked_catches_nan():
+    fn = checked(lambda x: jnp.log(x))
+    fn(jnp.asarray([1.0, 2.0]))  # fine
+    with pytest.raises(Exception):
+        fn(jnp.asarray([-1.0]))  # log of negative -> nan -> raises
+
+
+def test_apply_transform_to_list():
+    t = T.Stereo()
+    data = [jnp.zeros(100), jnp.zeros(200)]
+    outs = apply_transform_to_list(t, data)
+    assert outs[0].shape == (2, 100) and outs[1].shape == (2, 200)
+    invs = apply_invert_transform_to_list(t, outs)
+    assert invs[0].shape == (2, 100)
