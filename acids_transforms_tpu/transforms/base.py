@@ -278,6 +278,38 @@ class AudioTransform:
     def jfit(self, x: jnp.ndarray) -> "AudioTransform":
         return _jit_fit(self, x)
 
+    # ------------------------------------------------------------- test hooks
+    # Self-describing per-transform smoke hooks, mirroring the reference's
+    # discovery-driven test strategy (reference base.py:60-80; SURVEY.md §4).
+    # Transforms that need special inputs (complex spectra, framed chunks,
+    # integer codes) override these to synthesize them.
+    def test_forward(self, x: jnp.ndarray, time: Optional[jnp.ndarray] = None):
+        if self.needs_scaling:
+            self.scale_data(x)
+        if time is None:
+            return self.forward(x)
+        return self.forward_with_time(x, time)
+
+    def test_inversion(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        if not self.invertible:
+            raise NotImplementedError
+        if self.needs_scaling:
+            self.scale_data(x)
+        y = self.forward(x)
+        return {"inverted": self.invert(y)}
+
+    def test_jit_transform(self, x: jnp.ndarray, invert: bool = True):
+        """The ``scriptable`` check: forward (and invert) must jit-trace.
+
+        TPU-native equivalent of the reference's
+        ``test_scripted_transform`` (base.py:73-80)."""
+        if self.needs_scaling:
+            self.scale_data(x)
+        y = self.jforward(x)
+        if invert and self.invertible:
+            self.jinvert(y)
+        return y
+
     def __repr__(self):
         cfg = ", ".join(
             f"{k}={v!r}"

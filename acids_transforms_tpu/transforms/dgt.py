@@ -330,8 +330,10 @@ class RealtimeDGT(DGT):
         new["phase_buffer"] = jnp.angle(spec[..., -1, :])
         return new
 
-    # sinebank state reuses the RealtimeSTFT machinery
+    # sinebank state + streaming test hooks reuse the RealtimeSTFT machinery
     sinebank_stream = RealtimeSTFT.sinebank_stream
+    test_forward = RealtimeSTFT.test_forward
+    test_inversion = RealtimeSTFT.test_inversion
 
     def _eager_state(self, mag: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         batch_shape = mag.shape[:-2]

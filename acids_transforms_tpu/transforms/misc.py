@@ -125,3 +125,21 @@ class OneHot(AudioTransform):
 
     def invert(self, x, inversion_mode=None, key=None):
         return jnp.argmax(x, axis=-1)
+
+    # ------------------------------------------------------------- test hooks
+    def _test_codes(self, x: jnp.ndarray) -> jnp.ndarray:
+        """OneHot consumes integer codes — synthesize them
+        (reference misc.py:191-199)."""
+        key = jax.random.PRNGKey(0)
+        return jax.random.randint(key, x.shape[:-1] + (1000,), 0, 256)
+
+    def test_forward(self, x, time=None):
+        codes = self._test_codes(x)
+        self.scale_data(codes)
+        out = self.forward(codes)
+        return out if time is None else (out, time)
+
+    def test_inversion(self, x):
+        codes = self._test_codes(x)
+        self.scale_data(codes)
+        return {"inverted": self.invert(self.forward(codes))}

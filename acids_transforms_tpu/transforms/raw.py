@@ -81,6 +81,13 @@ class Mono(AudioTransform):
             x = jnp.concatenate([x, x], axis=-2)
         return x
 
+    def test_inversion(self, x):
+        y = self.forward(x)
+        return {
+            mode: self.invert(y, inversion_mode=mode)
+            for mode in self.get_inversion_modes()
+        }
+
 
 class Stereo(AudioTransform):
     """Mono -> stereo by duplication (reference raw.py:80-122)."""

@@ -95,6 +95,26 @@ class _Representation(AudioTransform):
     def invert(self, x, inversion_mode=None, key=None):
         return self._pad_nyquist(self.norm.invert(x))
 
+    # ------------------------------------------------------------- test hooks
+    def _test_spectrum(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Representations consume complex spectra: run an STFT first
+        (reference spectral_repr.py:66-75)."""
+        from .stft import STFT
+
+        return STFT().forward(x)
+
+    def test_forward(self, x: jnp.ndarray, time=None):
+        spec = self._test_spectrum(x)
+        self.scale_data(spec)
+        out = self.forward(spec)
+        return out if time is None else (out, time)
+
+    def test_inversion(self, x: jnp.ndarray):
+        spec = self._test_spectrum(x)
+        self.scale_data(spec)
+        y = self.forward(spec)
+        return {"inverted": self.invert(y)}
+
 
 class Real(_Representation):
     """Real part + norm (reference spectral_repr.py:78-104)."""
@@ -356,6 +376,24 @@ class SpectralRepresentation(AudioTransform):
         m = self.magnitude.invert(m)
         p = self.phase.invert(p)
         return m * jnp.exp(1j * p)
+
+    # ------------------------------------------------------------- test hooks
+    def test_forward(self, x: jnp.ndarray, time=None):
+        from .stft import STFT
+
+        spec = STFT().forward(x)
+        self.scale_data(spec)
+        out = self.forward(spec)
+        return out if time is None else (out, time)
+
+    def test_inversion(self, x: jnp.ndarray):
+        from .stft import STFT
+
+        stft_t = STFT()
+        spec = stft_t.forward(x)
+        self.scale_data(spec)
+        spec_rec = self.invert(self.forward(spec))
+        return {"inverted": stft_t.invert(spec_rec)}
 
 
 class Cartesian(SpectralRepresentation):

@@ -221,6 +221,15 @@ class STFT(AudioTransform):
             return None
         return buf
 
+    # ------------------------------------------------------------- test hooks
+    def test_inversion(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Direct + every phaseless inversion mode (reference stft.py:194-201)."""
+        spec = self.forward(x)
+        outs = {"direct": self.invert(spec)}
+        for mode in self.get_inversion_modes():
+            outs[mode] = self.invert(jnp.abs(spec), inversion_mode=mode)
+        return outs
+
     def realtime(self) -> "RealtimeSTFT":
         mode = (
             self.inversion_mode
@@ -406,3 +415,36 @@ class RealtimeSTFT(STFT):
 
     def realtime(self) -> "RealtimeSTFT":
         return self
+
+    # ------------------------------------------------------------- test hooks
+    def test_forward(self, x: jnp.ndarray, time=None):
+        """Frame the signal and run the per-frame forward
+        (reference stft.py:313-322)."""
+        from ..ops.framing import frame as frame_op
+
+        frames = frame_op(x, self.n_fft, self.hop_length, -1)
+        out = self.forward(frames)
+        return out if time is None else (out, time)
+
+    def test_inversion(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """The canonical streaming loop: OverlapAdd -> forward -> invert ->
+        OverlapAdd.invert over chunks (reference stft.py:324-352)."""
+        from .oadd import OverlapAdd
+
+        chunk = 4 * self.n_fft
+        outs = {}
+        for mode in [None] + list(self.get_inversion_modes()):
+            chain_oadd = OverlapAdd(self.n_fft, self.hop_length)
+            self.reset(x.shape[:-1])
+            pieces = []
+            n = x.shape[-1] // chunk
+            for i in range(n):
+                seg = x[..., i * chunk: (i + 1) * chunk]
+                frames = chain_oadd.forward(seg)
+                spec = self.forward(frames)
+                y = self.invert(spec) if mode is None else self.invert(
+                    jnp.abs(spec), inversion_mode=mode
+                )
+                pieces.append(chain_oadd.invert(y))
+            outs["direct" if mode is None else mode] = jnp.concatenate(pieces, -1)
+        return outs
