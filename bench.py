@@ -1,18 +1,26 @@
 """Benchmark harness: batched STFT -> mel frames/sec per chip vs torch-CPU.
 
-Measures BASELINE config 1+3 (Mono + STFT + Magnitude(mel=True, log1p,
-unipolar norm) on additive.wav-like material): the jitted TPU pipeline
-against the equivalent torch-CPU pipeline (torchaudio is not available in
-this image, so the oracle is the same math in torch ops — what
+Headline metric (BASELINE configs 1+3): the Mono + STFT + Magnitude(mel=True,
+log1p, unipolar norm) pipeline on additive.wav-like material — the jitted TPU
+pipeline (fused Pallas kernel when available, XLA chain otherwise) against
+the equivalent torch-CPU pipeline (torchaudio is not available in this image,
+so the oracle is the same math in torch ops — what
 torchaudio.transforms.MelSpectrogram does internally).
 
+Extra fields cover the remaining BASELINE configs: raw-transform round-trip
+SNRs (config 2), DGT+PGHI spectral convergence (config 4), and streaming
+chain throughput (config 5).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Timing notes: on the tunneled device backend ``block_until_ready`` does not
+reliably wait, so every measurement runs N iterations on-device inside a
+jitted ``fori_loop`` with a vanishing data dependency and fetches a scalar.
 """
 from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -48,11 +56,35 @@ def _load_audio() -> np.ndarray:
         return (0.5 * x / np.abs(x).max()).astype(np.float32)
 
 
+def _device_time(fn, arg, iters):
+    """Seconds per call of ``fn(arg)``: on-device loop + value fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    def many(v):
+        def body(_, carry):
+            v, acc = carry
+            s = jnp.mean(jnp.abs(fn(v)).astype(jnp.float32))
+            return (v + 1e-30 * s, acc + s)
+
+        return jax.lax.fori_loop(0, iters, body, (v, jnp.zeros(())))[1]
+
+    g = jax.jit(many)
+    float(g(arg))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(g(arg))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
 def bench_tpu(x: np.ndarray):
     import jax
     import jax.numpy as jnp
 
     from acids_transforms_tpu import transforms as T
+    from acids_transforms_tpu.fuse import fuse_forward
 
     xb = jnp.asarray(np.broadcast_to(x, (TPU_BATCH, x.shape[-1])).copy())
     chain = T.Mono() + T.STFT(n_fft=N_FFT, hop_length=HOP) + T.Magnitude(
@@ -60,43 +92,30 @@ def bench_tpu(x: np.ndarray):
     )
     chain = chain.fit(xb)
 
-    # run N_ITER_TPU pipeline executions *on device* inside one jitted
-    # fori_loop, with a vanishing data dependency between iterations so XLA
-    # cannot hoist the loop-invariant work — immune to async-dispatch timing
-    # artifacts over the device tunnel.
-    def many(c, v):
-        def body(_, carry):
-            v, acc = carry
-            y = c.forward(v)
-            s = jnp.mean(y)
-            return (v + 1e-30 * s, acc + s)
-
-        v, acc = jax.lax.fori_loop(0, N_ITER_TPU, body, (v, jnp.zeros(())))
-        return acc
-
-    run = jax.jit(many)
-    float(run(chain, xb))  # compile + warm (value fetch forces completion;
-    # block_until_ready does not reliably wait over the device tunnel)
-
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(chain, xb))
-        best = min(best, time.perf_counter() - t0)
-    dt = best / N_ITER_TPU
+    dt_xla = _device_time(lambda v: chain.forward(v), xb, N_ITER_TPU)
+    backend = "xla"
+    dt = dt_xla
+    try:
+        fused = fuse_forward(chain)
+        if fused is not chain.jforward:
+            dt_fused = _device_time(fused, xb, N_ITER_TPU)
+            if dt_fused < dt_xla:
+                dt, backend = dt_fused, "pallas-fused"
+    except Exception:
+        pass
 
     y = jax.jit(lambda c, v: c.forward(v))(chain, xb)
     frames = TPU_BATCH * y.shape[-2]
     fps = frames / dt
 
-    # round-trip correctness on the exact inversion path (keep_input phase)
+    # round-trip correctness on the exact inversion path
     stft_t = T.STFT(n_fft=N_FFT, hop_length=HOP)
     spec = stft_t.forward(xb[:2])
     rec = np.asarray(stft_t.invert(spec))
     n = rec.shape[-1]
     ref = np.asarray(xb[:2])[..., :n]
     rel_err = float(np.abs(rec - ref).max() / np.abs(ref).max())
-    return fps, rel_err, str(jax.devices()[0]).strip()
+    return fps, frames / dt_xla, backend, rel_err, str(jax.devices()[0]).strip()
 
 
 def bench_torch_cpu(x: np.ndarray):
@@ -115,36 +134,93 @@ def bench_torch_cpu(x: np.ndarray):
         spec = torch.stft(xb, N_FFT, HOP, window=w, return_complex=True, onesided=True)
         mag = spec.abs().transpose(-2, -1)
         mel = mag @ bank
-        out = (torch.log1p(mel) - offset) / scale
-        return out
+        return (torch.log1p(mel) - offset) / scale
 
     y = run()  # warm
     t0 = time.perf_counter()
     for _ in range(N_ITER_CPU):
         y = run()
     dt = (time.perf_counter() - t0) / N_ITER_CPU
-    frames = CPU_BATCH * y.shape[-2]
-    return frames / dt
+    return CPU_BATCH * y.shape[-2] / dt
+
+
+def bench_configs(x: np.ndarray):
+    """Correctness/quality numbers for BASELINE configs 2, 4, 5."""
+    import jax.numpy as jnp
+
+    from acids_transforms_tpu import transforms as T
+    from acids_transforms_tpu.streaming import scan_roundtrip
+
+    out = {}
+    xj = jnp.asarray(x)
+
+    def snr(ref, rec):
+        n = min(ref.shape[-1], rec.shape[-1])
+        ref, rec = np.asarray(ref)[..., :n], np.asarray(rec)[..., :n]
+        err = float(((ref - rec) ** 2).sum())
+        return float("inf") if err == 0 else 10 * np.log10(float((ref ** 2).sum()) / err)
+
+    # config 2: raw round trips
+    ms = T.MidSide()
+    st = jnp.stack([xj, 0.7 * xj])
+    out["midside_snr_db"] = round(snr(st, ms.invert(ms.forward(st))), 1)
+    mu = T.MuLaw(one_hot="categorical")
+    out["mulaw_snr_db"] = round(snr(xj, mu.invert(mu.forward(xj))), 1)
+    wnd = T.Window(window_size=N_FFT, hop_size=HOP)
+    out["window_snr_db"] = round(snr(xj, wnd.invert(wnd.forward(xj))), 1)
+
+    # config 4: DGT + PGHI spectral convergence + IF round trip
+    dgt = T.DGT(n_fft=N_FFT, hop_length=HOP)
+    mag = jnp.abs(dgt.forward(xj))
+    rec = dgt.invert(mag, inversion_mode="pghi")
+    mag_rec = jnp.abs(dgt.forward(rec))
+    n = min(mag.shape[-2], mag_rec.shape[-2])
+    out["pghi_spectral_convergence"] = round(
+        float(
+            jnp.linalg.norm(mag_rec[..., :n, :] - mag[..., :n, :])
+            / jnp.linalg.norm(mag[..., :n, :])
+        ),
+        4,
+    )
+    if_t = T.IF(mode="gaussian").fit(dgt.forward(xj))
+    spec = dgt.forward(xj)
+    phase_rec = if_t.invert(if_t.forward(spec))
+    from acids_transforms_tpu.ops.phase import unwrap
+
+    out["if_phase_snr_db"] = round(snr(unwrap(jnp.angle(spec)), phase_rec), 1)
+
+    # config 5: streaming chain round trip SNR + throughput
+    rt_chain = T.OverlapAdd(N_FFT, HOP) + T.RealtimeSTFT(n_fft=N_FFT, hop_length=HOP)
+    L = (xj.shape[-1] // 4096) * 4096
+    y = scan_roundtrip(rt_chain, xj[:L], 4096)
+    delay = (N_FFT // HOP - 1) * HOP
+    out["streaming_snr_db"] = round(
+        snr(np.asarray(xj)[: L - delay - 2048], np.asarray(y)[delay: L - 2048]), 1
+    )
+    dt = _device_time(
+        lambda v: scan_roundtrip(rt_chain, v, 4096), xj[:L], max(N_ITER_TPU // 10, 5)
+    )
+    out["streaming_frames_per_sec"] = round(L / HOP / dt, 1)
+    return out
 
 
 def main():
     x = _load_audio()
-    fps_tpu, rel_err, device = bench_tpu(x)
+    fps_tpu, fps_xla, backend, rel_err, device = bench_tpu(x)
     fps_cpu = bench_torch_cpu(x)
+    extras = bench_configs(x)
     result = {
         "metric": "Batched STFT→mel frames/sec per chip",
         "value": round(fps_tpu, 1),
         "unit": "frames/sec",
         "vs_baseline": round(fps_tpu / fps_cpu, 2),
+        "backend": backend,
+        "xla_frames_per_sec": round(fps_xla, 1),
         "torch_cpu_frames_per_sec": round(fps_cpu, 1),
         "roundtrip_rel_err": rel_err,
         "device": device,
-        "config": {
-            "n_fft": N_FFT,
-            "hop": HOP,
-            "batch": TPU_BATCH,
-            "seconds": SECONDS,
-        },
+        "config": {"n_fft": N_FFT, "hop": HOP, "batch": TPU_BATCH, "seconds": SECONDS},
+        **extras,
     }
     print(json.dumps(result))
 
