@@ -95,14 +95,17 @@ def bench_tpu(x: np.ndarray):
     dt_xla = _device_time(lambda v: chain.forward(v), xb, N_ITER_TPU)
     backend = "xla"
     dt = dt_xla
-    try:
-        fused = fuse_forward(chain)
-        if fused is not chain.jforward:
-            dt_fused = _device_time(fused, xb, N_ITER_TPU)
-            if dt_fused < dt_xla:
-                dt, backend = dt_fused, "pallas-fused"
-    except Exception:
-        pass
+    # the Mosaic compile of the fused kernel takes several minutes over the
+    # remote-compile tunnel — opt in explicitly to include it in the bench
+    if os.environ.get("ATT_BENCH_FUSED") == "1":
+        try:
+            fused = fuse_forward(chain)
+            if fused is not chain.jforward:
+                dt_fused = _device_time(fused, xb, N_ITER_TPU)
+                if dt_fused < dt_xla:
+                    dt, backend = dt_fused, "pallas-fused"
+        except Exception:
+            pass
 
     y = jax.jit(lambda c, v: c.forward(v))(chain, xb)
     frames = TPU_BATCH * y.shape[-2]
