@@ -45,9 +45,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _split_bf16(m: jnp.ndarray):
-    hi = m.astype(jnp.bfloat16)
-    lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    """Split f32 into an exactly-representable bf16 high part + bf16 residual.
+
+    The high part is produced by *bit-masking* the low 16 mantissa bits
+    rather than a bf16 round-trip cast: Mosaic canonicalizes
+    ``x.astype(bf16).astype(f32)`` to a no-op, which would zero the residual
+    and silently collapse the 3-pass product to single-pass bf16 (observed:
+    1e-2 error instead of 1e-5).
+    """
+    bits = jax.lax.bitcast_convert_type(m, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    lo = m - hi_f32
+    return hi_f32.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
 def _kernel(
@@ -68,8 +79,7 @@ def _kernel(
     for j in range(overlap):
         # upward shift by j == non-negative roll by (n_block - j)
         seg = pltpu.roll(block, shift=(n_block - j) % n_block, axis=0)[:TILE_T, :]
-        seg_hi = seg.astype(jnp.bfloat16)
-        seg_lo = (seg - seg_hi.astype(f32)).astype(jnp.bfloat16)
+        seg_hi, seg_lo = _split_bf16(seg)
         sl = slice(j * hop, (j + 1) * hop)
         c_hi, c_lo = wc_hi_ref[sl, :], wc_lo_ref[sl, :]
         s_hi, s_lo = ws_hi_ref[sl, :], ws_lo_ref[sl, :]
@@ -88,8 +98,7 @@ def _kernel(
 
     mag = jnp.sqrt(re * re + im * im)
     if use_mel:
-        mag_hi = mag.astype(jnp.bfloat16)
-        mag_lo = (mag - mag_hi.astype(f32)).astype(jnp.bfloat16)
+        mag_hi, mag_lo = _split_bf16(mag)
         mag = (
             jnp.dot(mag_hi, mel_hi_ref[...], preferred_element_type=f32)
             + jnp.dot(mag_hi, mel_lo_ref[...], preferred_element_type=f32)

@@ -22,6 +22,7 @@ __all__ = [
     "hamming_window",
     "blackman_window",
     "bartlett_window",
+    "kaiser_window",
     "gaussian_dgt_window",
     "dgt_lambda",
     "dgt_gamma",
@@ -59,11 +60,19 @@ def bartlett_window(n: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(1.0 - np.abs(2.0 * k / n - 1.0), dtype=dtype)
 
 
+def kaiser_window(n: int, dtype=jnp.float32, beta: float = 12.0) -> jnp.ndarray:
+    """Periodic Kaiser window — matches ``torch.kaiser_window(n)`` defaults."""
+    k = np.arange(n)
+    arg = beta * np.sqrt(np.maximum(0.0, 1.0 - ((k - n / 2.0) / (n / 2.0)) ** 2))
+    return jnp.asarray(np.i0(arg) / np.i0(beta), dtype=dtype)
+
+
 _WINDOWS = {
     "hann": hann_window,
     "hamming": hamming_window,
     "blackman": blackman_window,
     "bartlett": bartlett_window,
+    "kaiser": kaiser_window,
 }
 
 

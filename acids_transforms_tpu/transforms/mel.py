@@ -31,6 +31,8 @@ class MFCC(AudioTransform):
 
     _leaves = ("window", "mel_bank", "norm")
 
+    _leaves = ("window", "mel_bank", "dct_mat", "norm")
+
     def __init__(
         self,
         n_fft: int = 1024,
@@ -39,6 +41,7 @@ class MFCC(AudioTransform):
         n_mels: int = 128,
         sr: int = 44100,
         norm_mode: Optional[str] = None,
+        n_mfcc: Optional[int] = None,
         impl: str = "auto",
     ):
         super().__init__(sr=sr)
@@ -46,10 +49,24 @@ class MFCC(AudioTransform):
         self.hop_length = int(hop_length)
         self.power = float(power)
         self.n_mels = int(n_mels)
+        self.n_mfcc = int(n_mfcc) if n_mfcc else None
         self.impl = impl
         self.norm = Normalize(mode=norm_mode) if norm_mode is not None else None
         self.window = hann_window(self.n_fft)
         self.mel_bank = jnp.asarray(mel_banks(self.n_fft, sr, self.n_mels))
+        # optional real cepstral stage (DCT-II, ortho) — the reference's
+        # "MFCC" has no DCT (a misnomer, reference mel.py:31-44); passing
+        # n_mfcc enables true MFCCs as an extension.
+        if self.n_mfcc:
+            import numpy as _np
+
+            k = _np.arange(self.n_mels)[:, None]
+            c = _np.arange(self.n_mfcc)[None, :]
+            d = _np.cos(_np.pi * (k + 0.5) * c / self.n_mels) * _np.sqrt(2.0 / self.n_mels)
+            d[:, 0] *= 1.0 / _np.sqrt(2.0)
+            self.dct_mat = jnp.asarray(d.astype(_np.float32))
+        else:
+            self.dct_mat = None
 
     @property
     def needs_scaling(self) -> bool:
@@ -63,6 +80,11 @@ class MFCC(AudioTransform):
         spec = stft_op(x, self.n_fft, self.hop_length, self.window, impl=self.impl)
         p = jnp.abs(spec) ** self.power  # (..., T, F)
         mel = jnp.matmul(p, self.mel_bank, precision=matmul_precision())
+        if self.dct_mat is not None:
+            mel = jnp.matmul(
+                jnp.log(jnp.maximum(mel, 1e-6)), self.dct_mat,
+                precision=matmul_precision(),
+            )
         return jnp.swapaxes(mel, -2, -1)  # (..., n_mels, T) — torchaudio layout
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:

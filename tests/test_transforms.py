@@ -403,3 +403,50 @@ def test_realtime_conversion_chain():
     chain = T.OverlapAdd(1024, 256) + T.STFT(n_fft=1024, hop_length=256)
     rt = chain.realtime()
     assert isinstance(rt[1], T.RealtimeSTFT)
+
+
+def test_mfcc_with_dct(mono_signal):
+    t = T.MFCC(n_fft=1024, hop_length=256, n_mels=64, n_mfcc=20)
+    y = np.asarray(t.forward(jnp.asarray(mono_signal)))
+    assert y.shape[0] == 20
+    assert np.isfinite(y).all()
+
+
+def test_stft_set_params_reconfigures(mono_signal):
+    t = T.STFT(n_fft=1024, hop_length=256)
+    t.set_params(512, 128)
+    assert t.n_fft == 512 and t.window.shape == (512,)
+    spec = t.forward(jnp.asarray(mono_signal))
+    assert spec.shape[-1] == 257
+    rec = np.asarray(t.invert(spec))
+    assert snr_db(mono_signal, rec) > 60
+
+
+def test_stft_large_nfft_fft_impl(mono_signal):
+    import torch
+
+    for n_fft, hop, impl in [(4096, 1024, "matmul"), (8192, 2048, "fft")]:
+        t = T.STFT(n_fft=n_fft, hop_length=hop, impl=impl)
+        spec = t.forward(jnp.asarray(mono_signal))
+        ref = (
+            torch.stft(
+                torch.from_numpy(np.asarray(mono_signal)),
+                n_fft,
+                hop,
+                window=torch.hann_window(n_fft),
+                return_complex=True,
+                onesided=True,
+            )
+            .transpose(-2, -1)
+            .numpy()
+        )
+        rel = np.abs(np.asarray(spec) - ref).max() / np.abs(ref).max()
+        assert rel < 1e-4, (n_fft, impl, rel)
+
+
+def test_kaiser_window_vs_torch():
+    import torch
+
+    w = np.asarray(att.ops.windows.get_window("kaiser", 512))
+    ref = torch.kaiser_window(512).numpy()
+    np.testing.assert_allclose(w, ref, atol=1e-5)
