@@ -207,11 +207,19 @@ def bench_configs(x: np.ndarray):
     return out
 
 
+def _jsonable(v):
+    if isinstance(v, (np.floating, np.integer)):
+        v = float(v)
+    if isinstance(v, float) and not np.isfinite(v):
+        return 999.9  # "exact" SNRs; keep the JSON line strictly parseable
+    return v
+
+
 def main():
     x = _load_audio()
     fps_tpu, fps_xla, backend, rel_err, device = bench_tpu(x)
     fps_cpu = bench_torch_cpu(x)
-    extras = bench_configs(x)
+    extras = {k: _jsonable(v) for k, v in bench_configs(x).items()}
     result = {
         "metric": "Batched STFT→mel frames/sec per chip",
         "value": round(fps_tpu, 1),
