@@ -97,6 +97,7 @@ def sequence_parallel_stft(
     mesh: Mesh,
     axis_name: str = "seq",
     impl: str = "auto",
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """STFT of a time-sharded signal; output frame axis is sharded the same.
 
@@ -119,8 +120,9 @@ def sequence_parallel_stft(
         return rfft_frames(frames * window, impl=impl)
 
     n_dims = x.ndim
-    in_spec = P(*([None] * (n_dims - 1) + [axis_name]))
-    out_spec = P(*([None] * (n_dims - 1) + [axis_name, None]))
+    lead = [batch_axis] + [None] * (n_dims - 2) if batch_axis else [None] * (n_dims - 1)
+    in_spec = P(*(lead + [axis_name]))
+    out_spec = P(*(lead + [axis_name, None]))
     return shard_map(
         local_fn, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec
     )(x)
@@ -134,6 +136,7 @@ def sequence_parallel_istft(
     mesh: Mesh,
     axis_name: str = "seq",
     impl: str = "auto",
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Least-squares ISTFT of frame-sharded spectra; output time-sharded.
 
@@ -165,8 +168,9 @@ def sequence_parallel_istft(
         return body / jnp.where(env > tiny, env, jnp.ones_like(env))
 
     n_dims = spec.ndim
-    in_spec = P(*([None] * (n_dims - 2) + [axis_name, None]))
-    out_spec = P(*([None] * (n_dims - 2) + [axis_name]))
+    lead = [batch_axis] + [None] * (n_dims - 3) if batch_axis else [None] * (n_dims - 2)
+    in_spec = P(*(lead + [axis_name, None]))
+    out_spec = P(*(lead + [axis_name]))
     return shard_map(
         local_fn, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec
     )(spec)

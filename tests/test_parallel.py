@@ -126,3 +126,24 @@ def test_data_parallel_full_chain_roundtrip(test_files):
     rec = np.asarray(inv(fitted, y))
     assert rec.shape[0] == n_dev
     assert np.isfinite(rec).all()
+
+
+def test_2d_mesh_batch_and_seq_sharded():
+    """Combined data x sequence sharding on a 2-D mesh must equal unsharded."""
+    n_dev = len(jax.devices())
+    if n_dev < 4 or n_dev % 2:
+        pytest.skip("needs >=4 even devices")
+    mesh = make_mesh({"data": n_dev // 2, "seq": 2})
+    n_fft, hop = 512, 128
+    L = 2 * 16 * hop
+    x = RNG.standard_normal((n_dev, L)).astype(np.float32)
+    w = hann_window(n_fft)
+    spec = sequence_parallel_stft(jnp.asarray(x), n_fft, hop, w, mesh, batch_axis="data")
+    ref = np.asarray(stft(jnp.asarray(x), n_fft, hop, w, center=False))
+    m = min(spec.shape[-2], ref.shape[-2])
+    np.testing.assert_allclose(
+        np.abs(np.asarray(spec)[..., :m, :]), np.abs(ref[..., :m, :]), atol=2e-4
+    )
+    y = np.asarray(sequence_parallel_istft(spec, n_fft, hop, w, mesh, batch_axis="data"))
+    inner = slice(n_fft, L - n_fft)
+    assert np.abs(y[..., inner] - x[..., inner]).max() < 1e-4
