@@ -1,4 +1,5 @@
-"""Utility layer: audio IO, profiling, numerical guards."""
+"""Utility layer: audio IO, bucketing, profiling, numerical guards."""
+from .bucketing import default_buckets, frame_mask, pad_to_bucket
 from .debug import assert_finite, checked
 from .misc import import_data, load_wav, resample, save_wav
 from .profiling import annotate, device_timeit, trace
@@ -13,4 +14,7 @@ __all__ = [
     "device_timeit",
     "checked",
     "assert_finite",
+    "default_buckets",
+    "pad_to_bucket",
+    "frame_mask",
 ]

@@ -99,3 +99,20 @@ def test_apply_transform_to_list():
     assert outs[0].shape == (2, 100) and outs[1].shape == (2, 200)
     invs = apply_invert_transform_to_list(t, outs)
     assert invs[0].shape == (2, 100)
+
+
+def test_bucketing_policy():
+    from acids_transforms_tpu.utils.bucketing import default_buckets, frame_mask, pad_to_bucket
+
+    buckets = default_buckets(0.25, 10.0)
+    assert all(b2 > b1 for b1, b2 in zip(buckets, buckets[1:]))
+    x = RNG.standard_normal((3, 20000)).astype(np.float32)
+    padded, mask, bucket = pad_to_bucket(x, buckets)
+    assert padded.shape[-1] == bucket >= 20000
+    assert float(mask[..., :20000].min()) == 1.0
+    assert float(mask[..., 20000:].max() if bucket > 20000 else 0.0) == 0.0
+    fm = frame_mask(mask, 1024, 256)
+    assert fm.shape[-1] == (bucket - 1024) // 256 + 1
+    # same bucket for nearby lengths -> no recompiles
+    p2, _, b2 = pad_to_bucket(x[..., :19000], buckets)
+    assert b2 == bucket
