@@ -206,22 +206,28 @@ class Window(AudioTransform):
         return chunks, shifts + time[..., None]
 
     def invert(self, x, inversion_mode=None, key=None):
-        dim = self.dim % x.ndim  # window axis; frame axis is dim - 1
+        # forward inserts the frame axis at `dim` and the window axis right
+        # after it; for negative dims the window axis lands at ndim + dim
+        if self.dim >= 0:
+            f_axis, w_axis = self.dim, self.dim + 1
+        else:
+            w_axis = x.ndim + self.dim
+            f_axis = w_axis - 1
         if self.window_size == self.hop_size:
             # exact: merge the frame/window axes
             new_shape = (
-                x.shape[: dim - 1]
-                + (x.shape[dim - 1] * x.shape[dim],)
-                + x.shape[dim + 1:]
+                x.shape[:f_axis]
+                + (x.shape[f_axis] * x.shape[w_axis],)
+                + x.shape[w_axis + 1:]
             )
             return x.reshape(new_shape)
         # "crop": first hop samples of each frame + tail of the last frame
-        x_moved = jnp.moveaxis(x, (dim - 1, dim), (-2, -1))
+        x_moved = jnp.moveaxis(x, (f_axis, w_axis), (-2, -1))
         head = x_moved[..., :, : self.hop_size]
         head = head.reshape(head.shape[:-2] + (head.shape[-2] * self.hop_size,))
         tail = x_moved[..., -1, self.hop_size:]
         out = jnp.concatenate([head, tail], axis=-1)
-        return jnp.moveaxis(out, -1, dim - 1)
+        return jnp.moveaxis(out, -1, f_axis)
 
 
 class MuLaw(AudioTransform):

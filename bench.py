@@ -172,25 +172,40 @@ def bench_configs(x: np.ndarray):
     wnd = T.Window(window_size=N_FFT, hop_size=HOP)
     out["window_snr_db"] = round(snr(xj, wnd.invert(wnd.forward(xj))), 1)
 
-    # config 4: DGT + PGHI spectral convergence + IF round trip
+    # config 4: DGT + PGHI spectral convergence + IF round trip.
+    # everything spectral stays inside jit: complex intermediates must not
+    # surface eagerly (complex transfers are unimplemented on the tunnel).
+    import jax
+
     dgt = T.DGT(n_fft=N_FFT, hop_length=HOP)
-    mag = jnp.abs(dgt.forward(xj))
-    rec = dgt.invert(mag, inversion_mode="pghi")
-    mag_rec = jnp.abs(dgt.forward(rec))
-    n = min(mag.shape[-2], mag_rec.shape[-2])
-    out["pghi_spectral_convergence"] = round(
-        float(
-            jnp.linalg.norm(mag_rec[..., :n, :] - mag[..., :n, :])
-            / jnp.linalg.norm(mag[..., :n, :])
-        ),
-        4,
-    )
-    if_t = T.IF(mode="gaussian").fit(dgt.forward(xj))
-    spec = dgt.forward(xj)
-    phase_rec = if_t.invert(if_t.forward(spec))
+
+    @jax.jit
+    def pghi_sc(v):
+        mag = jnp.abs(dgt.forward(v))
+        rec = dgt.invert(mag, inversion_mode="pghi")
+        mag_rec = jnp.abs(dgt.forward(rec))
+        n = min(mag.shape[-2], mag_rec.shape[-2])
+        return jnp.linalg.norm(mag_rec[..., :n, :] - mag[..., :n, :]) / jnp.linalg.norm(
+            mag[..., :n, :]
+        )
+
+    out["pghi_spectral_convergence"] = round(float(pghi_sc(xj)), 4)
+
     from acids_transforms_tpu.ops.phase import unwrap
 
-    out["if_phase_snr_db"] = round(snr(unwrap(jnp.angle(spec)), phase_rec), 1)
+    @jax.jit
+    def if_err(v):
+        spec = dgt.forward(v)
+        if_t = T.IF(mode="gaussian").fit(spec)
+        phase_rec = if_t.invert(if_t.forward(spec))
+        ref = unwrap(jnp.angle(spec))
+        err = jnp.sum((ref - phase_rec) ** 2)
+        return jnp.sum(ref ** 2), err
+
+    sig_pow, err_pow = if_err(xj)
+    out["if_phase_snr_db"] = round(
+        float(10 * jnp.log10(sig_pow / jnp.maximum(err_pow, 1e-30))), 1
+    )
 
     # config 5: streaming chain round trip SNR + throughput
     rt_chain = T.OverlapAdd(N_FFT, HOP) + T.RealtimeSTFT(n_fft=N_FFT, hop_length=HOP)

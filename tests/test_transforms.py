@@ -450,3 +450,23 @@ def test_kaiser_window_vs_torch():
     w = np.asarray(att.ops.windows.get_window("kaiser", 512))
     ref = torch.kaiser_window(512).numpy()
     np.testing.assert_allclose(w, ref, atol=1e-5)
+
+
+def test_window_nondefault_dim():
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 1000, 3)).astype(np.float32))
+    t = T.Window(window_size=100, hop_size=50, dim=1)
+    y = t.forward(x)
+    assert y.shape == (2, (1000 - 100) // 50 + 1, 100, 3)
+    rec = np.asarray(t.invert(y))
+    np.testing.assert_allclose(rec[:, :1000, :], np.asarray(x), atol=1e-6)
+
+
+def test_compose_jfit(test_files):
+    sig, _ = test_files
+    chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", mel=False, n_fft=512
+    )
+    fitted = chain.jfit(jnp.asarray(sig))
+    y = np.asarray(fitted.forward(jnp.asarray(sig)))
+    ref = np.asarray(chain.fit(jnp.asarray(sig)).forward(jnp.asarray(sig)))
+    np.testing.assert_allclose(y, ref, atol=1e-6)
