@@ -95,10 +95,34 @@ def _idft_matrices(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
 
 def _resolve_impl(impl: str, n_fft: int) -> str:
     if impl == "auto":
+        # direct GEMM wins on TPU: measured 15.9M frames/s vs 8.0M for the
+        # radix-2 split (the even/odd lane deinterleave + twiddle gathers
+        # cost more than the halved MXU FLOPs) and 4.3M for XLA's FFT
+        # (BENCH_NOTES.md) — MXU FLOPs are cheaper than data reshuffles.
         return "matmul" if n_fft <= MATMUL_MAX_NFFT else "fft"
-    if impl not in ("fft", "matmul"):
+    if impl not in ("fft", "matmul", "matmul2"):
         raise ValueError("unknown fft impl %r" % impl)
     return impl
+
+
+@functools.lru_cache(maxsize=None)
+def _radix2_tables(n_fft: int):
+    """Static tables for the radix-2 decimation-in-time rDFT.
+
+    ``X[k] = E[k] + W_N^k O[k]`` with E, O the half-size DFTs of the even/odd
+    samples.  E/O at bins 0..N/2 are recovered from their half-size rDFTs
+    (period M = N/2 plus conjugate symmetry) by a static gather + sign map.
+    """
+    M = n_fft // 2
+    F = n_fft // 2 + 1
+    k = np.arange(F)
+    km = k % M
+    idx = np.minimum(km, M - km)  # index into the (M/2+1)-bin half rDFT
+    conj = (km > M // 2).astype(np.float32)  # reflected bins are conjugated
+    sign_im = (1.0 - 2.0 * conj).astype(np.float32)
+    tw_re = np.cos(2.0 * np.pi * k / n_fft).astype(np.float32)
+    tw_im = (-np.sin(2.0 * np.pi * k / n_fft)).astype(np.float32)
+    return idx.astype(np.int32), sign_im, tw_re, tw_im
 
 
 def rfft_frames(frames_w: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
@@ -107,8 +131,37 @@ def rfft_frames(frames_w: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     impl = _resolve_impl(impl, n_fft)
     if impl == "fft":
         return jnp.fft.rfft(frames_w, axis=-1)
-    C, S = _dft_matrices(n_fft)
     prec = _PRECISION
+    if impl == "matmul2":
+        # radix-2 DIT: two half-size rDFT GEMMs (half the MXU FLOPs of the
+        # direct DFT) + a static-gather twiddle combine on the VPU
+        M = n_fft // 2
+        even = frames_w[..., 0::2]
+        odd = frames_w[..., 1::2]
+        Ch, Sh = _dft_matrices(M)
+        eo = jnp.concatenate([even, odd], axis=-2)  # one big GEMM batch
+        re_h = jnp.matmul(eo, jnp.asarray(Ch), precision=prec)
+        im_h = jnp.matmul(eo, jnp.asarray(Sh), precision=prec)
+        T = frames_w.shape[-2]
+        Er, Or_ = re_h[..., :T, :], re_h[..., T:, :]
+        Ei, Oi = im_h[..., :T, :], im_h[..., T:, :]
+
+        idx, sign_im, tw_re, tw_im = _radix2_tables(n_fft)
+        idx = jnp.asarray(idx)
+        sign_im = jnp.asarray(sign_im)
+        tw_re_j, tw_im_j = jnp.asarray(tw_re), jnp.asarray(tw_im)
+
+        def expand(r, i):
+            r_full = jnp.take(r, idx, axis=-1)
+            i_full = jnp.take(i, idx, axis=-1) * sign_im
+            return r_full, i_full
+
+        Er_f, Ei_f = expand(Er, Ei)
+        Or_f, Oi_f = expand(Or_, Oi)
+        re = Er_f + tw_re_j * Or_f - tw_im_j * Oi_f
+        im = Ei_f + tw_re_j * Oi_f + tw_im_j * Or_f
+        return jax.lax.complex(re, im)
+    C, S = _dft_matrices(n_fft)
     re = jnp.matmul(frames_w, jnp.asarray(C), precision=prec)
     im = jnp.matmul(frames_w, jnp.asarray(S), precision=prec)
     return jax.lax.complex(re, im)
