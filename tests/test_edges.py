@@ -1,0 +1,87 @@
+"""Edge-path coverage: nyquist dropping, channel-count edges, streaming
+keep_input, empty-ish inputs."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from acids_transforms_tpu import transforms as T
+from tests.conftest import snr_db
+
+
+@pytest.fixture(scope="module")
+def spec():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8192)).astype(np.float32))
+    return T.STFT(n_fft=512, hop_length=128).forward(x)
+
+
+@pytest.mark.parametrize(
+    "cls,kwargs",
+    [
+        (T.Magnitude, {"mode": "unipolar", "mel": False, "n_fft": 512}),
+        (T.Phase, {"mode": "bipolar"}),
+        (T.IF, {"mode": "gaussian"}),
+        (T.Real, {"mode": "gaussian"}),
+        (T.Imaginary, {"mode": "gaussian"}),
+    ],
+)
+def test_keep_nyquist_false_shapes_and_roundtrip(cls, kwargs, spec):
+    t = cls(keep_nyquist=False, **kwargs).fit(spec)
+    y = t.forward(spec)
+    assert y.shape[-1] == spec.shape[-1] - 1  # nyquist dropped
+    rec = t.invert(y)
+    assert rec.shape[-1] == spec.shape[-1]  # re-padded
+
+
+def test_midside_mono_input():
+    x = jnp.ones((1, 100))
+    y = T.MidSide().forward(x)
+    assert y.shape == (2, 100)
+    np.testing.assert_allclose(np.asarray(y[1]), 0.0)
+
+
+def test_stereo_1d_input():
+    x = jnp.ones(100)
+    y = T.Stereo().forward(x)
+    assert y.shape == (2, 100)
+
+
+def test_stereo_too_many_channels_raises():
+    with pytest.raises(ValueError):
+        T.Stereo().forward(jnp.ones((3, 100)))
+    with pytest.raises(ValueError):
+        T.MidSide().forward(jnp.ones((3, 100)))
+
+
+def test_realtime_keep_input_streaming():
+    """keep_input in the streaming chain: eager phase stash reused."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 1024)).astype(np.float32))
+    rt = T.RealtimeSTFT(n_fft=1024, hop_length=256, inversion_mode="keep_input")
+    spec = rt.forward(x)  # stashes phase eagerly
+    rec = np.asarray(rt.invert(jnp.abs(spec), inversion_mode="keep_input"))
+    ref = np.asarray(rt.invert(spec))
+    np.testing.assert_allclose(rec, ref, atol=1e-4)
+
+
+def test_stft_signal_shorter_than_window():
+    t = T.STFT(n_fft=1024, hop_length=256)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(2048).astype(np.float32))
+    spec = t.forward(x)
+    assert spec.shape == (1 + 2048 // 256, 513)
+    rec = np.asarray(t.invert(spec))
+    assert snr_db(np.asarray(x), rec) > 60
+
+
+def test_compose_empty_and_single():
+    empty = T.ComposeAudioTransform([])
+    x = jnp.ones((2, 100))
+    np.testing.assert_allclose(np.asarray(empty.forward(x)), 1.0)
+    single = T.ComposeAudioTransform([T.Stereo()])
+    assert single.forward(jnp.ones(100)).shape == (2, 100)
+
+
+def test_magnitude_keep_nyquist_false_bank_shape():
+    t = T.Magnitude(mode="unipolar", mel=True, n_fft=512, keep_nyquist=False)
+    # bank built over the truncated frequency range
+    assert t.mel_bank.shape == (257, 257)
