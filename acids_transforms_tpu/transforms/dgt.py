@@ -87,13 +87,14 @@ class DGT(STFT):
         inversion_mode: Optional[str] = None,
         key: Optional[jax.Array] = None,
         phase: Optional[jnp.ndarray] = None,
+        tolerance: Optional[float] = None,
     ) -> jnp.ndarray:
         mode = self._resolve_mode(inversion_mode)
         if mode == "pghi":
-            phase = self.pghi(mag)
+            phase = self.pghi(mag, tolerance=tolerance)
             return self.invert(mag * jnp.exp(1j * phase))
         if mode == "pghi_exact":
-            phase = self.pghi_exact(mag)
+            phase = self.pghi_exact(mag, tolerance=tolerance)
             return self.invert(mag * jnp.exp(1j * phase))
         return super().invert_without_phase(mag, mode, key=key, phase=phase)
 
@@ -238,9 +239,12 @@ class RealtimeDGT(DGT):
         inversion_mode: Optional[str] = None,
         key: Optional[jax.Array] = None,
         phase: Optional[jnp.ndarray] = None,
+        tolerance: Optional[float] = None,
     ) -> jnp.ndarray:
         if not jnp.iscomplexobj(x):
-            return self.invert_without_phase(x, inversion_mode, key=key, phase=phase)
+            return self.invert_without_phase(
+                x, inversion_mode, key=key, phase=phase, tolerance=tolerance
+            )
         return irfft_frames(x, n_fft=self.n_fft, impl=self.impl) * self.inv_window
 
     def invert_without_phase(
@@ -249,6 +253,7 @@ class RealtimeDGT(DGT):
         inversion_mode: Optional[str] = None,
         key: Optional[jax.Array] = None,
         phase: Optional[jnp.ndarray] = None,
+        tolerance: Optional[float] = None,
     ) -> jnp.ndarray:
         mode = self._resolve_mode(inversion_mode)
         state = self._eager_state(mag)

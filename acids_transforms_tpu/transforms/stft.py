@@ -63,10 +63,14 @@ class STFT(AudioTransform):
         window: str = "hann",
         impl: str = "auto",
         seed: int = 0,
+        gl_iterations: int = 30,
+        gl_momentum: float = 0.99,
     ):
         super().__init__(sr=sr)
         self.window_name = window
         self.impl = impl
+        self.gl_iterations = int(gl_iterations)
+        self.gl_momentum = float(gl_momentum)
         self.n_fft = int(n_fft)
         self.hop_length = int(hop_length)
         self.rng = jax.random.PRNGKey(seed)
@@ -175,14 +179,15 @@ class STFT(AudioTransform):
         raise ValueError("inversion mode %s not valid." % mode)
 
     def griffin_lim(self, mag: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
-        """Momentum Griffin-Lim, 30 iters / momentum 0.99 (reference stft.py:174-178)."""
+        """Momentum Griffin-Lim (reference defaults: 30 iters, momentum 0.99,
+        stft.py:174-178; configurable via ``gl_iterations``/``gl_momentum``)."""
         return griffin_lim(
             mag,
             self.n_fft,
             self.hop_length,
             self.inv_window,
-            n_iter=30,
-            momentum=0.99,
+            n_iter=self.gl_iterations,
+            momentum=self.gl_momentum,
             key=self._take_key(key),
             impl=self.impl,
         )
