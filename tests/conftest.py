@@ -1,26 +1,24 @@
 """Test harness configuration.
 
-Tests run on a virtual 8-device CPU mesh (the real TPU is reserved for
-bench.py): JAX's platform is locked at interpreter startup by the
-environment's sitecustomize, so if this process came up on a TPU backend we
-re-exec pytest once with the CPU environment.
+Tests run on a virtual 8-device CPU mesh — the real TPU is reserved for
+bench.py.  The environment's sitecustomize registers the tunneled TPU
+backend in every python process and bakes ``JAX_PLATFORMS=axon`` into jax's
+config at import time; backend *initialization* is lazy though, so we
+re-point the platform here, before any device is touched.  Set
+``ACIDS_TPU_TESTS=1`` to run the suite on the real TPU instead.
 """
 import os
 import sys
 
-_WANT = {
-    "JAX_PLATFORMS": "cpu",
-    "PALLAS_AXON_POOL_IPS": "",
-    "_ACIDS_CPU_REEXEC": "1",
-}
-
-if os.environ.get("_ACIDS_CPU_REEXEC") != "1" and os.environ.get("ACIDS_TPU_TESTS") != "1":
-    env = dict(os.environ)
-    env.update(_WANT)
-    flags = env.get("XLA_FLAGS", "")
+if os.environ.get("ACIDS_TPU_TESTS") != "1":
+    flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
