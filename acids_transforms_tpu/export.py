@@ -17,15 +17,14 @@ The TPU-native equivalents:
 from __future__ import annotations
 
 import importlib
-import io
 import json
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .transforms.base import AudioTransform, _hashable, _unhashable
+from .transforms.base import AudioTransform
 
 __all__ = [
     "save_transform",

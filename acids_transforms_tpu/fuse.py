@@ -12,7 +12,7 @@ other chain falls back to the jitted ``chain.forward``.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 
@@ -20,8 +20,8 @@ from .ops.pallas.spectral import fused_melspec
 from .transforms.base import AudioTransform, ComposeAudioTransform
 from .transforms.norm import Normalize
 from .transforms.raw import Mono
-from .transforms.spectral_repr import Dummy, Magnitude
-from .transforms.stft import STFT, RealtimeSTFT
+from .transforms.spectral_repr import Magnitude
+from .transforms.stft import STFT
 
 __all__ = ["fuse_forward", "fusable"]
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .framing import frame, overlap_add, reshape_batches
+from .framing import frame, overlap_add
 
 __all__ = [
     "stft",

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["frame", "overlap_add", "pad_axis", "reshape_batches", "num_frames"]

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["melscale_fbanks", "square_mel_banks", "mel_banks"]

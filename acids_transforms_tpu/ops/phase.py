@@ -9,7 +9,6 @@ two-pass Python loop; here it is two masked cumsums).
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = [
     "unwrap",

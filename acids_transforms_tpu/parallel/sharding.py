@@ -15,7 +15,6 @@ Two modes (SURVEY.md §5, long-context row):
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

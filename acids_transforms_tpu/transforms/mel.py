@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from ..ops.fft import matmul_precision, stft as stft_op

@@ -5,7 +5,7 @@ Reference: acids_transforms/transforms/misc.py (minus its stray
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from ..ops.framing import frame, overlap_add

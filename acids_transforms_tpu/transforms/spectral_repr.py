@@ -11,9 +11,8 @@ precomputed square filterbanks (MXU path, fused by XLA with the surrounding
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple, Union
+from typing import Optional, Tuple, Union
 
-import jax
 import jax.numpy as jnp
 
 from ..ops.fft import matmul_precision
@@ -42,8 +41,6 @@ __all__ = [
     "Polar",
     "PolarIF",
 ]
-
-
 
 
 class Dummy(AudioTransform):

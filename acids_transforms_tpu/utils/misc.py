@@ -13,7 +13,7 @@ import math
 import os
 import struct
 from fractions import Fraction
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
