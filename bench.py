@@ -231,6 +231,11 @@ def _jsonable(v):
 
 
 def main():
+    # persistent compile cache: repeated bench runs skip the slow remote
+    # compiles (the cache dir is gitignored)
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__) or ".", ".jax_cache")
+    )
     x = _load_audio()
     fps_tpu, fps_xla, backend, rel_err, device = bench_tpu(x)
     fps_cpu = bench_torch_cpu(x)
