@@ -21,7 +21,8 @@ def main():
     # whole chunked session in one scan (analysis + resynthesis)
     y = att.scan_roundtrip(chain, jnp.asarray(x), chunk_size=4096)
     delay = (1024 // 256 - 1) * 256  # streaming latency in samples
-    err = np.abs(np.asarray(y)[delay:-2048] - x[: y.shape[-1] - delay - 2048]).max()
+    n = min(x.shape[-1], y.shape[-1] - delay) - 2048
+    err = np.abs(np.asarray(y)[delay: delay + n] - x[:n]).max()
     print("streaming round-trip, unity gain; max err:", err)
 
     # manual chunk loop with explicit state (e.g. inside a larger model)
