@@ -7,7 +7,7 @@ incl. PGHI and Griffin-Lim, spectral representations, normalization,
 streaming real-time variants), designed TPU-first — batched MXU kernels,
 functional pytree transforms, scan-based streaming, mesh sharding.
 """
-from . import export, fuse, ops, parallel, streaming, transforms, utils
+from . import export, fuse, ops, parallel, serving, streaming, transforms, utils
 from .fuse import fuse_forward
 from .streaming import chunk_signal, scan_forward, scan_roundtrip
 from .transforms import *  # noqa: F401,F403
@@ -22,6 +22,7 @@ __all__ = [
     "parallel",
     "export",
     "fuse",
+    "serving",
     "fuse_forward",
     "chunk_signal",
     "scan_forward",
