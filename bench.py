@@ -29,7 +29,7 @@ N_FFT = 1024
 HOP = 256
 SR = 44100
 SECONDS = 4.0
-TPU_BATCH = 64
+TPU_BATCH = 128
 CPU_BATCH = 4
 N_ITER_TPU = 200
 N_ITER_CPU = 3

@@ -26,6 +26,20 @@ import pytest
 REFERENCE_AUDIO = "/root/reference/test/source_files"
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _build_native():
+    """Best-effort build of the native C++ layer so its tests run on fresh
+    clones; everything degrades to the numpy fallbacks if g++ is absent."""
+    try:
+        from acids_transforms_tpu.native import build
+
+        if not build.is_built():
+            build.build(verbose=False)
+    except Exception:
+        pass
+    yield
+
+
 def _synthetic_corpus(sr: int = 44100, seconds: float = 1.0, batch: int = 3):
     """Deterministic synthetic test corpus: additive sines, chirp, noise burst.
 
