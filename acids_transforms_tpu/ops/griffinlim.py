@@ -31,10 +31,17 @@ def griffin_lim(
     rand_init: bool = True,
     key: Optional[jax.Array] = None,
     impl: str = "auto",
+    init_phase: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Reconstruct a waveform from a magnitude spectrogram ``(..., T, F)``."""
+    """Reconstruct a waveform from a magnitude spectrogram ``(..., T, F)``.
+
+    ``init_phase`` seeds the iteration with an explicit phase estimate
+    (e.g. PGHI) instead of random/ones — the standard PGHI+GL hybrid, which
+    converges far faster than a cold start."""
     mom = momentum / (1.0 + momentum)
-    if rand_init:
+    if init_phase is not None:
+        angles = jnp.exp(1j * init_phase.astype(jnp.float32))
+    elif rand_init:
         if key is None:
             key = jax.random.PRNGKey(0)
         kr, ki = jax.random.split(key)

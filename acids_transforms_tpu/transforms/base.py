@@ -238,7 +238,7 @@ class AudioTransform:
         {
             "mono", "stereo", "crop",
             "griffin_lim", "keep_input", "random", "sinebank",
-            "pghi", "pghi_exact",
+            "pghi", "pghi_exact", "pghi_gl",
         }
     )
 

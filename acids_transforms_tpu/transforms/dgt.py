@@ -78,7 +78,15 @@ class DGT(STFT):
 
     @staticmethod
     def get_inversion_modes() -> List[str]:
-        return ["pghi", "griffin_lim", "random", "keep_input", "sinebank", "pghi_exact"]
+        return [
+            "pghi",
+            "griffin_lim",
+            "random",
+            "keep_input",
+            "sinebank",
+            "pghi_exact",
+            "pghi_gl",
+        ]
 
     # ---------------------------------------------------------------- invert
     def invert_without_phase(
@@ -96,6 +104,22 @@ class DGT(STFT):
         if mode == "pghi_exact":
             phase = self.pghi_exact(mag, tolerance=tolerance)
             return self.invert(mag * jnp.exp(1j * phase))
+        if mode == "pghi_gl":
+            # PGHI + Griffin-Lim hybrid: seed the projection iteration with
+            # the integrated phase — converges far beyond either alone
+            from ..ops.griffinlim import griffin_lim as gl_op
+
+            phase = self.pghi(mag, tolerance=tolerance)
+            return gl_op(
+                mag,
+                self.n_fft,
+                self.hop_length,
+                self.inv_window,
+                n_iter=self.gl_iterations,
+                momentum=self.gl_momentum,
+                impl=self.impl,
+                init_phase=phase,
+            )
         return super().invert_without_phase(mag, mode, key=key, phase=phase)
 
     def pghi(self, mag: jnp.ndarray, tolerance: Optional[float] = None) -> jnp.ndarray:

@@ -173,3 +173,16 @@ def test_realtime_dgt_complex_roundtrip(harmonic):
     # interior exactness (edges lack full overlap)
     inner = slice(n_fft, len(x) - n_fft)
     assert snr_db(x[inner], y[inner]) > 60
+
+
+def test_pghi_gl_hybrid_beats_both(harmonic):
+    """PGHI-seeded Griffin-Lim must beat both PGHI alone and cold GL."""
+    t = T.DGT(n_fft=1024, hop_length=256)
+    mag = jnp.abs(t.forward(jnp.asarray(harmonic)))
+    sc = {}
+    for mode in ("pghi", "griffin_lim", "pghi_gl"):
+        rec = np.asarray(t.invert(mag, inversion_mode=mode))
+        sc[mode] = spectral_convergence(t, mag, rec)
+    assert sc["pghi_gl"] < sc["pghi"], sc
+    assert sc["pghi_gl"] < sc["griffin_lim"], sc
+    assert sc["pghi_gl"] < 0.05, sc
