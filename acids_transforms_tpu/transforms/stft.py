@@ -394,19 +394,28 @@ class RealtimeSTFT(STFT):
 
         ``mag (..., T, F) -> (..., T, n_fft)`` per-frame waveforms; carries
         ``time_index`` so sines stay continuous across chunks.
+
+        MXU formulation: with per-(frame, bin) phases ``A[t, f]`` (frame start
+        + carried offset + random phase) and per-(bin, sample) angles
+        ``w_f * n``, the angle-addition identity turns the naive
+        ``(T, F, n_fft)`` broadcast (the reference's 3-D tensor, 33 MB/batch
+        element at n_fft=1024) into two ``(T, F) x (F, n_fft)`` GEMMs.
         """
         T = mag.shape[-2]
         n_bins = mag.shape[-1]
-        # t[tau, n] = start time of sample n in frame tau
-        t = (
-            jnp.arange(self.n_fft)[None, :]
-            + jnp.arange(T)[:, None] * self.hop_length
-        ) / self.sr + state["time_index"]
-        t = t[:, None, :]  # (T, 1, n_fft)
-        freqs = jnp.linspace(0.0, self.sr / 2.0, n_bins)[None, :, None]  # (1, F, 1)
-        phi = state["random_phase"][..., :, None]  # (..., 1, F, 1)
-        sines = jnp.sin(2.0 * jnp.pi * freqs * t + phi)  # (..., T, F, n_fft)
-        y = (mag[..., None] * sines).sum(-2) / n_bins
+        omega = 2.0 * jnp.pi * jnp.linspace(0.0, self.sr / 2.0, n_bins)  # rad/s
+        # A[..., t, f] = omega_f * (t * hop / sr + time_index) + random_phase_f
+        frame_t = jnp.arange(T)[:, None] * (self.hop_length / self.sr)
+        A = omega[None, :] * (frame_t + state["time_index"]) + state["random_phase"]
+        # in-frame angles: omega_f * n / sr  -> (F, n_fft)
+        n = jnp.arange(self.n_fft)[None, :] / self.sr
+        C = jnp.cos(omega[:, None] * n)
+        S = jnp.sin(omega[:, None] * n)
+        prec = jax.lax.Precision.HIGHEST
+        y = (
+            jnp.matmul(mag * jnp.sin(A), C, precision=prec)
+            + jnp.matmul(mag * jnp.cos(A), S, precision=prec)
+        ) / n_bins
         new_state = dict(state)
         new_state["time_index"] = state["time_index"] + T * self.hop_length / self.sr
         return new_state, y
