@@ -143,3 +143,26 @@ def test_batched_streaming(test_files):
     delay = (512 // 128 - 1) * 128
     n = out.shape[-1] - delay
     assert snr_db(np.asarray(x)[..., : n - 1024], out[..., delay: delay + n - 1024]) > 50
+
+
+def test_scan_forward_matches_eager(sig):
+    from acids_transforms_tpu.streaming import scan_forward
+
+    chain = T.OverlapAdd(1024, 256) + T.RealtimeSTFT(n_fft=1024, hop_length=256)
+    x = jnp.asarray(sig[:16384])
+    frames_scan, state = scan_forward(chain, x, 4096)
+    # eager reference
+    chain2 = T.OverlapAdd(1024, 256) + T.RealtimeSTFT(n_fft=1024, hop_length=256)
+    st = chain2.init_state(())
+    outs = []
+    for i in range(0, 16384, 4096):
+        st, y = chain2.step(st, x[i: i + 4096])
+        outs.append(np.asarray(np.abs(y)))
+    ref = np.concatenate(outs, axis=-2)
+    assert frames_scan.shape[-2] == ref.shape[-2]
+    np.testing.assert_allclose(np.abs(np.asarray(frames_scan)), ref, atol=1e-4)
+    # final states agree
+    for k in state[0]:
+        np.testing.assert_allclose(
+            np.asarray(state[0][k]), np.asarray(st[0][k]), atol=1e-5
+        )
