@@ -6,9 +6,14 @@ structure matches the hot mel-spectrogram pattern
     [Mono?] + STFT + Magnitude
 
 returns a callable backed by the single fused Pallas kernel
-(ops/pallas/spectral.py) — numerically equivalent to ``chain.forward`` (same
-GEMM precision) but with framing and all intermediates kept in VMEM.  Any
-other chain falls back to the jitted ``chain.forward``.
+(ops/pallas/spectral.py), which keeps framing and all intermediates in VMEM.
+Any other chain falls back to the jitted ``chain.forward``.
+
+Status: experimental.  On current Mosaic the compiled kernel's bf16x3
+residual degrades to ~1e-3 relative accuracy and the hop-chunk DFT
+decomposition underutilizes the MXU vs XLA's K=n_fft tiling — the XLA chain
+is both faster and more accurate at n_fft=1024 (see BENCH_NOTES.md), so this
+dispatcher is opt-in (``ATT_BENCH_FUSED=1`` in bench.py).
 """
 from __future__ import annotations
 

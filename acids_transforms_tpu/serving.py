@@ -38,6 +38,12 @@ class CompiledTransform:
         server = CompiledTransform(chain, buckets=(44100, 88200), batch_sizes=(1, 8))
         server.warmup()                      # compile every (bucket, batch) pair
         y = server.forward(x)                # any length/batch <= the ladder maxima
+
+    The chain must preserve the leading batch axis.  Watch the channel
+    convention: ``Mono`` interprets dim -2 as channels (reference semantics),
+    so a batch of mono signals must be ``(B, 1, L)`` or the chain must not
+    start with a channel transform — ``(B, L)`` through ``Mono`` would
+    squeeze the batch axis when ``B == 1``.
     """
 
     def __init__(
