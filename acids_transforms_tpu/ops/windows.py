@@ -90,6 +90,26 @@ def dgt_lambda(n_fft: int) -> float:
     return float((-(n_fft ** 2) / (8.0 * math.log(0.01))) ** 0.5)
 
 
+#: time-frequency ratio constants gamma = c * n_fft^2 for common windows
+#: (Prusa & Sondergaard, "Real-Time Spectrogram Inversion Using Phase
+#: Gradient Heap Integration" — the effective Gaussian equivalent of each
+#: window, enabling PGHI on non-Gaussian STFTs)
+_WINDOW_GAMMA_C = {
+    "hann": 0.25645,
+    "hamming": 0.29794,
+    "blackman": 0.17954,
+    "kaiser": 0.26,  # beta=12 fit; close to hann's concentration
+    "bartlett": 0.27,
+}
+
+
+def window_gamma(name: str, n_fft: int) -> float:
+    """Effective PGHI gamma for a named (non-Gaussian) analysis window."""
+    if name not in _WINDOW_GAMMA_C:
+        raise ValueError("no PGHI gamma constant for window %r" % name)
+    return float(_WINDOW_GAMMA_C[name] * n_fft * n_fft)
+
+
 def dgt_gamma(n_fft: int) -> float:
     """Time-frequency ratio gamma = 2*pi*lambda^2 used by PGHI.
 

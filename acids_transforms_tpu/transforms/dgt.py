@@ -53,7 +53,6 @@ class DGT(STFT):
         impl: str = "auto",
         seed: int = 0,
     ):
-        self.tolerance = float(tolerance)
         super().__init__(
             sr=sr,
             n_fft=n_fft,
@@ -62,6 +61,7 @@ class DGT(STFT):
             window="hann",  # placeholder; _get_window overrides
             impl=impl,
             seed=seed,
+            tolerance=tolerance,
         )
 
     def _get_window(self) -> jnp.ndarray:
@@ -88,71 +88,9 @@ class DGT(STFT):
             "pghi_gl",
         ]
 
-    # ---------------------------------------------------------------- invert
-    def invert_without_phase(
-        self,
-        mag: jnp.ndarray,
-        inversion_mode: Optional[str] = None,
-        key: Optional[jax.Array] = None,
-        phase: Optional[jnp.ndarray] = None,
-        tolerance: Optional[float] = None,
-    ) -> jnp.ndarray:
-        mode = self._resolve_mode(inversion_mode)
-        if mode == "pghi":
-            phase = self.pghi(mag, tolerance=tolerance)
-            return self.invert(mag * jnp.exp(1j * phase))
-        if mode == "pghi_exact":
-            phase = self.pghi_exact(mag, tolerance=tolerance)
-            return self.invert(mag * jnp.exp(1j * phase))
-        if mode == "pghi_gl":
-            # PGHI + Griffin-Lim hybrid: seed the projection iteration with
-            # the integrated phase — converges far beyond either alone
-            from ..ops.griffinlim import griffin_lim as gl_op
-
-            phase = self.pghi(mag, tolerance=tolerance)
-            return gl_op(
-                mag,
-                self.n_fft,
-                self.hop_length,
-                self.inv_window,
-                n_iter=self.gl_iterations,
-                momentum=self.gl_momentum,
-                impl=self.impl,
-                init_phase=phase,
-            )
-        return super().invert_without_phase(mag, mode, key=key, phase=phase)
-
-    def pghi(self, mag: jnp.ndarray, tolerance: Optional[float] = None) -> jnp.ndarray:
-        """Batched peak-anchored PGHI phase for ``mag (..., T, F)``.
-
-        Offline variant: central time stencil, no carried state."""
-        return pghi_scan(
-            mag,
-            self.gamma,
-            self.n_fft,
-            self.hop_length,
-            tolerance=float(tolerance if tolerance is not None else self.tolerance),
-            time_stencil="central",
-        )
-
-    def pghi_exact(self, mag: jnp.ndarray, tolerance: Optional[float] = None) -> jnp.ndarray:
-        """Heap-ordered PGHI on the host (oracle; native C++ when built)."""
-        tol = float(tolerance if tolerance is not None else self.tolerance)
-
-        def host_fn(m):
-            m = np.asarray(m)
-            flat = m.reshape((-1,) + m.shape[-2:])
-            out = np.stack(
-                [
-                    _heap_backend(f, self.gamma, self.n_fft, self.hop_length, tol)
-                    for f in flat
-                ]
-            )
-            return out.reshape(m.shape).astype(np.float32)
-
-        return jax.pure_callback(
-            host_fn, jax.ShapeDtypeStruct(mag.shape, jnp.float32), mag
-        )
+    # invert_without_phase / pghi / pghi_exact / pghi_gl are inherited from
+    # STFT (they dispatch on ``self.gamma``, which this class overrides with
+    # the exact Gaussian value)
 
     def realtime(self) -> "RealtimeDGT":
         mode = (

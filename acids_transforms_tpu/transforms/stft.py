@@ -24,7 +24,6 @@ Numerical deltas vs the reference (deliberate, see tests/test_stft.py):
 """
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -34,7 +33,7 @@ import numpy as np
 from ..ops.fft import istft, rfft_frames, irfft_frames, stft as stft_op
 from ..ops.griffinlim import griffin_lim
 from ..ops.interp import interp_linear
-from ..ops.windows import dual_window, get_window
+from ..ops.windows import dual_window, get_window, window_gamma
 from .base import AudioTransform
 
 __all__ = ["STFT", "RealtimeSTFT"]
@@ -65,12 +64,14 @@ class STFT(AudioTransform):
         seed: int = 0,
         gl_iterations: int = 30,
         gl_momentum: float = 0.99,
+        tolerance: float = 1e-2,
     ):
         super().__init__(sr=sr)
         self.window_name = window
         self.impl = impl
         self.gl_iterations = int(gl_iterations)
         self.gl_momentum = float(gl_momentum)
+        self.tolerance = float(tolerance)
         self.n_fft = int(n_fft)
         self.hop_length = int(hop_length)
         self.rng = jax.random.PRNGKey(seed)
@@ -105,9 +106,13 @@ class STFT(AudioTransform):
 
     @property
     def gamma(self) -> float:
-        """Gaussian time-frequency ratio (meaningful for the DGT subclass)."""
-        lam2 = -(self.n_fft ** 2) / (8.0 * math.log(0.01))
-        return 2.0 * math.pi * lam2
+        """Effective time-frequency ratio for PGHI phase gradients.
+
+        For non-Gaussian analysis windows this is the published per-window
+        constant times ``n_fft^2`` (ops/windows.py:window_gamma) — it is what
+        lets PGHI work on plain STFTs, a capability the reference restricts
+        to the Gaussian DGT."""
+        return window_gamma(self.window_name, self.n_fft)
 
     @property
     def ratio(self) -> int:
@@ -120,7 +125,9 @@ class STFT(AudioTransform):
     # ---------------------------------------------------------------- modes
     @staticmethod
     def get_inversion_modes() -> List[str]:
-        return ["griffin_lim", "keep_input", "random", "sinebank"]
+        # the reference's STFT modes (stft.py:130-132) plus the PGHI family
+        # (an extension: effective-gamma PGHI works on non-Gaussian windows)
+        return ["griffin_lim", "keep_input", "random", "sinebank", "pghi", "pghi_gl", "pghi_exact"]
 
     def set_inversion_mode(self, inversion_mode: str) -> None:
         if inversion_mode not in self.get_inversion_modes():
@@ -162,10 +169,31 @@ class STFT(AudioTransform):
         inversion_mode: Optional[str] = None,
         key: Optional[jax.Array] = None,
         phase: Optional[jnp.ndarray] = None,
+        tolerance: Optional[float] = None,
     ) -> jnp.ndarray:
         mode = self._resolve_mode(inversion_mode)
         if mode == "griffin_lim":
             return self.griffin_lim(mag, key=key)
+        if mode == "pghi":
+            ph = self.pghi(mag, tolerance=tolerance)
+            return self.invert(mag * jnp.exp(1j * ph))
+        if mode == "pghi_exact":
+            ph = self.pghi_exact(mag, tolerance=tolerance)
+            return self.invert(mag * jnp.exp(1j * ph))
+        if mode == "pghi_gl":
+            # PGHI + Griffin-Lim hybrid: seed the projection iteration with
+            # the integrated phase — converges far beyond either alone
+            ph = self.pghi(mag, tolerance=tolerance)
+            return griffin_lim(
+                mag,
+                self.n_fft,
+                self.hop_length,
+                self.inv_window,
+                n_iter=self.gl_iterations,
+                momentum=self.gl_momentum,
+                impl=self.impl,
+                init_phase=ph,
+            )
         if mode == "keep_input":
             phase = self._recall_phase(mag) if phase is None else phase
             if phase is None:
@@ -177,6 +205,42 @@ class STFT(AudioTransform):
         if mode == "sinebank":
             return self.get_sinebank_inversion(mag, key=key)
         raise ValueError("inversion mode %s not valid." % mode)
+
+    # -------------------------------------------------------------- pghi
+    def pghi(self, mag: jnp.ndarray, tolerance: Optional[float] = None) -> jnp.ndarray:
+        """Batched peak-anchored PGHI phase for ``mag (..., T, F)``
+        (offline variant: central time stencil, no carried state)."""
+        from ..ops.pghi import pghi_scan
+
+        return pghi_scan(
+            mag,
+            self.gamma,
+            self.n_fft,
+            self.hop_length,
+            tolerance=float(tolerance if tolerance is not None else self.tolerance),
+            time_stencil="central",
+        )
+
+    def pghi_exact(self, mag: jnp.ndarray, tolerance: Optional[float] = None) -> jnp.ndarray:
+        """Heap-ordered PGHI on the host (oracle; native C++ when built)."""
+        from .dgt import _heap_backend
+
+        tol = float(tolerance if tolerance is not None else self.tolerance)
+
+        def host_fn(m):
+            m = np.asarray(m)
+            flat = m.reshape((-1,) + m.shape[-2:])
+            out = np.stack(
+                [
+                    _heap_backend(f, self.gamma, self.n_fft, self.hop_length, tol)
+                    for f in flat
+                ]
+            )
+            return out.reshape(m.shape).astype(np.float32)
+
+        return jax.pure_callback(
+            host_fn, jax.ShapeDtypeStruct(mag.shape, jnp.float32), mag
+        )
 
     def griffin_lim(self, mag: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
         """Momentum Griffin-Lim (reference defaults: 30 iters, momentum 0.99,

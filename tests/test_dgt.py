@@ -186,3 +186,23 @@ def test_pghi_gl_hybrid_beats_both(harmonic):
     assert sc["pghi_gl"] < sc["pghi"], sc
     assert sc["pghi_gl"] < sc["griffin_lim"], sc
     assert sc["pghi_gl"] < 0.05, sc
+
+
+def test_stft_pghi_with_hann_gamma(harmonic):
+    """PGHI on a plain hann STFT via the published effective gamma — the
+    hybrid must clearly beat cold Griffin-Lim (capability beyond the
+    reference, which restricts PGHI to the Gaussian DGT)."""
+    t = T.STFT(n_fft=1024, hop_length=256)
+    mag = jnp.abs(t.forward(jnp.asarray(harmonic)))
+
+    def sc(rec):
+        mr = jnp.abs(t.forward(jnp.asarray(rec)))
+        n = min(mr.shape[-2], mag.shape[-2])
+        return float(jnp.linalg.norm(mr[..., :n, :] - mag[..., :n, :]) / jnp.linalg.norm(mag[..., :n, :]))
+
+    sc_pghi = sc(np.asarray(t.invert(mag, inversion_mode="pghi")))
+    sc_gl = sc(np.asarray(t.invert(mag, inversion_mode="griffin_lim")))
+    sc_hybrid = sc(np.asarray(t.invert(mag, inversion_mode="pghi_gl")))
+    assert sc_pghi < 0.3, sc_pghi
+    assert sc_hybrid < sc_gl, (sc_hybrid, sc_gl)
+    assert sc_hybrid < 0.06, sc_hybrid
