@@ -470,3 +470,27 @@ def test_compose_jfit(test_files):
     y = np.asarray(fitted.forward(jnp.asarray(sig)))
     ref = np.asarray(chain.fit(jnp.asarray(sig)).forward(jnp.asarray(sig)))
     np.testing.assert_allclose(y, ref, atol=1e-6)
+
+
+def test_mulaw_custom_channels(mono_signal):
+    t = T.MuLaw(channels=512)
+    y = t.forward(jnp.asarray(mono_signal))
+    assert int(jnp.max(y)) <= 511
+    rec = np.asarray(t.invert(y))
+    assert snr_db(mono_signal, rec) > 35  # 9-bit floor beats 8-bit
+
+
+def test_normalize_none_mode_identity(test_files):
+    sig, _ = test_files
+    t = T.Normalize(mode=None).fit(jnp.asarray(sig))
+    np.testing.assert_allclose(
+        np.asarray(t.forward(jnp.asarray(sig))), sig, atol=0
+    )
+
+
+def test_realtime_stft_of_stft_has_pghi_excluded():
+    rt = T.STFT(inversion_mode="pghi").realtime()
+    # realtime STFT doesn't support offline pghi -> falls back to random
+    assert rt.inversion_mode == "random"
+    rt2 = T.DGT(inversion_mode="pghi_gl").realtime()
+    assert rt2.inversion_mode == "pghi"  # hybrid is offline-only
