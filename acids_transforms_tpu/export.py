@@ -124,14 +124,28 @@ def export_stablehlo(
     fn: Callable,
     example_args: Sequence[Any],
     path: Optional[str] = None,
+    polymorphic_batch: bool = False,
 ) -> bytes:
     """Serialize ``jit(fn)(*example_args)`` to portable StableHLO bytes.
 
     ``fn`` must be jit-compatible (e.g. ``lambda x: chain.forward(x)`` with a
     fitted chain closed over — its parameters become constants, exactly like
     TorchScript freezing).
+
+    ``polymorphic_batch=True`` exports with a symbolic leading dimension, so
+    one artifact serves any batch size (sample-axis lengths stay static —
+    bucket them with utils/bucketing.py).
     """
-    exported = jax.export.export(jax.jit(fn))(*example_args)
+    jitted = jax.jit(fn)
+    if polymorphic_batch:
+        (b,) = jax.export.symbolic_shape("b")
+        shapes = [
+            jax.ShapeDtypeStruct((b,) + jnp.shape(a)[1:], jnp.asarray(a).dtype)
+            for a in example_args
+        ]
+        exported = jax.export.export(jitted)(*shapes)
+    else:
+        exported = jax.export.export(jitted)(*example_args)
     blob = exported.serialize()
     if path is not None:
         with open(path, "wb") as f:

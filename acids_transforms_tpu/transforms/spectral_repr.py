@@ -297,7 +297,10 @@ class IF(_Representation):
     def invert(self, x, inversion_mode=None, key=None):
         d = self.norm.invert(x)
         if self.weighted:
-            d = d / self._weight_window(d.shape[-2])
+            # the parabolic window is exactly 0 at the final frame — that row
+            # is unrecoverable; divide only where the weight is nonzero
+            w = self._weight_window(d.shape[-2])
+            d = jnp.where(jnp.abs(w) > 1e-12, d / jnp.where(w == 0, 1.0, w), d)
         if self.method == "backward":
             d = d.at[..., 1:, :].multiply(-jnp.pi)
             p = fint_backward(d)

@@ -70,3 +70,20 @@ def test_stablehlo_export_roundtrip(tmp_path, test_files):
     call = load_stablehlo(path)
     y = np.asarray(call(x))
     np.testing.assert_allclose(y, np.asarray(fn(x)), atol=1e-5)
+
+
+def test_stablehlo_polymorphic_batch(tmp_path, test_files):
+    """One exported artifact serves multiple batch sizes."""
+    sig, _ = test_files
+    x = jnp.asarray(sig.mean(1)[..., :8192])  # (3, 8192)
+    chain = (T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", mel=False, n_fft=512
+    )).fit(x)
+
+    blob = export_stablehlo(lambda v: chain.forward(v), (x,), polymorphic_batch=True)
+    call = load_stablehlo(blob)
+    for b in (1, 3, 5):
+        xb = jnp.asarray(np.tile(np.asarray(x)[:1], (b, 1)))
+        y = np.asarray(call(xb))
+        ref = np.asarray(chain.forward(xb))
+        np.testing.assert_allclose(y, ref, atol=1e-5)

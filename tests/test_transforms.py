@@ -494,3 +494,27 @@ def test_realtime_stft_of_stft_has_pghi_excluded():
     assert rt.inversion_mode == "random"
     rt2 = T.DGT(inversion_mode="pghi_gl").realtime()
     assert rt2.inversion_mode == "pghi"  # hybrid is offline-only
+
+
+def test_if_weighted_roundtrip(test_files):
+    sig, _ = test_files
+    spec = _spec(sig)
+    t = T.IF(mode="gaussian", method="forward", weighted=True).fit(spec)
+    y = t.forward(spec)
+    phase_rec = np.asarray(t.invert(y))
+    phase_ref = np.asarray(att.ops.phase.unwrap(jnp.angle(spec)))
+    # the parabolic weight is zero at the final frame (unrecoverable row);
+    # compare the recoverable region
+    num = ((phase_ref[..., :-1, :] - phase_rec[..., :-1, :]) ** 2).sum()
+    den = (phase_ref[..., :-1, :] ** 2).sum()
+    assert 10 * np.log10(den / num) > 40
+
+
+def test_phase_unwrap_mode(test_files):
+    sig, _ = test_files
+    spec = _spec(sig)
+    t = T.Phase(mode="gaussian", unwrap=True).fit(spec)
+    y = t.forward(spec)
+    rec = np.asarray(t.invert(y))
+    ref = np.asarray(att.ops.phase.unwrap(jnp.angle(spec)))
+    assert snr_db(ref, rec) > 80
