@@ -21,14 +21,12 @@ TPU-native deltas (all covered in tests/test_dgt.py):
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fft import irfft_frames, rfft_frames
-from ..ops.pghi import pghi_heap_numpy, pghi_scan
+from ..ops.pghi import pghi_heap_numpy
 from ..ops.windows import dgt_gamma, dual_window, gaussian_dgt_window
 from .stft import STFT, RealtimeSTFT
 
@@ -118,16 +116,17 @@ def _heap_backend(mag2d, gamma, n_fft, hop, tol):
     return pghi_heap_numpy(mag2d, gamma, n_fft, hop, tol)
 
 
-class RealtimeDGT(DGT):
-    """Streaming DGT with causal (RT-)PGHI (reference dgt.py:239-519).
+class RealtimeDGT(RealtimeSTFT):
+    """Streaming DGT with causal RT-PGHI (reference dgt.py:239-519).
 
-    Carries 2 magnitude frames + 1 phase frame across chunk boundaries
-    (reference dgt.py:247-250) in an explicit state pytree; the per-chunk
-    phase reconstruction is one ``lax.scan`` over frames, vectorized over
-    bins and batch.
+    All streaming machinery (state pytree with the 2-frame magnitude +
+    1-frame phase history, scan-based causal PGHI, stateful sinebank) lives
+    in :class:`RealtimeSTFT`; this class supplies the Gaussian analysis
+    window, its exact ``gamma`` and the scaled canonical dual synthesis
+    window.  The reference implements this as a separate ~280-line class
+    with Python batch loops (dgt.py:338-353) and swapped gradient fields
+    (dgt.py:437-457) — both superseded by the shared vectorized scan.
     """
-
-    _volatile = ("_phase_buffer", "_state")
 
     def __init__(
         self,
@@ -145,169 +144,24 @@ class RealtimeDGT(DGT):
             n_fft=n_fft,
             hop_length=hop_length,
             inversion_mode=inversion_mode,
-            tolerance=tolerance,
+            window="hann",  # placeholder; _get_window overrides
             impl=impl,
             seed=seed,
+            batch_size=batch_size,
         )
-        self.batch_size = int(batch_size)
-        self._state = None
+        self.tolerance = float(tolerance)
 
-    def _get_inv_window(self) -> jnp.ndarray:
-        overlap = max(self.n_fft // self.hop_length, 1)
-        return float(overlap) * dual_window(
-            np.asarray(gaussian_dgt_window(self.n_fft)), self.hop_length
-        )
+    def _get_window(self) -> jnp.ndarray:
+        return gaussian_dgt_window(self.n_fft)
+
+    @property
+    def gamma(self) -> float:
+        return dgt_gamma(self.n_fft)
+
+    @property
+    def dual(self) -> jnp.ndarray:
+        return dual_window(np.asarray(self.window), self.hop_length)
 
     @staticmethod
     def get_inversion_modes() -> List[str]:
         return ["random", "pghi", "keep_input", "sinebank", "pghi_exact"]
-
-    # ------------------------------------------------------------- streaming
-    def init_state(
-        self, batch_shape: Tuple[int, ...] = (), key: Optional[jax.Array] = None
-    ) -> Dict[str, jnp.ndarray]:
-        key = self._take_key(key)
-        return {
-            "mag_buffer": jnp.zeros(tuple(batch_shape) + (2, self.n_bins)),
-            "phase_buffer": jnp.zeros(tuple(batch_shape) + (self.n_bins,)),
-            "time_index": jnp.zeros(()),
-            "random_phase": 2.0
-            * jnp.pi
-            * jax.random.uniform(key, tuple(batch_shape) + (1, self.n_bins)),
-        }
-
-    def reset(self, batch_shape: Tuple[int, ...] = ()) -> None:
-        self._state = self.init_state(tuple(batch_shape))
-
-    def get_batch_size(self) -> int:
-        return self.batch_size
-
-    def set_batch_size(self, batch_size: int) -> None:
-        self.batch_size = int(batch_size)
-
-    # --------------------------------------------------------------- forward
-    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
-        spec = rfft_frames(x * self.window, impl=self.impl)
-        self._stash_phase(spec)
-        return spec
-
-    def forward_with_time(self, x, time):
-        return self.forward(x), time
-
-    # ---------------------------------------------------------------- invert
-    def invert(
-        self,
-        x: jnp.ndarray,
-        inversion_mode: Optional[str] = None,
-        key: Optional[jax.Array] = None,
-        phase: Optional[jnp.ndarray] = None,
-        tolerance: Optional[float] = None,
-    ) -> jnp.ndarray:
-        if not jnp.iscomplexobj(x):
-            return self.invert_without_phase(
-                x, inversion_mode, key=key, phase=phase, tolerance=tolerance
-            )
-        return irfft_frames(x, n_fft=self.n_fft, impl=self.impl) * self.inv_window
-
-    def invert_without_phase(
-        self,
-        mag: jnp.ndarray,
-        inversion_mode: Optional[str] = None,
-        key: Optional[jax.Array] = None,
-        phase: Optional[jnp.ndarray] = None,
-        tolerance: Optional[float] = None,
-    ) -> jnp.ndarray:
-        mode = self._resolve_mode(inversion_mode)
-        state = self._eager_state(mag)
-        if mode in ("pghi", "pghi_exact"):
-            new_state, y = self.invert_stream(state, mag, inversion_mode="pghi", key=key)
-            self._state = new_state
-            return y
-        if mode == "sinebank":
-            new_state, y = self.sinebank_stream(state, mag)
-            self._state = new_state
-            return y * self.inv_window
-        if mode == "keep_input":
-            phase = self._recall_phase(mag) if phase is None else phase
-            if phase is None:
-                phase = 2.0 * jnp.pi * jax.random.uniform(self._take_key(key), mag.shape)
-        elif mode == "random":
-            phase = 2.0 * jnp.pi * jax.random.uniform(self._take_key(key), mag.shape)
-        else:
-            raise ValueError("inversion mode %s not valid." % mode)
-        spec = mag * jnp.exp(1j * phase)
-        self._state = self._update_buffers(state, spec)
-        return self.invert(spec)
-
-    def invert_stream(
-        self,
-        state: Dict[str, jnp.ndarray],
-        x: jnp.ndarray,
-        inversion_mode: Optional[str] = None,
-        key: Optional[jax.Array] = None,
-    ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
-        """Pure streaming inversion: ``(state, spec_or_mag (..., T, F)) ->
-        (state, frames (..., T, n_fft))``."""
-        mode = self._resolve_mode(inversion_mode)
-        if jnp.iscomplexobj(x):
-            return self._update_buffers(state, x), self.invert(x)
-        if mode in ("pghi", "pghi_exact"):
-            phase = self.pghi_stream(state, x, key=key)
-            spec = x * jnp.exp(1j * phase)
-            return self._update_buffers(state, spec), self.invert(spec)
-        if mode == "sinebank":
-            state, y = self.sinebank_stream(state, x)
-            return state, y * self.inv_window
-        return state, super().invert_without_phase(x, mode, key=key)
-
-    step_invert = invert_stream
-
-    def pghi_stream(
-        self,
-        state: Dict[str, jnp.ndarray],
-        mag: jnp.ndarray,
-        key: Optional[jax.Array] = None,
-    ) -> jnp.ndarray:
-        """Causal PGHI for one chunk of frames, seeded by the carried state."""
-        return pghi_scan(
-            mag,
-            self.gamma,
-            self.n_fft,
-            self.hop_length,
-            tolerance=self.tolerance,
-            prev_mag=state["mag_buffer"],
-            prev_phase=state["phase_buffer"],
-            key=self._take_key(key),
-            time_stencil="backward",
-        )
-
-    def _update_buffers(
-        self, state: Dict[str, jnp.ndarray], spec: jnp.ndarray
-    ) -> Dict[str, jnp.ndarray]:
-        """Carry the trailing 2 magnitude frames + last phase frame
-        (reference dgt.py:330-336)."""
-        new = dict(state)
-        mag = jnp.abs(spec)
-        if spec.shape[-2] >= 2:
-            new["mag_buffer"] = mag[..., -2:, :]
-        else:
-            new["mag_buffer"] = jnp.concatenate(
-                [state["mag_buffer"][..., 1:, :], mag[..., -1:, :]], axis=-2
-            )
-        new["phase_buffer"] = jnp.angle(spec[..., -1, :])
-        return new
-
-    # sinebank state + streaming test hooks reuse the RealtimeSTFT machinery
-    sinebank_stream = RealtimeSTFT.sinebank_stream
-    test_forward = RealtimeSTFT.test_forward
-    test_inversion = RealtimeSTFT.test_inversion
-
-    def _eager_state(self, mag: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        batch_shape = mag.shape[:-2]
-        st = getattr(self, "_state", None)
-        if st is None or st["mag_buffer"].shape[:-2] != batch_shape:
-            st = self.init_state(batch_shape)
-        return st
-
-    def realtime(self) -> "RealtimeDGT":
-        return self

@@ -329,10 +329,14 @@ class RealtimeSTFT(STFT):
     multiplies IFFT frames by ``inv_window`` (= ``overlap *`` canonical dual,
     so the OverlapAdd chain is unity-gain — see module docstring).
 
-    Streaming state (sinebank phase continuity) is an explicit pytree:
-    ``init_state`` / ``invert_stream`` for ``lax.scan`` pipelines; the plain
-    ``invert`` keeps state on ``self`` eagerly (reference buffer behaviour,
-    stft.py:221-222, 276-291).
+    Streaming state (sinebank phase continuity, the RT-PGHI frame history)
+    is an explicit pytree: ``init_state`` / ``invert_stream`` for
+    ``lax.scan`` pipelines; the plain ``invert`` keeps state on ``self``
+    eagerly (reference buffer behaviour, stft.py:221-222, 276-291).
+
+    Streaming ``pghi`` here is an extension over the reference (which has
+    RT-PGHI only on the Gaussian DGT): the per-window effective gamma makes
+    the causal phase-gradient scan work for hann/hamming/blackman analysis.
     """
 
     _volatile = ("_phase_buffer", "_state")
@@ -368,13 +372,20 @@ class RealtimeSTFT(STFT):
 
     @staticmethod
     def get_inversion_modes() -> List[str]:
-        return ["keep_input", "random", "sinebank"]
+        # reference modes (stft.py:241-243) + streaming "pghi" (extension)
+        return ["keep_input", "random", "sinebank", "pghi"]
 
     # ------------------------------------------------------------- streaming
     def init_state(self, batch_shape: Tuple[int, ...] = (), key: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
-        """Fresh streaming-inversion state for a given batch shape."""
+        """Fresh streaming-inversion state for a given batch shape.
+
+        Carries the sinebank phase continuity (``time_index`` /
+        ``random_phase``) and the RT-PGHI frame history: 2 magnitude frames +
+        1 phase frame (reference dgt.py:247-250)."""
         key = self._take_key(key)
         return {
+            "mag_buffer": jnp.zeros(tuple(batch_shape) + (2, self.n_bins)),
+            "phase_buffer": jnp.zeros(tuple(batch_shape) + (self.n_bins,)),
             "time_index": jnp.zeros(()),
             "random_phase": 2.0
             * jnp.pi
@@ -420,6 +431,12 @@ class RealtimeSTFT(STFT):
         phase: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         mode = self._resolve_mode(inversion_mode)
+        if mode in ("pghi", "pghi_exact", "pghi_gl"):
+            # streaming uses the causal scan for the whole pghi family
+            state = self._eager_state(mag)
+            new_state, y = self.invert_stream(state, mag, inversion_mode="pghi", key=key)
+            self._state = new_state
+            return y
         if mode == "keep_input":
             phase = self._recall_phase(mag) if phase is None else phase
             if phase is None:
@@ -433,7 +450,10 @@ class RealtimeSTFT(STFT):
             return y * self.inv_window
         else:
             raise ValueError("inversion mode %s not valid." % mode)
-        return self.invert(mag * jnp.exp(1j * phase))
+        spec = mag * jnp.exp(1j * phase)
+        if not isinstance(spec, jax.core.Tracer):
+            self._state = self._update_buffers(self._eager_state(mag), spec)
+        return self.invert(spec)
 
     def invert_stream(
         self,
@@ -442,14 +462,58 @@ class RealtimeSTFT(STFT):
         inversion_mode: Optional[str] = None,
         key: Optional[jax.Array] = None,
     ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
-        """Pure streaming inversion step: ``(state, spec_or_mag) -> (state, y)``."""
+        """Pure streaming inversion step: ``(state, spec_or_mag (..., T, F))
+        -> (state, frames (..., T, n_fft))``."""
         mode = self._resolve_mode(inversion_mode)
-        if jnp.iscomplexobj(x) or mode != "sinebank":
-            return state, self.invert(x, inversion_mode=mode, key=key)
-        state, y = self.sinebank_stream(state, x)
-        return state, y * self.inv_window
+        if jnp.iscomplexobj(x):
+            return self._update_buffers(state, x), self.invert(x)
+        if mode in ("pghi", "pghi_exact", "pghi_gl"):
+            ph = self.pghi_stream(state, x, key=key)
+            spec = x * jnp.exp(1j * ph)
+            return self._update_buffers(state, spec), self.invert(spec)
+        if mode == "sinebank":
+            state, y = self.sinebank_stream(state, x)
+            return state, y * self.inv_window
+        return state, self.invert(x, inversion_mode=mode, key=key)
 
     step_invert = invert_stream
+
+    def pghi_stream(
+        self,
+        state: Dict[str, jnp.ndarray],
+        mag: jnp.ndarray,
+        key: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """Causal PGHI for one chunk of frames, seeded by the carried state."""
+        from ..ops.pghi import pghi_scan
+
+        return pghi_scan(
+            mag,
+            self.gamma,
+            self.n_fft,
+            self.hop_length,
+            tolerance=self.tolerance,
+            prev_mag=state["mag_buffer"],
+            prev_phase=state["phase_buffer"],
+            key=self._take_key(key),
+            time_stencil="backward",
+        )
+
+    def _update_buffers(
+        self, state: Dict[str, jnp.ndarray], spec: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        """Carry the trailing 2 magnitude frames + last phase frame
+        (reference dgt.py:330-336)."""
+        new = dict(state)
+        mag = jnp.abs(spec)
+        if spec.shape[-2] >= 2:
+            new["mag_buffer"] = mag[..., -2:, :]
+        else:
+            new["mag_buffer"] = jnp.concatenate(
+                [state["mag_buffer"][..., 1:, :], mag[..., -1:, :]], axis=-2
+            )
+        new["phase_buffer"] = jnp.angle(spec[..., -1, :])
+        return new
 
     def sinebank_stream(
         self, state: Dict[str, jnp.ndarray], mag: jnp.ndarray
@@ -487,7 +551,7 @@ class RealtimeSTFT(STFT):
     def _eager_state(self, mag: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         batch_shape = mag.shape[:-2]
         st = getattr(self, "_state", None)
-        if st is None or st["random_phase"].shape[:-2] != batch_shape:
+        if st is None or st["mag_buffer"].shape[:-2] != batch_shape:
             st = self.init_state(batch_shape)
         return st
 

@@ -166,3 +166,39 @@ def test_scan_forward_matches_eager(sig):
         np.testing.assert_allclose(
             np.asarray(state[0][k]), np.asarray(st[0][k]), atol=1e-5
         )
+
+
+def _stream_phaseless(mode, sig, n_fft=1024, hop=256, chunk=4096):
+    """Chunked loop exercising the *phaseless* path: forward -> |.| -> invert."""
+    chain = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop, inversion_mode=mode
+    )
+    state = chain.init_state(sig.shape[:-1])
+    outs = []
+    key = jax.random.PRNGKey(0)
+    for i in range(sig.shape[-1] // chunk):
+        key, k = jax.random.split(key)
+        state, spec = chain.step(state, jnp.asarray(sig[..., i * chunk: (i + 1) * chunk]))
+        state, rec = chain.step_invert(state, jnp.abs(spec), inversion_mode=mode, key=k)
+        outs.append(np.asarray(rec))
+    delay = (n_fft // hop - 1) * hop
+    return np.concatenate(outs, axis=-1)[..., delay:]
+
+
+def test_streaming_pghi_on_realtime_stft(sig):
+    """Streaming PGHI on a hann RealtimeSTFT (extension: per-window gamma) —
+    the phaseless chain must beat random phase clearly on tonal content."""
+    out_pghi = _stream_phaseless("pghi", sig)
+    out_rand = _stream_phaseless("random", sig)
+
+    stft_t = T.STFT(n_fft=1024, hop_length=256)
+    mag_ref = jnp.abs(stft_t.forward(jnp.asarray(sig)))
+
+    def sc(y):
+        m = jnp.abs(stft_t.forward(jnp.asarray(y)))
+        n = min(m.shape[-2], mag_ref.shape[-2])
+        return float(jnp.linalg.norm(m[:n] - mag_ref[:n]) / jnp.linalg.norm(mag_ref[:n]))
+
+    s_pghi, s_rand = sc(out_pghi), sc(out_rand)
+    assert s_pghi < s_rand / 1.5, (s_pghi, s_rand)
+    assert s_pghi < 0.4, s_pghi

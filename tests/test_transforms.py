@@ -488,12 +488,13 @@ def test_normalize_none_mode_identity(test_files):
     )
 
 
-def test_realtime_stft_of_stft_has_pghi_excluded():
+def test_realtime_mode_conversion():
     rt = T.STFT(inversion_mode="pghi").realtime()
-    # realtime STFT doesn't support offline pghi -> falls back to random
-    assert rt.inversion_mode == "random"
+    assert rt.inversion_mode == "pghi"  # streaming pghi supported (extension)
+    rt1 = T.STFT(inversion_mode="pghi_gl").realtime()
+    assert rt1.inversion_mode == "random"  # hybrid is offline-only
     rt2 = T.DGT(inversion_mode="pghi_gl").realtime()
-    assert rt2.inversion_mode == "pghi"  # hybrid is offline-only
+    assert rt2.inversion_mode == "pghi"
 
 
 def test_if_weighted_roundtrip(test_files):
