@@ -70,6 +70,9 @@ def test_realtime_hook(test_files, cls):
 def test_inversion_hook(test_files, cls):
     sig, names = test_files
     t = cls()
+    # a short single-item slice exercises every inversion mode at a fraction
+    # of the cost (the spectral hooks run all 6-7 modes incl. the host heap)
+    sig = sig[:1, :, : sig.shape[-1] // 2]
     outs = t.test_inversion(jnp.asarray(sig))
     assert isinstance(outs, dict) and outs
     os.makedirs(RECON_DIR, exist_ok=True)

@@ -165,7 +165,7 @@ def test_stft_keep_input_inversion(test_files):
 
 def test_stft_random_and_sinebank_run(mono_signal):
     t = T.STFT(n_fft=1024, hop_length=256)
-    spec = t.forward(jnp.asarray(mono_signal))
+    spec = t.forward(jnp.asarray(mono_signal[:16384]))
     mag = jnp.abs(spec)
     r = np.asarray(t.invert(mag, inversion_mode="random"))
     assert np.isfinite(r).all()
