@@ -191,6 +191,14 @@ def bench_configs(x: np.ndarray):
 
     out["pghi_spectral_convergence"] = round(float(pghi_sc(xj)), 4)
 
+    # phaseless-inversion throughput: full mag -> pghi -> istft, batched
+    xb = jnp.broadcast_to(xj, (8, xj.shape[-1]))
+    mag_b = jnp.abs(dgt.forward(xb))
+    dt_pghi = _device_time(
+        lambda m: dgt.invert(m, inversion_mode="pghi"), mag_b, max(N_ITER_TPU // 10, 5)
+    )
+    out["pghi_invert_frames_per_sec"] = round(mag_b.shape[0] * mag_b.shape[-2] / dt_pghi, 1)
+
     from acids_transforms_tpu.ops.phase import unwrap
 
     @jax.jit
