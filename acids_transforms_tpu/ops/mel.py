@@ -49,14 +49,23 @@ def melscale_fbanks(
 
 
 def square_mel_banks(
-    n_fft: int, sr: int, keep_nyquist: bool = True
+    n_fft: int, sr: int, keep_nyquist: bool = True, inverse: str = "transpose"
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Square (n_bins x n_bins) forward/pseudo-inverse mel pair.
 
     Mirrors the reference ``Magnitude`` construction
     (spectral_repr.py:170-189): filters span the FFT bin frequency range with
-    ``n_mels = n_bins``; the forward bank is column-normalized, the inverse
-    bank is the row-normalized transpose (a pseudo-inverse).
+    ``n_mels = n_bins``; the forward bank is column-normalized.
+
+    ``inverse`` selects the inversion operator:
+
+    * ``"transpose"`` — the reference's row-normalized transpose (a crude
+      pseudo-inverse; default for behavioural parity);
+    * ``"pinv"``      — Tikhonov-regularized least squares
+      ``(B^T B + lam I)^-1 B^T`` of the *forward* bank, computed once in
+      float64 at construction.  Reconstructs magnitudes ~an order of
+      magnitude more accurately (see tests/test_transforms.py).
+
     Returns ``(mel_bank (F, M), inverse_mel_bank (M, F))`` float32.
     """
     n_bins = n_fft // 2 + 1
@@ -67,8 +76,15 @@ def square_mel_banks(
 
     col = fb.sum(axis=0)
     fwd = fb / np.where(col != 0.0, col, 1.0)[None, :]
-    row = fb.sum(axis=1)
-    inv = (fb / np.where(row != 0.0, row, 1.0)[:, None]).T
+    if inverse == "pinv":
+        lam = 1e-6
+        gram = fwd.T @ fwd + lam * np.eye(fwd.shape[1])
+        inv = np.linalg.solve(gram, fwd.T)
+    elif inverse == "transpose":
+        row = fb.sum(axis=1)
+        inv = (fb / np.where(row != 0.0, row, 1.0)[:, None]).T
+    else:
+        raise ValueError("unknown mel inverse %r" % inverse)
     return fwd.astype(np.float32), inv.astype(np.float32)
 
 

@@ -163,6 +163,7 @@ class Magnitude(_Representation):
         n_fft: int = 1024,
         eps: Optional[float] = None,
         keep_nyquist: bool = True,
+        mel_inverse: str = "transpose",
     ):
         super().__init__(sr=sr, mode=mode, keep_nyquist=keep_nyquist)
         if contrast not in ("log1p", "log", "log10", "none", None):
@@ -171,7 +172,13 @@ class Magnitude(_Representation):
         self.mel = bool(mel)
         self.n_fft = int(n_fft)
         self.eps = float(eps if eps is not None else jnp.finfo(jnp.float32).eps)
-        fwd, inv = square_mel_banks(self.n_fft, sr, keep_nyquist=self.keep_nyquist)
+        # mel_inverse="pinv" swaps the reference's row-normalized-transpose
+        # pseudo-inverse for a regularized least-squares inverse (much more
+        # accurate magnitude reconstruction; ops/mel.py:square_mel_banks)
+        self.mel_inverse = mel_inverse
+        fwd, inv = square_mel_banks(
+            self.n_fft, sr, keep_nyquist=self.keep_nyquist, inverse=mel_inverse
+        )
         self.mel_bank = jnp.asarray(fwd)
         self.inverse_mel_bank = jnp.asarray(inv)
 
