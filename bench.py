@@ -179,10 +179,12 @@ def bench_configs(x: np.ndarray):
 
     dgt = T.DGT(n_fft=N_FFT, hop_length=HOP)
 
-    @jax.jit
-    def pghi_sc(v):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def pghi_sc(v, mode="pghi"):
         mag = jnp.abs(dgt.forward(v))
-        rec = dgt.invert(mag, inversion_mode="pghi")
+        rec = dgt.invert(mag, inversion_mode=mode)
         mag_rec = jnp.abs(dgt.forward(rec))
         n = min(mag.shape[-2], mag_rec.shape[-2])
         return jnp.linalg.norm(mag_rec[..., :n, :] - mag[..., :n, :]) / jnp.linalg.norm(
@@ -190,6 +192,7 @@ def bench_configs(x: np.ndarray):
         )
 
     out["pghi_spectral_convergence"] = round(float(pghi_sc(xj)), 4)
+    out["pghi_gl_spectral_convergence"] = round(float(pghi_sc(xj, mode="pghi_gl")), 4)
 
     # phaseless-inversion throughput: full mag -> pghi -> istft, batched
     xb = jnp.broadcast_to(xj, (8, xj.shape[-1]))
