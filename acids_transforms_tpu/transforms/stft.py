@@ -257,21 +257,40 @@ class STFT(AudioTransform):
         )
 
     def get_sinebank_inversion(
-        self, mag: jnp.ndarray, key: Optional[jax.Array] = None
+        self, mag: jnp.ndarray, key: Optional[jax.Array] = None, bin_block: int = 64
     ) -> jnp.ndarray:
         """Additive resynthesis: per-bin envelopes modulate a random-phase sine
-        bank at the FFT bin frequencies (reference stft.py:180-191)."""
+        bank at the FFT bin frequencies (reference stft.py:180-191).
+
+        Accumulated over ``bin_block``-sized groups of bins with a
+        ``fori_loop`` so peak memory is ``O(block * L)`` instead of the
+        reference's full ``(F, L)`` envelope tensor (~360 MB per batch
+        element for 4 s audio at n_fft=1024)."""
         T = mag.shape[-2]
         n_bins = mag.shape[-1]
-        freqs = jnp.linspace(0.0, self.sr / 2.0, n_bins)[:, None]  # (F, 1)
-        phi = 2.0 * jnp.pi * jax.random.uniform(self._take_key(key), (n_bins, 1))
-        mag = mag / jnp.max(jnp.abs(mag))
+        n_blocks = -(-n_bins // bin_block)
+        Fp = n_blocks * bin_block
+
+        freqs = jnp.linspace(0.0, self.sr / 2.0, n_bins)
+        freqs = jnp.pad(freqs, (0, Fp - n_bins))
+        phi = 2.0 * jnp.pi * jax.random.uniform(self._take_key(key), (Fp,))
+        magT = jnp.swapaxes(mag / jnp.max(jnp.abs(mag)), -2, -1)  # (..., F, T)
+        magT = jnp.pad(magT, [(0, 0)] * (magT.ndim - 2) + [(0, Fp - n_bins), (0, 0)])
+
         final_length = self.hop_length * T + self.n_fft
         t = jnp.linspace(0.0, final_length / self.sr, final_length)[None, :]
-        # (..., F, T) -> (..., F, L)
-        env = interp_linear(jnp.swapaxes(mag, -2, -1), final_length) / (2.0 * jnp.pi)
-        sines = jnp.sin(2.0 * jnp.pi * freqs * t + phi)  # (F, L)
-        y = (env * sines).sum(-2)
+
+        def body(i, acc):
+            sl = i * bin_block
+            env_blk = jax.lax.dynamic_slice_in_dim(magT, sl, bin_block, axis=-2)
+            env = interp_linear(env_blk, final_length) / (2.0 * jnp.pi)
+            f_blk = jax.lax.dynamic_slice_in_dim(freqs, sl, bin_block)[:, None]
+            p_blk = jax.lax.dynamic_slice_in_dim(phi, sl, bin_block)[:, None]
+            sines = jnp.sin(2.0 * jnp.pi * f_blk * t + p_blk)  # (block, L)
+            return acc + (env * sines).sum(-2)
+
+        y0 = jnp.zeros(mag.shape[:-2] + (final_length,), mag.dtype)
+        y = jax.lax.fori_loop(0, n_blocks, body, y0)
         return y / jnp.max(jnp.abs(y))
 
     # --------------------------------------------------- phase side-channel

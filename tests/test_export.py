@@ -87,3 +87,46 @@ def test_stablehlo_polymorphic_batch(tmp_path, test_files):
         y = np.asarray(call(xb))
         ref = np.asarray(chain.forward(xb))
         np.testing.assert_allclose(y, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda: T.Mono(),
+        lambda: T.Stereo(),
+        lambda: T.MidSide(pad_mid=False),
+        lambda: T.Window(window_size=512, hop_size=256),
+        lambda: T.MuLaw(channels=128, one_hot="categorical"),
+        lambda: T.STFT(n_fft=512, hop_length=128, window="hamming"),
+        lambda: T.RealtimeSTFT(n_fft=512, hop_length=128),
+        lambda: T.DGT(n_fft=512, hop_length=128, tolerance=5e-3),
+        lambda: T.RealtimeDGT(n_fft=512, hop_length=128),
+        lambda: T.MFCC(n_fft=512, hop_length=128, n_mels=32, n_mfcc=13),
+        lambda: T.Magnitude(mode="unipolar", mel=True, n_fft=512, mel_inverse="pinv"),
+        lambda: T.Phase(mode="bipolar", unwrap=True),
+        lambda: T.IF(method="central", weighted=True),
+        lambda: T.Cartesian(),
+        lambda: T.Polar(),
+        lambda: T.PolarIF(),
+        lambda: T.Normalize(mode="bipolar"),
+        lambda: T.OverlapAdd(512, 128),
+        lambda: T.Unsqueeze(dim=1),
+        lambda: T.Squeeze(dim=1),
+        lambda: T.Transpose(),
+        lambda: T.OneHot(n_classes=64),
+    ],
+)
+def test_every_transform_serializes(tmp_path, make):
+    t = make()
+    path = str(tmp_path / "t.npz")
+    save_transform(t, path)
+    t2 = load_transform(path)
+    assert type(t2) is type(t)
+    # config aux and array leaves survive
+    l1, a1 = t._tree_flatten()
+    l2, a2 = t2._tree_flatten()
+    assert a1 == a2
+    import jax
+
+    for x, y in zip(jax.tree_util.tree_leaves(l1), jax.tree_util.tree_leaves(l2)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
