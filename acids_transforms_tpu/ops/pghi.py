@@ -109,40 +109,46 @@ def _nearest_anchor_fill(phase_anchor, anchored, freq_step):
     """Fill unanchored bins by integrating ``freq_step`` from the nearest
     anchored bin below (up-sweep) or above (down-sweep), choosing the nearer.
 
-    All operations are cumulative scans over the bin axis — O(F), no heap.
+    Formulated as two *segmented affine scans*: each bin is the map
+    ``f_k(x) = phi_k`` (anchored) or ``f_k(x) = x + step_k`` (unanchored), and
+    the prefix composition — an associative op on ``(a, b)`` with
+    ``f(x) = a x + b`` — yields the integrated phase from the nearest anchor
+    directly.  A third carried coefficient counts the distance.  No gathers,
+    no index arithmetic: two ``associative_scan`` calls total (this is the
+    per-frame hot path of the PGHI scan).
     """
+    dt = phase_anchor.dtype
     F = phase_anchor.shape[-1]
-    idx = jnp.arange(F)
     last_axis = phase_anchor.ndim - 1
 
-    # trapezoid step between k-1 and k
-    step = (freq_step[..., 1:] + freq_step[..., :-1]) / 2.0
-    cumstep = jnp.concatenate(
-        [jnp.zeros_like(freq_step[..., :1]), jnp.cumsum(step, axis=-1)], axis=-1
-    )  # phase offset of bin k relative to bin 0 along the freq path
+    # trapezoid step from k-1 to k (up direction); from k+1 to k is -step
+    trap = (freq_step[..., 1:] + freq_step[..., :-1]) / 2.0
+    step_up = jnp.concatenate([jnp.zeros_like(freq_step[..., :1]), trap], axis=-1)
+    step_dn = jnp.concatenate([-trap, jnp.zeros_like(freq_step[..., :1])], axis=-1)
 
-    big = jnp.asarray(10 * F, dtype=jnp.int32)
+    a = (~anchored).astype(dt)  # 0 resets the recurrence at anchors
 
-    # nearest anchored index at-or-below / at-or-above each bin
-    below = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(anchored, idx, -1), axis=last_axis
-    )
-    above = -jax.lax.associative_scan(
-        jnp.maximum, jnp.where(anchored, -idx, -big), axis=last_axis, reverse=True
-    )
+    def scan_dir(step, reverse):
+        b = jnp.where(anchored, phase_anchor, step)
+        db = jnp.where(anchored, 0.0, 1.0)
 
-    def gather_bins(arr, gidx):
-        safe = jnp.clip(gidx, 0, F - 1)
-        return jnp.take_along_axis(arr, safe, axis=-1)
+        def comb(l, r):  # prefix map: apply l (earlier) then r
+            a_l, b_l, d_l = l
+            a_r, b_r, d_r = r
+            return (a_l * a_r, b_l * a_r + b_r, d_l * a_r + d_r)
 
-    # candidate phases from each side: anchor phase + path integral
-    phi_below = gather_bins(phase_anchor, below) + cumstep - gather_bins(cumstep, below)
-    phi_above = gather_bins(phase_anchor, above) + cumstep - gather_bins(cumstep, above)
+        ac, bc, dc = jax.lax.associative_scan(
+            comb, (a, b, db), axis=last_axis, reverse=reverse
+        )
+        return bc, dc, ac == 0  # phase, distance, has-anchor
 
-    dist_below = jnp.where(below >= 0, idx - below, big)
-    dist_above = jnp.where(above < F, above - idx, big)
-    use_below = dist_below <= dist_above
-    filled = jnp.where(use_below, phi_below, phi_above)
+    phi_up, d_up, v_up = scan_dir(step_up, reverse=False)
+    phi_dn, d_dn, v_dn = scan_dir(step_dn, reverse=True)
+
+    big = jnp.asarray(10 * F, dt)
+    du = jnp.where(v_up, d_up, big)
+    dd = jnp.where(v_dn, d_dn, big)
+    filled = jnp.where(du <= dd, phi_up, phi_dn)
     any_anchor = jnp.any(anchored, axis=-1, keepdims=True)
     return jnp.where(any_anchor, filled, jnp.zeros_like(filled))
 
