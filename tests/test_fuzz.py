@@ -8,7 +8,7 @@ from acids_transforms_tpu import transforms as T
 
 RNG = np.random.default_rng(1234)
 
-N_CASES = 12
+N_CASES = 8
 
 
 def _cases():
