@@ -204,3 +204,18 @@ def test_window_name_resolution():
         np.testing.assert_allclose(w, ref, atol=1e-6)
     with pytest.raises(ValueError):
         get_window("nonexistent", 256)
+
+
+def test_set_matmul_precision_api():
+    from acids_transforms_tpu.ops.fft import matmul_precision, set_matmul_precision
+    import jax
+
+    orig = matmul_precision()
+    try:
+        set_matmul_precision("highest")
+        assert matmul_precision() == jax.lax.Precision.HIGHEST
+        set_matmul_precision(jax.lax.Precision.DEFAULT)
+        assert matmul_precision() == jax.lax.Precision.DEFAULT
+    finally:
+        set_matmul_precision(orig)
+    assert matmul_precision() == orig
