@@ -6,17 +6,13 @@ XLA runs it well, but materializes the framed signal in HBM — an
 ``n_fft / hop`` (typically 4x) blow-up of the input bytes — and the DFT/mel
 GEMM pair round-trips intermediates through HBM between fusions.
 
-This kernel never builds frames at all.  With ``hop | n_fft`` the windowed
-DFT decomposes over hop-sized signal chunks:
-
-    re[t, k] = sum_j  rows[t + j] . (window * C)[j*hop : (j+1)*hop, k]
-
-so each grid step runs ``overlap`` small GEMMs of the chunk block against
-static sub-blocks of the window-folded DFT bases — the windowing costs
-nothing, overlapping frames are never materialized anywhere, and all
-intermediates (DFT real/imag, magnitudes, mel) stay in VMEM.  The GEMMs use a
-manual bf16x3 decomposition (the ``Precision.HIGH`` algorithm, ~1e-5 relative
-error; Mosaic only accepts DEFAULT dot precision).
+This kernel assembles each tile's frames in VMEM scratch (rolled row-shifts
+of one aligned hop-chunk block) and runs the window-folded DFT as full-K
+MXU contractions — overlapping frames never touch HBM, and all intermediates
+(DFT real/imag, magnitudes, mel) stay in VMEM.  The GEMMs use a manual bf16x3
+decomposition (the ``Precision.HIGH`` algorithm; Mosaic only accepts DEFAULT
+dot precision) with *bit-masked* splits — measured 5.2e-5 vs float64 end to
+end, slightly better than the XLA chain's 8.1e-5 (BENCH_NOTES.md).
 
 Bin/mel dimensions are zero-padded to lane multiples (128); callers slice the
 valid region (handled by :func:`fused_melspec`).
@@ -63,38 +59,36 @@ def _split_bf16(m: jnp.ndarray):
 
 def _kernel(
     x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, mel_hi_ref, mel_lo_ref,
-    aff_ref, o_ref, *, overlap, hop, n_bins_p, contrast, eps, use_mel,
+    aff_ref, o_ref, scr_ref, *, overlap, hop, n_bins_p, contrast, eps, use_mel,
 ):
     t = pl.program_id(1)
     f32 = jnp.float32
 
     # one aligned load per tile (sublane starts must be multiples of 8);
-    # per-j row shifts are VPU rolls of the in-register block
+    # per-j row shifts are VPU rolls of the in-register block, written into a
+    # VMEM scratch so the DFT runs as full-K (n_fft) MXU contractions instead
+    # of `overlap` K=hop passes
     extra = -(-(overlap - 1) // 8) * 8
     block = x_ref[0, pl.ds(t * TILE_T, TILE_T + extra), :]  # (TILE_T+extra, hop)
-
-    re = jnp.zeros((TILE_T, n_bins_p), f32)
-    im = jnp.zeros((TILE_T, n_bins_p), f32)
     n_block = TILE_T + extra
     for j in range(overlap):
         # upward shift by j == non-negative roll by (n_block - j)
-        seg = pltpu.roll(block, shift=(n_block - j) % n_block, axis=0)[:TILE_T, :]
-        seg_hi, seg_lo = _split_bf16(seg)
-        sl = slice(j * hop, (j + 1) * hop)
-        c_hi, c_lo = wc_hi_ref[sl, :], wc_lo_ref[sl, :]
-        s_hi, s_lo = ws_hi_ref[sl, :], ws_lo_ref[sl, :]
-        re = (
-            re
-            + jnp.dot(seg_hi, c_hi, preferred_element_type=f32)
-            + jnp.dot(seg_hi, c_lo, preferred_element_type=f32)
-            + jnp.dot(seg_lo, c_hi, preferred_element_type=f32)
+        scr_ref[:, j * hop: (j + 1) * hop] = pltpu.roll(
+            block, shift=(n_block - j) % n_block, axis=0
+        )[:TILE_T, :]
+
+    frames = scr_ref[...]  # (TILE_T, n_fft) f32, window folded into WC/WS
+    fr_hi, fr_lo = _split_bf16(frames)
+
+    def dot3(b_hi_ref, b_lo_ref):
+        return (
+            jnp.dot(fr_hi, b_hi_ref[...], preferred_element_type=f32)
+            + jnp.dot(fr_hi, b_lo_ref[...], preferred_element_type=f32)
+            + jnp.dot(fr_lo, b_hi_ref[...], preferred_element_type=f32)
         )
-        im = (
-            im
-            + jnp.dot(seg_hi, s_hi, preferred_element_type=f32)
-            + jnp.dot(seg_hi, s_lo, preferred_element_type=f32)
-            + jnp.dot(seg_lo, s_hi, preferred_element_type=f32)
-        )
+
+    re = dot3(wc_hi_ref, wc_lo_ref)
+    im = dot3(ws_hi_ref, ws_lo_ref)
 
     mag = jnp.sqrt(re * re + im * im)
     if use_mel:
@@ -167,6 +161,7 @@ def _fused_call(
             (1, TILE_T, Mp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE_T, Mp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE_T, n_fft), jnp.float32)],
         interpret=interpret,
     )(x_rows, wc_hi, wc_lo, ws_hi, ws_lo, mel_hi, mel_lo, aff)
 

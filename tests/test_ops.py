@@ -152,8 +152,7 @@ def test_mulaw_roundtrip_and_torch_parity():
     assert codes.min() >= 0 and codes.max() <= 255
     # quantization error bounded by one mu-law step
     assert np.abs(dec - x).max() < 0.05
-    # parity with torch's functional mu-law
-    tc = torch.ops.torchaudio if False else None
+    # parity with torch-computed mu-law formula
     mu = 255.0
     xt = torch.from_numpy(x)
     ref_codes = ((torch.sign(xt) * torch.log1p(mu * torch.abs(xt)) / np.log1p(mu) + 1) / 2 * mu + 0.5).to(torch.int64)
