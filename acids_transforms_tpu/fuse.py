@@ -9,11 +9,12 @@ returns a callable backed by the single fused Pallas kernel
 (ops/pallas/spectral.py), which keeps framing and all intermediates in VMEM.
 Any other chain falls back to the jitted ``chain.forward``.
 
-Status: opt-in.  The compiled kernel is accurate (5.2e-5 vs float64,
-slightly better than the XLA chain's 8.1e-5) but its hop-chunk DFT
-decomposition underutilizes the MXU vs XLA's K=n_fft tiling — ~20% slower at
-n_fft=1024 (see BENCH_NOTES.md), so the XLA chain stays the default and this
-dispatcher is enabled explicitly (``ATT_BENCH_FUSED=1`` in bench.py).
+Status: opt-in.  The compiled kernel is accurate (6.8e-5 vs float64, on par
+with the XLA chain's 8.1e-5) but ~25% slower at n_fft=1024 (12.6M vs 16.7M
+frames/s): XLA's pipelined HBM double-buffering beats both the hop-chunk-dot
+and the scratch-assembled full-K kernel variants (see BENCH_NOTES.md).  The
+XLA chain stays the default and this dispatcher is enabled explicitly
+(``ATT_BENCH_FUSED=1`` in bench.py).
 """
 from __future__ import annotations
 
