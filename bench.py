@@ -84,7 +84,7 @@ def bench_tpu(x: np.ndarray):
     import jax.numpy as jnp
 
     from acids_transforms_tpu import transforms as T
-    from acids_transforms_tpu.fuse import fuse_forward
+    from acids_transforms_tpu.fuse import fusable, fuse_forward
 
     xb = jnp.asarray(np.broadcast_to(x, (TPU_BATCH, x.shape[-1])).copy())
     chain = T.Mono() + T.STFT(n_fft=N_FFT, hop_length=HOP) + T.Magnitude(
@@ -93,17 +93,31 @@ def bench_tpu(x: np.ndarray):
     chain = chain.fit(xb)
 
     dt_xla = _device_time(lambda v: chain.forward(v), xb, N_ITER_TPU)
-    backend = "xla"
+    backend = "xla-chain"
     dt = dt_xla
-    # the Mosaic compile of the fused kernel takes several minutes over the
+    dt_fused_xla = None
+    # the fused-GEMM forward (fuse.py): same math, no complex64 intermediate
+    if fusable(chain):
+        fused = fuse_forward(chain)
+        # honesty guard: only headline the fused path if it matches the chain
+        y_ref = jax.jit(lambda c, v: c.forward(v))(chain, xb[:2])
+        y_f = jax.jit(fused)(xb[:2])
+        fuse_err = float(
+            jnp.max(jnp.abs(y_f - y_ref)) / (jnp.max(jnp.abs(y_ref)) + 1e-12)
+        )
+        if fuse_err < 1e-4:
+            dt_fused_xla = _device_time(fused, xb, N_ITER_TPU)
+            if dt_fused_xla < dt:
+                dt, backend = dt_fused_xla, "xla-fused"
+    # the Mosaic compile of the Pallas kernel takes several minutes over the
     # remote-compile tunnel — opt in explicitly to include it in the bench
     if os.environ.get("ATT_BENCH_FUSED") == "1":
         try:
-            fused = fuse_forward(chain)
-            if fused is not chain.jforward:
-                dt_fused = _device_time(fused, xb, N_ITER_TPU)
-                if dt_fused < dt_xla:
-                    dt, backend = dt_fused, "pallas-fused"
+            if fusable(chain, "pallas"):
+                pfused = fuse_forward(chain, backend="pallas")
+                dt_pallas = _device_time(pfused, xb, N_ITER_TPU)
+                if dt_pallas < dt:
+                    dt, backend = dt_pallas, "pallas-fused"
         except Exception:
             pass
 
@@ -118,7 +132,8 @@ def bench_tpu(x: np.ndarray):
     n = rec.shape[-1]
     ref = np.asarray(xb[:2])[..., :n]
     rel_err = float(np.abs(rec - ref).max() / np.abs(ref).max())
-    return fps, frames / dt_xla, backend, rel_err, str(jax.devices()[0]).strip()
+    fps_fused = frames / dt_fused_xla if dt_fused_xla else None
+    return fps, frames / dt_xla, fps_fused, backend, rel_err, str(jax.devices()[0]).strip()
 
 
 def bench_torch_cpu(x: np.ndarray):
@@ -248,7 +263,7 @@ def main():
         "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__) or ".", ".jax_cache")
     )
     x = _load_audio()
-    fps_tpu, fps_xla, backend, rel_err, device = bench_tpu(x)
+    fps_tpu, fps_xla, fps_fused, backend, rel_err, device = bench_tpu(x)
     fps_cpu = bench_torch_cpu(x)
     extras = {k: _jsonable(v) for k, v in bench_configs(x).items()}
     result = {
@@ -257,7 +272,8 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(fps_tpu / fps_cpu, 2),
         "backend": backend,
-        "xla_frames_per_sec": round(fps_xla, 1),
+        "xla_chain_frames_per_sec": round(fps_xla, 1),
+        "xla_fused_frames_per_sec": round(fps_fused, 1) if fps_fused else None,
         "torch_cpu_frames_per_sec": round(fps_cpu, 1),
         "roundtrip_rel_err": rel_err,
         "device": device,

@@ -44,15 +44,30 @@ def test_fused_melspec_no_mel_and_contrasts():
         assert rel < 1e-4, (contrast, rel)
 
 
-def test_fuse_forward_dispatch(test_files):
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_fuse_forward_dispatch(test_files, backend):
     sig, _ = test_files
     chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
         mode="unipolar", contrast="log1p", mel=True, n_fft=512
     )
     fitted = chain.fit(jnp.asarray(sig))
-    assert fusable(fitted)
-    fused = fuse_forward(fitted)
+    assert fusable(fitted, backend)
+    fused = fuse_forward(fitted, backend)
     y_fused = np.asarray(fused(jnp.asarray(sig)))
+    y_ref = np.asarray(fitted.forward(jnp.asarray(sig)))
+    assert y_fused.shape == y_ref.shape
+    assert np.abs(y_fused - y_ref).max() / (np.abs(y_ref).max() + 1e-9) < 1e-4
+
+
+def test_fuse_forward_xla_handles_pallas_unfriendly_configs(test_files):
+    sig, _ = test_files
+    # non-divisor hop + dropped nyquist: XLA path fuses, Pallas path declines
+    chain = T.Mono() + T.STFT(n_fft=512, hop_length=160) + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=False, n_fft=512, keep_nyquist=False
+    )
+    fitted = chain.fit(jnp.asarray(sig))
+    assert fusable(fitted, "xla") and not fusable(fitted, "pallas")
+    y_fused = np.asarray(fuse_forward(fitted, "xla")(jnp.asarray(sig)))
     y_ref = np.asarray(fitted.forward(jnp.asarray(sig)))
     assert y_fused.shape == y_ref.shape
     assert np.abs(y_fused - y_ref).max() / (np.abs(y_ref).max() + 1e-9) < 1e-4
@@ -63,3 +78,5 @@ def test_fuse_forward_fallback():
     assert not fusable(chain)
     fn = fuse_forward(chain)
     assert fn == chain.jforward
+    with pytest.raises(ValueError):
+        fuse_forward(chain, backend="nope")

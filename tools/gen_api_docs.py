@@ -18,6 +18,7 @@ def first_para(doc):
 
 def main():
     import acids_transforms_tpu as att
+    import acids_transforms_tpu.ops.pallas  # noqa: F401 — lazily imported elsewhere
     from acids_transforms_tpu import transforms as T
 
     out = io.StringIO()
