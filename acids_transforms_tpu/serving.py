@@ -18,11 +18,10 @@ split into explicit AOT artifacts + a shape-disciplined server.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .fuse import fusable, fuse_forward
 from .transforms.base import AudioTransform

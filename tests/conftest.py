@@ -8,7 +8,6 @@ re-point the platform here, before any device is touched.  Set
 ``ACIDS_TPU_TESTS=1`` to run the suite on the real TPU instead.
 """
 import os
-import sys
 
 if os.environ.get("ACIDS_TPU_TESTS") != "1":
     flags = os.environ.get("XLA_FLAGS", "")
