@@ -111,15 +111,23 @@ def deriv(mag: jnp.ndarray, order: int = 2) -> jnp.ndarray:
 
 
 def fint_central(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`fdiff_central` via two interleaved parity chains.
+    """Cumulative inverse of :func:`fdiff_central` (two interleaved parity
+    chains; interior rows satisfy ``y[i+1] = y[i-1] + 4 * x[i]``).
 
-    The even chain is anchored at ``x[0]`` (= original first row), the other
-    parity chain at ``x[-1]`` (= original last row); interior rows satisfy
-    ``y[i+1] = y[i-1] + 4 * x[i]``.  Central differencing cannot recover the
-    two anchor-free degrees of freedom; this reconstruction is exact for
-    signals produced by :func:`fdiff_central`.  (The reference's Python-loop
-    version, utils/misc.py:96-104, additionally overwrites the final row for
-    even frame counts — a bug not reproduced here.)
+    Contract (the central stencil carries two anchor rows, ``x[0] = y[0]``
+    and ``x[-1] = y[-1]``, one per parity chain):
+
+    * **even frame count T**: exact — the even chain integrates from
+      ``x[0]``, the odd chain from ``x[-1]``.
+    * **odd frame count T**: both anchors land on the even chain, so the odd
+      chain's absolute offset is *not recoverable from the data* (the
+      reference's loop leaves those rows zero, utils/misc.py:96-104).  Here
+      the odd chain is seeded with the forward half-step estimate
+      ``y[1] ~= y[0] + 2 * x[1]``; its rows carry the seed's O(step) error as
+      a constant offset.  ``IF(method="central")`` inversion inherits this
+      (see tests/test_transforms.py: even-T round-trips >40 dB, odd-T bounded
+      at ~10 dB).  Prefer the ``backward``/``forward`` methods when exact
+      integration matters.
     """
     T = x.shape[-2]
     if T == 1:
@@ -143,15 +151,10 @@ def fint_central(x: jnp.ndarray) -> jnp.ndarray:
 
     out = jnp.zeros_like(x)
     if T % 2 == 1:
-        # both chains are even-parity; average where they overlap is wrong —
-        # the diff data is consistent, prefer the forward (x[0]) anchor for
-        # even rows and reconstruct odd rows from the backward anchor.
+        # odd T: even rows take the x[0] anchor; odd rows have no anchor
+        # (see docstring) — seed with the forward half-step estimate and
+        # integrate the parity chain from there.
         out = out.at[..., 0::2, :].set(even)
-        # odd rows: walk back from x[-1]? x[-1] is even row; odd rows have no
-        # anchor — integrate from row 1 using y[1] = x[... ] unavailable.
-        # Use the relation y[1] = y[-1]- ... : odd rows chain anchored at
-        # nothing; approximate with forward chain from 4*x-based midpoint:
-        # y[1] approximated by y[0] + 2*x[1] (forward half-step).
         odd_start = out[..., 0:1, :] + 2.0 * x[..., 1:2, :]
         steps_odd = 4.0 * x[..., 2:-1:2, :]
         odd_vals = odd_start + jnp.concatenate(

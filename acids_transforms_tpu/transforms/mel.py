@@ -28,8 +28,6 @@ class MFCC(AudioTransform):
     scriptable = True
     invertible = False
 
-    _leaves = ("window", "mel_bank", "norm")
-
     _leaves = ("window", "mel_bank", "dct_mat", "norm")
 
     def __init__(

@@ -42,6 +42,14 @@ class OverlapAdd(AudioTransform):
         self.hop_length = int(hop_length)
         if self.n_fft % self.hop_length != 0:
             raise ValueError("OverlapAdd requires hop_length to divide n_fft")
+        if int(dim) != -1:
+            # the reference accepts `dim` but hardcodes the last axis
+            # (reference oadd.py:55-56); reject loudly instead of silently
+            # operating on the wrong axis.
+            raise ValueError(
+                "OverlapAdd only supports dim=-1 (the sample axis); "
+                "move your data axis with jnp.moveaxis first"
+            )
         self.dim = int(dim)
         self.frames_out = self.n_fft // self.hop_length - 1
         self._state = None

@@ -186,7 +186,12 @@ class Window(AudioTransform):
         if self.window_size < self.hop_size:
             raise ValueError("window_size must be >= hop_size")
         self.dim = int(dim)
-        self.batch_dim = int(batch_dim)  # accepted for parity (reference raw.py:196)
+        if int(batch_dim) != 0:
+            # the reference accepts `batch_dim` but never reads it
+            # (reference raw.py:196); reject non-default values loudly
+            # instead of silently ignoring them.
+            raise ValueError("Window only supports batch_dim=0 (leading batch axes)")
+        self.batch_dim = int(batch_dim)
         self.inversion_mode = inversion_mode
 
     def get_inversion_modes(self) -> List[str]:

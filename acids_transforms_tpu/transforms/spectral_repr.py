@@ -249,8 +249,13 @@ IF_METHODS = ("backward", "forward", "central")
 
 
 class IF(_Representation):
-    """Instantaneous frequency: unwrap + frame-axis finite difference, with the
-    exact cumulative inverse (reference spectral_repr.py:302-392).
+    """Instantaneous frequency: unwrap + frame-axis finite difference, with
+    cumulative-sum inversion (reference spectral_repr.py:302-392).
+
+    Inversion exactness: ``backward`` and ``forward`` integrate exactly;
+    ``central`` is exact for even frame counts only — for odd frame counts the
+    odd-parity rows have no anchor in the differenced data and inherit a
+    seeded-offset approximation (see ops/phase.py:fint_central).
 
     ``method`` selects the stencil (``backward``/``forward``/``central``,
     scaled by -pi / pi / 2*pi on the interior rows, reference

@@ -428,7 +428,21 @@ class RealtimeSTFT(STFT):
         return spec
 
     def forward_with_time(self, x, time):
-        return self.forward(x), time
+        """Per-frame times for framed chunks, matching the offline STFT.
+
+        When ``x`` is a multi-frame chunk ``(..., T, n_fft)`` and ``time``
+        carries only chunk start times (no matching frame axis — e.g. the
+        transform is used standalone, not behind ``OverlapAdd`` which already
+        emits per-frame times), frame-start shifts are synthesized exactly as
+        the offline ``STFT.forward_with_time`` does (reference
+        stft.py:106-117).  Per-frame ``time`` passes through unchanged."""
+        spec = self.forward(x)
+        if x.ndim >= 2:
+            T = x.shape[-2]
+            if time.ndim == 0 or time.shape[-1] != T:
+                shifts = jnp.arange(T) * (self.hop_length / self.sr)
+                time = shifts + (time[..., None] if time.ndim else time)
+        return spec, time
 
     # ---------------------------------------------------------------- invert
     def invert(

@@ -22,8 +22,6 @@ if os.environ.get("ACIDS_TPU_TESTS") != "1":
 import numpy as np
 import pytest
 
-REFERENCE_AUDIO = "/root/reference/test/source_files"
-
 
 @pytest.fixture(scope="session", autouse=True)
 def _build_native():

@@ -85,3 +85,35 @@ def test_magnitude_keep_nyquist_false_bank_shape():
     t = T.Magnitude(mode="unipolar", mel=True, n_fft=512, keep_nyquist=False)
     # bank built over the truncated frequency range
     assert t.mel_bank.shape == (257, 257)
+
+
+def test_overlap_add_rejects_non_default_dim():
+    with pytest.raises(ValueError):
+        T.OverlapAdd(1024, 256, dim=-2)
+
+
+def test_window_rejects_non_default_batch_dim():
+    with pytest.raises(ValueError):
+        T.Window(window_size=64, hop_size=32, batch_dim=1)
+
+
+def test_realtime_stft_forward_with_time_emits_frame_times():
+    """Standalone realtime STFT synthesizes per-frame times (like offline);
+    per-frame times arriving from OverlapAdd pass through unchanged."""
+    rt = T.RealtimeSTFT(n_fft=256, hop_length=64)
+    frames = jnp.zeros((2, 5, 256))
+    # chunk start times only -> frame shifts synthesized
+    _, tt = rt.forward_with_time(frames, jnp.asarray([1.0, 2.0]))
+    assert tt.shape == (2, 5)
+    np.testing.assert_allclose(
+        np.asarray(tt[0]), 1.0 + np.arange(5) * 64 / rt.sr, rtol=1e-6
+    )
+    # already per-frame (OverlapAdd chain) -> unchanged
+    pre = jnp.broadcast_to(jnp.arange(5.0), (2, 5))
+    _, tt2 = rt.forward_with_time(frames, pre)
+    np.testing.assert_allclose(np.asarray(tt2), np.asarray(pre))
+    # streaming chain end-to-end: OverlapAdd emits per-frame times, RT keeps them
+    chain = T.OverlapAdd(256, 64) + rt
+    x = jnp.zeros((2, 1024))
+    _, tc = chain.forward_with_time(x, jnp.zeros((2,)))
+    assert tc.shape[-1] == 1024 // 64
