@@ -5,10 +5,18 @@ one executable per shape.  :class:`CompiledTransform` makes the serving
 contract explicit:
 
 * lengths are quantized to a bucket ladder (utils/bucketing.py) and
-  zero-padded — at most ``len(buckets) x len(batch_sizes)`` executables ever
-  exist, and each is compiled once (optionally ahead of time with
+  zero-padded — at most ``len(buckets) x len(batch_sizes)`` executables per
+  direction ever exist, each compiled once (optionally ahead of time with
   :meth:`warmup`);
-* outputs are trimmed back to the true frame count;
+* ``invert`` runs through the same discipline: the spectrogram frame axis
+  (chain-folded ``output_frame_axis``) is padded to the frame-count ladder
+  derived from the sample buckets;
+* outputs are trimmed to the exact shape the *unbucketed* call would produce
+  (computed with ``jax.eval_shape`` — correct for any chain layout, including
+  bin-major MFCC outputs);
+* the server executes a **snapshot** of the transform taken at construction:
+  later eager refits (``scale_data``) change nothing until :meth:`refresh`
+  is called, identically for fused and non-fused chains;
 * the underlying jitted callables are plain jax functions, so the wrapper
   composes with device placement / shardings chosen by the caller.
 
@@ -18,7 +26,7 @@ split into explicit AOT artifacts + a shape-disciplined server.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,12 +46,18 @@ class CompiledTransform:
         server = CompiledTransform(chain, buckets=(44100, 88200), batch_sizes=(1, 8))
         server.warmup()                      # compile every (bucket, batch) pair
         y = server.forward(x)                # any length/batch <= the ladder maxima
+        rec = server.invert(y)               # same discipline on the way back
 
     The chain must preserve the leading batch axis.  Watch the channel
     convention: ``Mono`` interprets dim -2 as channels (reference semantics),
     so a batch of mono signals must be ``(B, 1, L)`` or the chain must not
     start with a channel transform — ``(B, L)`` through ``Mono`` would
     squeeze the batch axis when ``B == 1``.
+
+    Boundary semantics (both directions): positions within one analysis
+    window of the true signal/frame end see the zero bucket padding instead
+    of unpadded edge handling; interior positions are bit-identical to the
+    unbucketed call.
     """
 
     def __init__(
@@ -52,22 +66,45 @@ class CompiledTransform:
         buckets: Sequence[int] = (),
         batch_sizes: Sequence[int] = (1, 4, 16),
         inversion_mode: Optional[str] = None,
+        frame_axis: Optional[int] = None,
     ):
         self.transform = transform
         self.buckets = tuple(buckets) if buckets else default_buckets(max_seconds=30.0)
         self.batch_sizes = tuple(sorted(batch_sizes))
         self.inversion_mode = inversion_mode
+        #: frame axis of the chain output (negative); chain-folded from
+        #: ``output_frame_axis`` unless given explicitly.
+        self.frame_axis = (
+            int(frame_axis) if frame_axis is not None else transform.output_frame_axis(None)
+        )
+        ratio = int(transform.ratio)
+        self._t_buckets = (
+            tuple(sorted({b // ratio + 1 for b in self.buckets})) if ratio > 1 else ()
+        )
         # recognized mel-spectrogram chains serve through the fused forward
-        # (fuse.py: no complex64 intermediate; exact to <1e-4, ~2.5% faster)
+        # (fuse.py: no complex64 intermediate; exact to <1e-4, ~2.5% faster).
+        # The transform rides through jit as a pytree argument, so a refresh()
+        # after an eager refit swaps the leaves without recompiling.
         if fusable(transform):
-            fused = fuse_forward(transform)
-            self._fwd: Callable = jax.jit(lambda t, v: fused(v))
+            self._fwd: Callable = jax.jit(lambda t, v: fuse_forward(t)(v))
         else:
             self._fwd = jax.jit(lambda t, v: t.forward(v))
         self._inv: Callable = jax.jit(
-            lambda t, v: t.invert(v, inversion_mode=inversion_mode),
-            static_argnames=(),
+            lambda t, v: t.invert(v, inversion_mode=inversion_mode)
         )
+        self._shape_cache: Dict = {}
+        self.refresh()
+
+    # ----------------------------------------------------------------- state
+    def refresh(self) -> None:
+        """Re-snapshot the (possibly refit) transform.
+
+        Both directions serve the snapshot taken here; eager refits of the
+        live transform (``scale_data``) take effect only after calling this —
+        identical semantics for fused and non-fused chains."""
+        leaves, treedef = jax.tree_util.tree_flatten(self.transform)
+        self._frozen = jax.tree_util.tree_unflatten(treedef, leaves)
+        self._shape_cache.clear()
 
     # ------------------------------------------------------------- shaping
     def _bucket(self, n: int) -> int:
@@ -75,6 +112,15 @@ class CompiledTransform:
         if not fitting:
             raise ValueError(
                 "length %d exceeds the bucket ladder (max %d)" % (n, self.buckets[-1])
+            )
+        return min(fitting)
+
+    def _t_bucket(self, t: int) -> int:
+        fitting = [b for b in self._t_buckets if b >= t]
+        if not fitting:
+            raise ValueError(
+                "frame count %d exceeds the frame ladder (max %d)"
+                % (t, self._t_buckets[-1])
             )
         return min(fitting)
 
@@ -87,39 +133,80 @@ class CompiledTransform:
             )
         return min(fitting)
 
-    def _pad(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
-        b, n = x.shape[0], x.shape[-1]
-        bb, nb = self._batch(b), self._bucket(n)
-        pads = [(0, bb - b)] + [(0, 0)] * (x.ndim - 2) + [(0, nb - n)]
-        return jnp.pad(x, pads), b, n
+    def _true_shape(self, fn: Callable, x: jnp.ndarray) -> Tuple[int, ...]:
+        """Output shape of the *unbucketed* call, via (cached) eval_shape."""
+        key = (fn is self._inv, x.shape, str(x.dtype))
+        if key not in self._shape_cache:
+            aval = jax.ShapeDtypeStruct(x.shape, x.dtype)
+            self._shape_cache[key] = jax.eval_shape(fn, self._frozen, aval).shape
+        return self._shape_cache[key]
+
+    @staticmethod
+    def _trim(y: jnp.ndarray, true_shape: Tuple[int, ...]) -> jnp.ndarray:
+        if y.ndim != len(true_shape):
+            # bucket padding changed the chain's *structure* (e.g. a (C, L)
+            # input whose channel axis was padded as if it were a batch axis,
+            # flipping Mono's stereo detection) — never trim silently.
+            raise ValueError(
+                "bucketed output rank %d != unbucketed rank %d: the leading "
+                "axis of the input must be a true batch axis (use (B, C, L) "
+                "for channel chains; see CompiledTransform docs)"
+                % (y.ndim, len(true_shape))
+            )
+        return y[tuple(slice(0, min(s, t)) for s, t in zip(y.shape, true_shape))]
 
     # ----------------------------------------------------------------- api
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Forward with bucket padding; output trimmed to the true frames.
-
-        Boundary semantics: frames within one window of the true signal end
-        see the zero padding instead of the unbucketed reflect padding —
-        interior frames are bit-identical to the unpadded forward."""
-        xp, b, n = self._pad(x)
-        y = self._fwd(self.transform, xp)
-        y = y[:b]
-        ratio = self.transform.ratio
-        if ratio > 1 and y.ndim >= 2:
-            t_true = n // ratio + 1
-            y = y[..., : min(t_true, y.shape[-2]), :]
-        return y
+        """Forward with bucket padding; output trimmed to the true shape."""
+        b, n = x.shape[0], x.shape[-1]
+        bb, nb = self._batch(b), self._bucket(n)
+        pads = [(0, bb - b)] + [(0, 0)] * (x.ndim - 2) + [(0, nb - n)]
+        y = self._fwd(self._frozen, jnp.pad(x, pads))
+        return self._trim(y, self._true_shape(self._fwd, x))
 
     def invert(self, y: jnp.ndarray) -> jnp.ndarray:
-        return self._inv(self.transform, y)
+        """Invert with the same shape discipline as :meth:`forward`.
+
+        The frame axis is padded to the frame-count ladder (derived from the
+        sample buckets), the batch axis to the batch ladder; at most
+        ``len(buckets) x len(batch_sizes)`` inverse executables exist."""
+        ratio = int(self._frozen.ratio)
+        if ratio > 1:
+            fa = self.frame_axis
+            if fa is None:
+                raise ValueError(
+                    "cannot locate the frame axis of this chain's output; "
+                    "pass frame_axis= to CompiledTransform to enable the "
+                    "bucketed invert"
+                )
+            fa_pos = y.ndim + fa
+            t = y.shape[fa_pos]
+            tb = self._t_bucket(t)
+        else:
+            fa_pos, t, tb = y.ndim - 1, y.shape[-1], self._bucket(y.shape[-1])
+        b = y.shape[0]
+        bb = self._batch(b)
+        pads = [(0, 0)] * y.ndim
+        pads[0] = (0, bb - b)
+        pads[fa_pos] = (0, tb - t)
+        out = self._inv(self._frozen, jnp.pad(y, pads))
+        return self._trim(out, self._true_shape(self._inv, y))
 
     def warmup(self, channels: Tuple[int, ...] = ()) -> int:
-        """Compile every (batch, bucket) forward executable ahead of time.
+        """Compile every (batch, bucket) executable ahead of time — forwards
+        and, for invertible chains, the matching inverses.
 
         Returns the number of variants compiled."""
         count = 0
         for bb in self.batch_sizes:
             for nb in self.buckets:
                 shape = (bb,) + tuple(channels) + (nb,)
-                self._fwd(self.transform, jnp.zeros(shape, jnp.float32))
+                x = jnp.zeros(shape, jnp.float32)
+                y = self._fwd(self._frozen, x)
                 count += 1
+                if self._frozen.invertible:
+                    # the bucketed forward output IS the bucketed invert
+                    # input shape (T = bucket // ratio + 1)
+                    self._inv(self._frozen, y)
+                    count += 1
         return count

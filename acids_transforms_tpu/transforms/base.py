@@ -228,6 +228,16 @@ class AudioTransform:
         """Per-sample -> per-frame decimation factor (reference base.py:56-58)."""
         return 1
 
+    def output_frame_axis(self, axis_in: Optional[int] = None) -> Optional[int]:
+        """Negative axis index of the frame dimension in this transform's
+        *output*, given the frame axis of its input (``None`` = no frame axis
+        yet / not representable).  Framing transforms (STFT, DGT, Window,
+        OverlapAdd) introduce it; layout transforms (Transpose, Squeeze,
+        Unsqueeze, stacked representations) relocate it; everything else
+        preserves it.  Serving (serving.py) uses the chain-folded value to pad
+        and trim the frame axis shape-stably."""
+        return axis_in
+
     def get_inversion_modes(self) -> Optional[List[str]]:
         return None
 
@@ -397,6 +407,11 @@ class ComposeAudioTransform(AudioTransform):
         for t in self.transforms:
             ratio = ratio * t.ratio
         return ratio
+
+    def output_frame_axis(self, axis_in: Optional[int] = None) -> Optional[int]:
+        for t in self.transforms:
+            axis_in = t.output_frame_axis(axis_in)
+        return axis_in
 
     def fit(self, x: jnp.ndarray) -> "ComposeAudioTransform":
         fitted = []

@@ -73,6 +73,9 @@ class MFCC(AudioTransform):
     def ratio(self) -> int:
         return self.hop_length
 
+    def output_frame_axis(self, axis_in=None):
+        return -1  # torchaudio bin-major layout (..., n_mels, frames)
+
     def _melspec(self, x: jnp.ndarray) -> jnp.ndarray:
         spec = stft_op(x, self.n_fft, self.hop_length, self.window, impl=self.impl)
         p = jnp.abs(spec) ** self.power  # (..., T, F)

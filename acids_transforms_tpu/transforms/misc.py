@@ -35,6 +35,15 @@ class Unsqueeze(AudioTransform):
     def invert(self, x, inversion_mode=None, key=None):
         return jnp.squeeze(x, self.dim)
 
+    def output_frame_axis(self, axis_in=None):
+        if axis_in is None:
+            return None
+        if self.dim is None or self.dim >= 0:
+            # front-counted dims: the effect on a negative frame index
+            # depends on ndim, unknown here — report unknown
+            return None
+        return axis_in - 1 if self.dim >= axis_in else axis_in
+
 
 class Squeeze(AudioTransform):
     """Drop singleton axes; a full squeeze (``dim=None``) is not invertible
@@ -64,6 +73,15 @@ class Squeeze(AudioTransform):
             raise NotInvertibleError
         return jnp.expand_dims(x, self.dim)
 
+    def output_frame_axis(self, axis_in=None):
+        if axis_in is None:
+            return None
+        if self.dim is None or self.dim >= 0:
+            return None  # full squeeze / front-counted dim: not representable
+        if self.dim == axis_in:
+            return None
+        return axis_in + 1 if self.dim > axis_in else axis_in
+
 
 class Transpose(AudioTransform):
     """Swap two axes; self-inverse (reference misc.py:114-153).
@@ -86,6 +104,18 @@ class Transpose(AudioTransform):
 
     def invert(self, x, inversion_mode=None, key=None):
         return self.forward(x)
+
+    def output_frame_axis(self, axis_in=None):
+        if axis_in is None:
+            return None
+        d0, d1 = self.dims
+        if d0 >= 0 or d1 >= 0:
+            return None  # front-counted dims: not representable without ndim
+        if axis_in == d0:
+            return d1
+        if axis_in == d1:
+            return d0
+        return axis_in
 
 
 class OneHot(AudioTransform):

@@ -58,6 +58,9 @@ class OverlapAdd(AudioTransform):
     def gain_compensation(self) -> float:
         return float(self.n_fft // self.hop_length)
 
+    def output_frame_axis(self, axis_in=None):
+        return -2  # (..., frames, n_fft)
+
     @property
     def _carry(self) -> int:
         """Ring-buffer length in samples."""

@@ -201,6 +201,9 @@ class Window(AudioTransform):
     def ratio(self) -> int:
         return self.hop_size
 
+    def output_frame_axis(self, axis_in=None):
+        return -2 if self.dim == -1 else None
+
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         return frame(x, self.window_size, self.hop_size, self.dim)
 

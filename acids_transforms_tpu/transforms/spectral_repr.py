@@ -376,6 +376,15 @@ class SpectralRepresentation(AudioTransform):
             return jnp.stack([m, p], axis=self.stack)
         return (m, p)
 
+    def output_frame_axis(self, axis_in=None):
+        if axis_in is None:
+            return None
+        if self.stack is None:
+            return axis_in  # tuple output: both halves keep the input layout
+        if self.stack >= 0:
+            return None  # front-counted stack dim: not representable
+        return axis_in - 1 if self.stack >= axis_in else axis_in
+
     def _split(self, x):
         if self.stack is None:
             return x[0], x[1]

@@ -118,6 +118,9 @@ class STFT(AudioTransform):
     def ratio(self) -> int:
         return self.hop_length
 
+    def output_frame_axis(self, axis_in=None):
+        return -2  # (..., frames, bins)
+
     @property
     def n_bins(self) -> int:
         return self.n_fft // 2 + 1

@@ -1,5 +1,5 @@
 """CompiledTransform serving wrapper: bucket dispatch, trim correctness,
-warmup compilation count."""
+snapshot/refresh semantics, bucketed invert, warmup compilation count."""
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -48,7 +48,8 @@ def test_out_of_range_raises(server):
 
 
 def test_warmup_counts(server):
-    assert server.warmup() == 4  # 2 buckets x 2 batch sizes
+    # 2 buckets x 2 batch sizes, forward + invert each
+    assert server.warmup() == 8
 
 
 def test_invert_path(server):
@@ -56,3 +57,70 @@ def test_invert_path(server):
     y = server.forward(jnp.asarray(x))
     m = server.invert(y)
     assert np.isfinite(np.asarray(m)).all()
+
+
+def test_invert_bucketed_shape_discipline(server):
+    """Distinct frame counts inside one bucket share one inverse executable."""
+    before = server._inv._cache_size()
+    for t_frames in (40, 50, 60):  # all <= 8192 // 128 + 1 = 65
+        y = jnp.asarray(RNG.standard_normal((2, t_frames, 257)).astype(np.float32))
+        out = server.invert(y)
+        # true output length for the *unpadded* frame count
+        assert out.shape[-1] == (t_frames - 1) * 128
+    assert server._inv._cache_size() - before <= 1
+
+
+def test_invert_matches_unbucketed_interior(server):
+    y = jnp.asarray(0.1 * np.abs(RNG.standard_normal((2, 50, 257))).astype(np.float32))
+    rec = server.invert(y)
+    ref = server.transform.invert(y, inversion_mode="griffin_lim")
+    assert rec.shape == ref.shape
+
+
+def test_mfcc_bin_major_trim():
+    """ADVICE r1: bin-major (n_mels, T) outputs must trim the frame axis,
+    not the mel axis."""
+    chain = T.ComposeAudioTransform([T.MFCC(n_fft=512, hop_length=128, n_mels=64)])
+    server = CompiledTransform(chain, buckets=(8192, 16384), batch_sizes=(2,))
+    x = jnp.asarray(RNG.standard_normal((2, 7000)).astype(np.float32))
+    y = server.forward(x)
+    ref = chain.forward(x)
+    assert y.shape == ref.shape  # (2, 64, 55), not (2, 55, ...)
+    t_interior = (7000 - 512 // 2) // 128
+    np.testing.assert_allclose(
+        np.asarray(y)[..., :t_interior], np.asarray(ref)[..., :t_interior], atol=1e-5
+    )
+
+
+def test_refit_requires_refresh():
+    """ADVICE r1: the server executes a snapshot — an eager refit changes
+    nothing until refresh(), identically for fused and non-fused chains."""
+    fit_x = jnp.asarray(RNG.standard_normal((2, 1, 8192)).astype(np.float32))
+    x = jnp.asarray(RNG.standard_normal((2, 1, 8192)).astype(np.float32))
+    for mel in (True, False):  # mel=True matches the fused dispatch
+        chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+            mode="unipolar", mel=mel, n_fft=512
+        )
+        chain.scale_data(fit_x)
+        server = CompiledTransform(chain, buckets=(8192,), batch_sizes=(2,))
+        y0 = np.asarray(server.forward(x))
+        chain.scale_data(100.0 * fit_x)  # refit the live transform
+        y1 = np.asarray(server.forward(x))
+        np.testing.assert_allclose(y0, y1)  # snapshot: unchanged
+        server.refresh()
+        y2 = np.asarray(server.forward(x))
+        ref = np.asarray(chain.forward(x))
+        np.testing.assert_allclose(y2, ref, atol=2e-4)
+        assert np.abs(y2 - y0).max() > 1e-3  # refit now visible
+
+
+def test_frame_axis_protocol():
+    stft_chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode=None, mel=False, n_fft=512
+    )
+    assert stft_chain.output_frame_axis(None) == -2
+    assert (T.MFCC()).output_frame_axis(None) == -1
+    assert (T.STFT() + T.Transpose(dims=(-2, -1))).output_frame_axis(None) == -1
+    assert (T.STFT() + T.Unsqueeze(dim=-1)).output_frame_axis(None) == -3
+    assert (T.STFT() + T.Polar(stack=-2)).output_frame_axis(None) == -3
+    assert (T.Mono()).output_frame_axis(None) is None
