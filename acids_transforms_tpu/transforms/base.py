@@ -188,17 +188,39 @@ class AudioTransform:
         return self.forward(x), time
 
     # ------------------------------------------------------------------ fitting
-    def fit(self, x: jnp.ndarray) -> "AudioTransform":
+    def fit(
+        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    ) -> "AudioTransform":
         """Pure functional fit: return a new transform whose statistics are
-        fitted on ``x``.  Default: no parameters to fit."""
+        fitted on ``x``.  Default: no parameters to fit.
+
+        ``mask`` (optional, broadcastable to ``x``; 1 = real data) excludes
+        padding from the statistics — bucket-padded batches
+        (utils/bucketing.py) fit identically to their unpadded originals.
+        """
         return self
 
-    def scale_data(self, x: jnp.ndarray) -> None:
+    def propagate_mask(
+        self, mask: Optional[jnp.ndarray], x: jnp.ndarray
+    ) -> Optional[jnp.ndarray]:
+        """Map a validity mask over this transform: given ``mask``
+        (broadcastable to the input ``x``), return the mask of the *output*.
+
+        Default assumes the transform preserves layout.  Framing transforms
+        (STFT, Window, OverlapAdd, MFCC) downsample to per-frame masks; shape
+        transforms apply the same reshaping; transforms that cannot represent
+        the mapping return ``None`` (downstream fits then run unmasked).
+        """
+        return mask
+
+    def scale_data(
+        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    ) -> None:
         """Eager, in-place fit (API parity with reference base.py:34-36).
 
         Uses :meth:`fit` and copies the fitted leaves onto ``self``.
         """
-        fitted = self.fit(x)
+        fitted = self.fit(x, mask=mask)
         for name in type(self)._leaves:
             setattr(self, name, getattr(fitted, name))
         for k, v in fitted.__dict__.items():
@@ -285,8 +307,8 @@ class AudioTransform:
     ) -> jnp.ndarray:
         return _jit_invert(self, x, inversion_mode, key)
 
-    def jfit(self, x: jnp.ndarray) -> "AudioTransform":
-        return _jit_fit(self, x)
+    def jfit(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> "AudioTransform":
+        return _jit_fit(self, x, mask)
 
     # ------------------------------------------------------------- test hooks
     # Self-describing per-transform smoke hooks, mirroring the reference's
@@ -340,8 +362,8 @@ def _jit_invert(t, x, inversion_mode, key):
 
 
 @jax.jit
-def _jit_fit(t, x):
-    return t.fit(x)
+def _jit_fit(t, x, mask=None):
+    return t.fit(x, mask=mask)
 
 
 class ComposeAudioTransform(AudioTransform):
@@ -413,17 +435,25 @@ class ComposeAudioTransform(AudioTransform):
             axis_in = t.output_frame_axis(axis_in)
         return axis_in
 
-    def fit(self, x: jnp.ndarray) -> "ComposeAudioTransform":
+    def fit(self, x: jnp.ndarray, mask=None) -> "ComposeAudioTransform":
         fitted = []
         for t in self.transforms:
-            t = t.fit(x)
+            t = t.fit(x, mask=mask)
             fitted.append(t)
+            mask = t.propagate_mask(mask, x)
             x = t.forward(x)
         return ComposeAudioTransform(transforms=fitted, sr=self.sr)
 
-    def scale_data(self, x: jnp.ndarray) -> None:
+    def propagate_mask(self, mask, x):
         for t in self.transforms:
-            t.scale_data(x)
+            mask = t.propagate_mask(mask, x)
+            x = t.forward(x)
+        return mask
+
+    def scale_data(self, x: jnp.ndarray, mask=None) -> None:
+        for t in self.transforms:
+            t.scale_data(x, mask=mask)
+            mask = t.propagate_mask(mask, x)
             x = t.forward(x)
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:

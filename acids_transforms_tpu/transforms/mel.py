@@ -93,12 +93,19 @@ class MFCC(AudioTransform):
             y = self.norm.forward(y)
         return y
 
-    def fit(self, x: jnp.ndarray) -> "MFCC":
+    def fit(self, x: jnp.ndarray, mask=None) -> "MFCC":
         if self.norm is None:
             return self
         # reference fits the norm on the *raw input* handed to scale_data
         # (mel.py:60-63) — kept for parity.
-        return self.replace(norm=self.norm.fit(x))
+        return self.replace(norm=self.norm.fit(x, mask=mask))
+
+    def propagate_mask(self, mask, x):
+        if mask is None:
+            return None
+        T = x.shape[-1] // self.hop_length + 1
+        starts = jnp.clip(jnp.arange(T) * self.hop_length, 0, mask.shape[-1] - 1)
+        return jnp.take(mask, starts, axis=-1)[..., None, :]  # (..., 1, frames)
 
     def forward_with_time(self, x, time):
         y = self.forward(x)

@@ -44,6 +44,11 @@ class Unsqueeze(AudioTransform):
             return None
         return axis_in - 1 if self.dim >= axis_in else axis_in
 
+    def propagate_mask(self, mask, x):
+        if mask is None:
+            return None
+        return self.forward(mask) if mask.ndim == x.ndim else None
+
 
 class Squeeze(AudioTransform):
     """Drop singleton axes; a full squeeze (``dim=None``) is not invertible
@@ -82,6 +87,11 @@ class Squeeze(AudioTransform):
             return None
         return axis_in + 1 if self.dim > axis_in else axis_in
 
+    def propagate_mask(self, mask, x):
+        if mask is None:
+            return None
+        return self.forward(mask) if mask.shape == x.shape else None
+
 
 class Transpose(AudioTransform):
     """Swap two axes; self-inverse (reference misc.py:114-153).
@@ -117,6 +127,11 @@ class Transpose(AudioTransform):
             return d0
         return axis_in
 
+    def propagate_mask(self, mask, x):
+        if mask is None:
+            return None
+        return self.forward(mask) if mask.ndim == x.ndim else None
+
 
 class OneHot(AudioTransform):
     """Integer -> one-hot on the last axis; invert via argmax
@@ -138,12 +153,16 @@ class OneHot(AudioTransform):
     def needs_scaling(self) -> bool:
         return self.n_classes == -1
 
-    def scale_data(self, x: jnp.ndarray) -> None:
+    def scale_data(self, x: jnp.ndarray, mask=None) -> None:
+        if mask is not None:
+            x = jnp.where(jnp.broadcast_to(mask > 0, x.shape), x, 0)
         self.n_classes = int(jnp.max(x)) + 1
 
-    def fit(self, x: jnp.ndarray) -> "OneHot":
+    def fit(self, x: jnp.ndarray, mask=None) -> "OneHot":
         # class count is static config; fitting requires concretization and is
         # therefore eager-only (cannot run under jit).
+        if mask is not None:
+            x = jnp.where(jnp.broadcast_to(mask > 0, x.shape), x, 0)
         new = self.replace()
         new.n_classes = int(jax.device_get(jnp.max(x))) + 1
         return new

@@ -43,17 +43,37 @@ class Normalize(AudioTransform):
     def get_normalization_modes(self):
         return list(NORMALIZATION_MODES)
 
-    def fit(self, x: jnp.ndarray) -> "Normalize":
+    def fit(self, x: jnp.ndarray, mask=None) -> "Normalize":
+        """Fit stats on ``x``; with ``mask`` (broadcastable, 1 = real data)
+        padded elements are excluded, so bucket-padded batches fit exactly
+        like their unpadded originals (tests/test_serving.py)."""
+        if mask is None:
+            valid = None
+        else:
+            valid = jnp.broadcast_to(mask > 0, x.shape)
+
+        def _min(v):
+            return v.min() if valid is None else jnp.where(valid, v, jnp.inf).min()
+
+        def _max(v):
+            return v.max() if valid is None else jnp.where(valid, v, -jnp.inf).max()
+
         if self.mode == "unipolar":
-            offset = x.min()
-            scale = (x - offset).max()
+            offset = _min(x)
+            scale = _max(x - offset)
         elif self.mode == "bipolar":
-            x_min, x_max = x.min(), x.max()
+            x_min, x_max = _min(x), _max(x)
             offset = (x_max + x_min) / 2.0
             scale = x_max - offset
         elif self.mode == "gaussian":
-            offset = x.mean()
-            scale = jnp.std(x, ddof=1)
+            if valid is None:
+                offset = x.mean()
+                scale = jnp.std(x, ddof=1)
+            else:
+                n = valid.sum().astype(x.dtype)
+                offset = jnp.where(valid, x, 0.0).sum() / n
+                ss = jnp.where(valid, (x - offset) ** 2, 0.0).sum()
+                scale = jnp.sqrt(ss / jnp.maximum(n - 1.0, 1.0))
         else:  # mode None: identity
             offset = jnp.zeros((), x.dtype)
             scale = jnp.ones((), x.dtype)

@@ -61,6 +61,17 @@ class OverlapAdd(AudioTransform):
     def output_frame_axis(self, axis_in=None):
         return -2  # (..., frames, n_fft)
 
+    def propagate_mask(self, mask, x):
+        # forward prepends the carried ring buffer (previous chunk's tail,
+        # assumed valid): frame t starts at t*hop - carry in this chunk
+        if mask is None:
+            return None
+        T = max((self._carry + x.shape[-1] - self.n_fft) // self.hop_length, 0) + 1
+        starts = jnp.clip(
+            jnp.arange(T) * self.hop_length - self._carry, 0, mask.shape[-1] - 1
+        )
+        return jnp.take(mask, starts, axis=-1)[..., :, None]
+
     @property
     def _carry(self) -> int:
         """Ring-buffer length in samples."""

@@ -73,6 +73,20 @@ class Mono(AudioTransform):
         time = time[..., 0] if self.squeeze else time[..., 0:1]
         return self.forward(x), time
 
+    def propagate_mask(self, mask, x):
+        """A channel-free sample mask (ndim = x.ndim - 1) survives the channel
+        mix/squeeze unchanged; a mask carrying the channel axis is reduced the
+        same way the signal is."""
+        if mask is None:
+            return None
+        if mask.ndim < x.ndim:
+            return mask
+        if mask.ndim >= 2 and mask.shape[-2] == 2:
+            mask = mask.max(-2)[..., None, :]
+        if self.squeeze and mask.ndim >= 2 and mask.shape[-2] == 1:
+            mask = mask.squeeze(-2)
+        return mask
+
     def invert(self, x, inversion_mode=None, key=None):
         mode = self._resolve_mode(inversion_mode)
         if self.squeeze:
@@ -204,6 +218,13 @@ class Window(AudioTransform):
     def output_frame_axis(self, axis_in=None):
         return -2 if self.dim == -1 else None
 
+    def propagate_mask(self, mask, x):
+        if mask is None or self.dim != -1:
+            return None
+        T = max((x.shape[-1] - self.window_size) // self.hop_size, 0) + 1
+        starts = jnp.clip(jnp.arange(T) * self.hop_size, 0, mask.shape[-1] - 1)
+        return jnp.take(mask, starts, axis=-1)[..., :, None]
+
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         return frame(x, self.window_size, self.hop_size, self.dim)
 
@@ -282,3 +303,7 @@ class MuLaw(AudioTransform):
 
     def invert(self, x, inversion_mode=None, key=None):
         return self.decode(x)
+
+    def propagate_mask(self, mask, x):
+        # one-hot modes change the layout; only the plain-codes path keeps it
+        return mask if self.one_hot == "none" else None

@@ -86,8 +86,8 @@ class _Representation(AudioTransform):
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         return self._drop_nyquist(self.norm.forward(self._extract(x)))
 
-    def fit(self, x: jnp.ndarray) -> "_Representation":
-        return self.replace(norm=self.norm.fit(self._extract(x)))
+    def fit(self, x: jnp.ndarray, mask=None) -> "_Representation":
+        return self.replace(norm=self.norm.fit(self._extract(x), mask=mask))
 
     def invert(self, x, inversion_mode=None, key=None):
         return self._pad_nyquist(self.norm.invert(x))
@@ -218,11 +218,11 @@ class Magnitude(_Representation):
             mag = jnp.matmul(mag, self.inverse_mel_bank, precision=matmul_precision())
         return mag
 
-    def fit(self, x: jnp.ndarray) -> "Magnitude":
+    def fit(self, x: jnp.ndarray, mask=None) -> "Magnitude":
         # the reference fits the norm on the *non-mel* contrasted magnitude
         # (spectral_repr.py:242-245) — kept for behavioural parity.
         stats_in = self.contrast(jnp.abs(x))
-        return self.replace(norm=self.norm.fit(stats_in))
+        return self.replace(norm=self.norm.fit(stats_in, mask=mask))
 
 
 class Phase(_Representation):
@@ -364,9 +364,10 @@ class SpectralRepresentation(AudioTransform):
             sr=sr, keep_nyquist=keep_nyquist, **(phase_args or {})
         )
 
-    def fit(self, x: jnp.ndarray) -> "SpectralRepresentation":
+    def fit(self, x: jnp.ndarray, mask=None) -> "SpectralRepresentation":
         return self.replace(
-            magnitude=self.magnitude.fit(x), phase=self.phase.fit(x)
+            magnitude=self.magnitude.fit(x, mask=mask),
+            phase=self.phase.fit(x, mask=mask),
         )
 
     def forward(self, x: jnp.ndarray) -> SpectralRepresentationType:

@@ -121,6 +121,16 @@ class STFT(AudioTransform):
     def output_frame_axis(self, axis_in=None):
         return -2  # (..., frames, bins)
 
+    def propagate_mask(self, mask, x):
+        """Sample mask (..., L) -> frame mask (..., T, 1): a frame is real iff
+        the sample at its hop-start is real (frames near the padded tail of a
+        bucket are excluded from fits)."""
+        if mask is None:
+            return None
+        T = x.shape[-1] // self.hop_length + 1  # center-padded frame count
+        starts = jnp.clip(jnp.arange(T) * self.hop_length, 0, mask.shape[-1] - 1)
+        return jnp.take(mask, starts, axis=-1)[..., :, None]
+
     @property
     def n_bins(self) -> int:
         return self.n_fft // 2 + 1
@@ -391,6 +401,15 @@ class RealtimeSTFT(STFT):
         return float(overlap) * dual_window(
             np.asarray(self._get_window()), self.hop_length
         )
+
+    def propagate_mask(self, mask, x):
+        """Input is already framed (..., T, n_fft): a per-frame mask (..., T)
+        broadcasts to the spectra; anything else is not representable."""
+        if mask is None:
+            return None
+        if mask.shape[-1] == x.shape[-2]:
+            return mask[..., :, None]
+        return None
 
     @staticmethod
     def get_inversion_modes() -> List[str]:
