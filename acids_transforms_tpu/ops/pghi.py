@@ -163,15 +163,20 @@ def pghi_scan(
     prev_phase: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
     time_stencil: str = "backward",
+    parallel: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Peak-anchored causal PGHI over ``mag (..., T, F)`` (see module docs).
 
     ``prev_mag (..., 2, F)`` / ``prev_phase (..., F)`` carry streaming state
     across chunk boundaries (reference dgt.py:247-250); omit them for offline
     use.  Fully batched and jittable.
+
+    ``parallel`` selects the time recurrence: the serial ``lax.scan`` or the
+    log-depth affine-selection ``associative_scan`` (identical math, see
+    :func:`_pghi_parallel`); ``None`` auto-selects by frame count.
     """
     batch_shape = mag.shape[:-2]
-    F = mag.shape[-1]
+    T, F = mag.shape[-2], mag.shape[-1]
     if prev_mag is None:
         prev_mag = jnp.zeros(batch_shape + (2, F), mag.dtype)
     if prev_phase is None:
@@ -195,21 +200,20 @@ def pghi_scan(
     prev1 = prev_mag[..., 1, :]
     rand_phases = 2.0 * jnp.pi * jax.random.uniform(key, mag.shape, dtype=mag.dtype)
 
+    if parallel is None:
+        # the log-depth recurrence wins once the serial chain dominates;
+        # short streaming chunks stay on the cheap serial scan
+        parallel = T >= 32
+    if parallel:
+        return _pghi_parallel(
+            mag, time_step, freq_step, rand_phases, abstol,
+            prev_phase, prev1, prev_ts,
+        )
+
     def step(carry, inp):
         prev_phi, prev_m, prev_ts = carry
         m, ts, fs, rnd = inp
-        sig = m > abstol
-        prev_sig = prev_m > abstol
-        time_ok = sig & prev_sig
-        # ridge cells: local magnitude maxima along frequency
-        mpad = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(1, 1)], constant_values=-1.0)
-        peak = (m >= mpad[..., :-2]) & (m >= mpad[..., 2:])
-        anchored = time_ok & peak
-        # onset seeding at the frame's loudest bin
-        no_anchor = ~jnp.any(anchored, axis=-1, keepdims=True)
-        is_gmax = m == jnp.max(m, axis=-1, keepdims=True)
-        anchored = anchored | (no_anchor & sig & is_gmax)
-
+        anchored, sig = _anchor_mask(m, prev_m, abstol)
         phi_time = prev_phi + (prev_ts + ts) / 2.0
         filled = _nearest_anchor_fill(jnp.where(anchored, phi_time, 0.0), anchored, fs)
         phi = jnp.where(anchored, phi_time, filled)
@@ -226,6 +230,132 @@ def pghi_scan(
         (to_front(mag), to_front(time_step), to_front(freq_step), to_front(rand_phases)),
     )
     return jnp.moveaxis(phases, 0, -2)
+
+
+def _anchor_mask(m, prev_m, abstol):
+    """Anchor selection for one frame (or a whole (..., T, F) block at once):
+    audible freq-ridge cells also audible in the previous frame, plus onset
+    seeding at the loudest bin of anchor-less audible frames."""
+    sig = m > abstol[..., None, :] if m.ndim > abstol.ndim else m > abstol
+    prev_sig = prev_m > (abstol[..., None, :] if m.ndim > abstol.ndim else abstol)
+    time_ok = sig & prev_sig
+    mpad = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(1, 1)], constant_values=-1.0)
+    peak = (m >= mpad[..., :-2]) & (m >= mpad[..., 2:])
+    anchored = time_ok & peak
+    no_anchor = ~jnp.any(anchored, axis=-1, keepdims=True)
+    is_gmax = m == jnp.max(m, axis=-1, keepdims=True)
+    return anchored | (no_anchor & sig & is_gmax), sig
+
+
+def _pghi_parallel(
+    mag, time_step, freq_step, rand_phases, abstol, prev_phase, prev1, prev_ts
+):
+    """Log-depth PGHI time recurrence.
+
+    The serial scan computes ``phi_t = G_t(phi_{t-1})`` where, given the
+    anchor pattern (a pure function of magnitudes), ``G_t`` is an
+    *affine-selection* map:
+
+        phi_t[k] = g_t[k] * phi_{t-1}[s_t[k]] + d_t[k]
+
+    with ``s_t[k]`` the bin whose time-anchored phase the fill propagates
+    from (the nearest anchor; ``k`` itself when anchored), ``d_t[k]`` the
+    time-trapezoid at the anchor plus the frequency-trapezoid path integral
+    anchor->k, and ``g_t = 0`` for silent bins (random phase enters through
+    ``d``).  Such maps are closed under composition —
+
+        (s, d, g) . (s', d', g') = (s[s'], g' * d[s'] + d', g' * g[s'])
+
+    — so the whole time recurrence is one ``associative_scan`` over frames:
+    serial depth T collapses to ceil(log2 T) gather+mad stages, with the
+    per-frame anchor/fill precomputation batched over all frames in two
+    associative scans along frequency (vs 2T in the serial path).  Output is
+    numerically identical to the serial scan up to fp reassociation.
+    """
+    dt = mag.dtype
+    T, F = mag.shape[-2], mag.shape[-1]
+    batch = mag.shape[:-2]
+
+    prev_m = jnp.concatenate([prev1[..., None, :], mag[..., :-1, :]], axis=-2)
+    anchored, sig = _anchor_mask(mag, prev_m, abstol)
+
+    # time trapezoid c_t[k] = (ts[t-1, k] + ts[t, k]) / 2
+    ts_prev = jnp.concatenate([prev_ts[..., None, :], time_step[..., :-1, :]], axis=-2)
+    c = (ts_prev + time_step) / 2.0
+
+    # --- frequency fill, batched over all frames: nearest anchor index,
+    # path integral and distance via segmented affine scans along F
+    trap = (freq_step[..., 1:] + freq_step[..., :-1]) / 2.0
+    step_up = jnp.concatenate([jnp.zeros_like(freq_step[..., :1]), trap], axis=-1)
+    step_dn = jnp.concatenate([-trap, jnp.zeros_like(freq_step[..., :1])], axis=-1)
+
+    a = (~anchored).astype(dt)
+    kidx = jnp.broadcast_to(jnp.arange(F, dtype=dt), anchored.shape)
+    last_axis = anchored.ndim - 1
+
+    def scan_dir(step, reverse):
+        b_idx = jnp.where(anchored, kidx, 0.0)
+        b_path = jnp.where(anchored, 0.0, step)
+        b_dist = jnp.where(anchored, 0.0, 1.0)
+
+        def comb(l, r):  # prefix map: apply l (earlier) then r
+            a_l, i_l, p_l, d_l = l
+            a_r, i_r, p_r, d_r = r
+            return (
+                a_l * a_r,
+                i_l * a_r + i_r,
+                p_l * a_r + p_r,
+                d_l * a_r + d_r,
+            )
+
+        ac, ic, pc, dc = jax.lax.associative_scan(
+            comb, (a, b_idx, b_path, b_dist), axis=last_axis, reverse=reverse
+        )
+        return ic, pc, dc, ac == 0  # index, path, distance, has-anchor
+
+    i_up, p_up, d_up, v_up = scan_dir(step_up, reverse=False)
+    i_dn, p_dn, d_dn, v_dn = scan_dir(step_dn, reverse=True)
+
+    big = jnp.asarray(10 * F, dt)
+    du = jnp.where(v_up, d_up, big)
+    dd = jnp.where(v_dn, d_dn, big)
+    use_up = du <= dd
+    src = jnp.where(use_up, i_up, i_dn).astype(jnp.int32)
+    path = jnp.where(use_up, p_up, p_dn)
+
+    # --- assemble per-frame affine-selection elements (s, d, g)
+    s = jnp.where(anchored, jnp.arange(F, dtype=jnp.int32), src)
+    c_at_s = jnp.take_along_axis(c, s, axis=-1)
+    d = jnp.where(anchored, c, c_at_s + path)
+    d = jnp.where(sig, d, rand_phases)
+    g = sig.astype(dt)
+    # silent bins ignore the source phase entirely
+    s = jnp.where(sig, s, jnp.arange(F, dtype=jnp.int32))
+
+    # --- seed element: a constant map producing prev_phase
+    seed_s = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32), batch + (1, F))
+    seed_d = jnp.broadcast_to(prev_phase[..., None, :], batch + (1, F))
+    seed_g = jnp.zeros(batch + (1, F), dt)
+
+    s = jnp.concatenate([seed_s, s], axis=-2)
+    d = jnp.concatenate([seed_d, d], axis=-2)
+    g = jnp.concatenate([seed_g, g], axis=-2)
+
+    # scan over frames: move T to the front so the combine gathers along F
+    def to_front(x):
+        return jnp.moveaxis(x, -2, 0)
+
+    def comb(l, r):  # l earlier:  f_r(f_l(x))[k] = g_r[k] f_l(x)[s_r[k]] + d_r[k]
+        s_l, d_l, g_l = l
+        s_r, d_r, g_r = r
+        take = lambda arr: jnp.take_along_axis(arr, s_r, axis=-1)
+        return (take(s_l), g_r * take(d_l) + d_r, g_r * take(g_l))
+
+    _, dc, _ = jax.lax.associative_scan(
+        comb, (to_front(s), to_front(d), to_front(g)), axis=0
+    )
+    # the seed ignores its input, so every prefix is a constant map = phi_t
+    return jnp.moveaxis(dc[1:], 0, -2)
 
 
 # ================================================================ host oracle

@@ -90,16 +90,23 @@ def dgt_lambda(n_fft: int) -> float:
     return float((-(n_fft ** 2) / (8.0 * math.log(0.01))) ** 0.5)
 
 
-#: time-frequency ratio constants gamma = c * n_fft^2 for common windows
+#: time-frequency ratio constants gamma = c * n_fft^2 for common windows —
+#: the effective Gaussian equivalent of each window, enabling PGHI on
+#: non-Gaussian STFTs.  hann/hamming/blackman are the published values
 #: (Prusa & Sondergaard, "Real-Time Spectrogram Inversion Using Phase
-#: Gradient Heap Integration" — the effective Gaussian equivalent of each
-#: window, enabling PGHI on non-Gaussian STFTs)
+#: Gradient Heap Integration"); kaiser (beta=12, the torch default) and
+#: bartlett are derived with the same least-squares Gaussian fit
+#: (tools/derive_gammas.py — reproduces the published constants within ~3%,
+#: and both derived values sit inside the empirical spectral-convergence
+#: basin: kaiser SC-argmin ~0.12-0.18, bartlett ~0.30-0.36 at n_fft=1024).
+#: Every entry is exercised end to end by tests/test_dgt.py::
+#: test_pghi_all_windows.
 _WINDOW_GAMMA_C = {
     "hann": 0.25645,
     "hamming": 0.29794,
     "blackman": 0.17954,
-    "kaiser": 0.26,  # beta=12 fit; close to hann's concentration
-    "bartlett": 0.27,
+    "kaiser": 0.12808,   # derived (beta=12)
+    "bartlett": 0.31743, # derived
 }
 
 

@@ -206,3 +206,22 @@ def test_stft_pghi_with_hann_gamma(harmonic):
     assert sc_pghi < 0.3, sc_pghi
     assert sc_hybrid < sc_gl, (sc_hybrid, sc_gl)
     assert sc_hybrid < 0.06, sc_hybrid
+
+
+@pytest.mark.parametrize("window", ["hann", "hamming", "blackman", "kaiser", "bartlett"])
+def test_pghi_all_windows(harmonic, window):
+    """Every _WINDOW_GAMMA_C entry is exercised end to end: causal-scan PGHI
+    through each supported analysis window reconstructs below a per-window
+    spectral-convergence gate (kaiser/bartlett constants are derived, not
+    published — tools/derive_gammas.py)."""
+    t = T.STFT(n_fft=1024, hop_length=256, window=window)
+    mag = jnp.abs(t.forward(jnp.asarray(harmonic)))
+    rec = np.asarray(t.invert(mag, inversion_mode="pghi"))
+
+    mr = jnp.abs(t.forward(jnp.asarray(rec)))
+    n = min(mr.shape[-2], mag.shape[-2])
+    sc = float(
+        jnp.linalg.norm(mr[..., :n, :] - mag[..., :n, :])
+        / jnp.linalg.norm(mag[..., :n, :])
+    )
+    assert sc < 0.25, (window, sc)
