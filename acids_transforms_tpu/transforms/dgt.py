@@ -164,4 +164,4 @@ class RealtimeDGT(RealtimeSTFT):
 
     @staticmethod
     def get_inversion_modes() -> List[str]:
-        return ["random", "pghi", "keep_input", "sinebank", "pghi_exact"]
+        return ["random", "pghi", "keep_input", "sinebank", "pghi_exact", "pghi_gl"]

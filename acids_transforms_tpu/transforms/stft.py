@@ -383,6 +383,8 @@ class RealtimeSTFT(STFT):
         impl: str = "auto",
         seed: int = 0,
         batch_size: int = 2,
+        gl_iterations: int = 16,
+        gl_context: Optional[int] = None,
     ):
         super().__init__(
             sr=sr,
@@ -392,8 +394,16 @@ class RealtimeSTFT(STFT):
             window=window,
             impl=impl,
             seed=seed,
+            gl_iterations=gl_iterations,
         )
         self.batch_size = int(batch_size)
+        #: committed frames pinned during the streaming pghi_gl polish
+        #: (default: one full window of overlap context)
+        self.gl_context = (
+            int(gl_context)
+            if gl_context is not None
+            else max(self.n_fft // self.hop_length - 1, 1)
+        )
         self._state = None
 
     def _get_inv_window(self) -> jnp.ndarray:
@@ -413,20 +423,25 @@ class RealtimeSTFT(STFT):
 
     @staticmethod
     def get_inversion_modes() -> List[str]:
-        # reference modes (stft.py:241-243) + streaming "pghi" (extension)
-        return ["keep_input", "random", "sinebank", "pghi"]
+        # reference modes (stft.py:241-243) + streaming "pghi" and the
+        # pinned-context "pghi_gl" polish (extensions)
+        return ["keep_input", "random", "sinebank", "pghi", "pghi_gl"]
 
     # ------------------------------------------------------------- streaming
     def init_state(self, batch_shape: Tuple[int, ...] = (), key: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
         """Fresh streaming-inversion state for a given batch shape.
 
         Carries the sinebank phase continuity (``time_index`` /
-        ``random_phase``) and the RT-PGHI frame history: 2 magnitude frames +
-        1 phase frame (reference dgt.py:247-250)."""
+        ``random_phase``), the RT-PGHI frame history — 2 magnitude frames +
+        1 phase frame (reference dgt.py:247-250) — and the ``gl_context``
+        committed frames pinned by the streaming ``pghi_gl`` polish."""
         key = self._take_key(key)
+        ctx = self.gl_context
         return {
             "mag_buffer": jnp.zeros(tuple(batch_shape) + (2, self.n_bins)),
             "phase_buffer": jnp.zeros(tuple(batch_shape) + (self.n_bins,)),
+            "gl_mag": jnp.zeros(tuple(batch_shape) + (ctx, self.n_bins)),
+            "gl_phase": jnp.zeros(tuple(batch_shape) + (ctx, self.n_bins)),
             "time_index": jnp.zeros(()),
             "random_phase": 2.0
             * jnp.pi
@@ -487,9 +502,11 @@ class RealtimeSTFT(STFT):
     ) -> jnp.ndarray:
         mode = self._resolve_mode(inversion_mode)
         if mode in ("pghi", "pghi_exact", "pghi_gl"):
-            # streaming uses the causal scan for the whole pghi family
+            # streaming: causal scan, with the pinned-context GL polish on top
+            # for "pghi_gl" ("pghi_exact" maps to the scan — no heap online)
+            mode = "pghi_gl" if mode == "pghi_gl" else "pghi"
             state = self._eager_state(mag)
-            new_state, y = self.invert_stream(state, mag, inversion_mode="pghi", key=key)
+            new_state, y = self.invert_stream(state, mag, inversion_mode=mode, key=key)
             self._state = new_state
             return y
         if mode == "keep_input":
@@ -522,7 +539,9 @@ class RealtimeSTFT(STFT):
         mode = self._resolve_mode(inversion_mode)
         if jnp.iscomplexobj(x):
             return self._update_buffers(state, x), self.invert(x)
-        if mode in ("pghi", "pghi_exact", "pghi_gl"):
+        if mode == "pghi_gl":
+            return self.pghi_gl_stream(state, x, key=key)
+        if mode in ("pghi", "pghi_exact"):
             ph = self.pghi_stream(state, x, key=key)
             spec = x * jnp.exp(1j * ph)
             return self._update_buffers(state, spec), self.invert(spec)
@@ -553,6 +572,66 @@ class RealtimeSTFT(STFT):
             key=self._take_key(key),
             time_stencil="backward",
         )
+
+    def pghi_gl_stream(
+        self,
+        state: Dict[str, jnp.ndarray],
+        mag: jnp.ndarray,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+        """Streaming PGHI + Griffin-Lim polish for one chunk ``(..., T, F)``.
+
+        The causal scan provides the initial phase (as in ``pghi_stream``);
+        ``gl_iterations`` windowed consistency projections then refine it on
+        the chunk's own frame grid, with the carried ``gl_context`` committed
+        frames *pinned* so the polish cannot break continuity with already-
+        emitted audio.  Closes the streaming quality gap on noise-like
+        content, where the one-pass scan trails the exact heap
+        (PARITY.md "known limitations"; VERDICT r1 item 2) — see
+        tests/test_streaming.py::test_streaming_pghi_gl_beats_heap_on_noise.
+        Latency: zero extra frames (the polish is per-chunk); cost:
+        ``gl_iterations`` extra DFT pairs per chunk.
+        """
+        from ..ops.framing import frame as frame_op, overlap_add
+
+        ctx = self.gl_context
+        overlap = max(self.n_fft // self.hop_length, 1)
+        ph0 = self.pghi_stream(state, mag, key=key)
+
+        mag_ext = jnp.concatenate([state["gl_mag"], mag], axis=-2)
+        ph_ext = jnp.concatenate([state["gl_phase"], ph0], axis=-2)
+        pinned = ph_ext[..., :ctx, :]
+
+        def project(phase):
+            """One windowed consistency projection on the streaming grid."""
+            spec = mag_ext * jnp.exp(1j * phase)
+            frames_td = (
+                irfft_frames(spec, n_fft=self.n_fft, impl=self.impl)
+                * self.inv_window
+            )
+            y = overlap_add(frames_td, self.hop_length) / overlap
+            fr = frame_op(y, self.n_fft, self.hop_length, -1)[
+                ..., : mag_ext.shape[-2], :
+            ]
+            spec2 = rfft_frames(fr * self.window, impl=self.impl)
+            return jnp.angle(spec2)
+
+        def body(_, phase):
+            new = project(phase)
+            return jnp.concatenate([pinned, new[..., ctx:, :]], axis=-2)
+
+        phase = jax.lax.fori_loop(0, self.gl_iterations, body, ph_ext)
+        ph = phase[..., ctx:, :]
+        spec = mag * jnp.exp(1j * ph)
+
+        new_state = self._update_buffers(state, spec)
+        new_state["gl_mag"] = jnp.concatenate(
+            [state["gl_mag"], mag], axis=-2
+        )[..., -ctx:, :]
+        new_state["gl_phase"] = jnp.concatenate(
+            [state["gl_phase"], ph], axis=-2
+        )[..., -ctx:, :]
+        return new_state, self.invert(spec)
 
     def _update_buffers(
         self, state: Dict[str, jnp.ndarray], spec: jnp.ndarray
