@@ -31,6 +31,18 @@ reconstruction (global LS spreads the field's inconsistencies into
 high-magnitude regions — greedy max-first integration is structurally the
 right algorithm, not an approximation).
 
+For offline batches the time recurrence runs **blocked** (``parallel=True``):
+each frame is an affine-selection map of the previous frame's phase, maps
+compose associatively, and a sqrt-decomposition cuts the serial depth from T
+to ``~2 sqrt(T)`` — see :func:`_pghi_blocked`.  Two formulations that look
+faster on paper were measured and rejected on the v5e (BENCH_NOTES.md):
+a log-depth ``associative_scan`` over the maps (8x SLOWER — each composition
+stage is three ``take_along_axis`` gathers, and a single F=513 gather costs
+~3 ms on the VPU) and a gather-based boundary pass (same reason).  The rule
+that survives: **no gathers on the TPU, ever** — selection is done with
+segmented scans (within frames) and one-hot matmuls on the MXU (across block
+boundaries).
+
 ``pghi_heap_numpy`` keeps the exact magnitude-ordered heap on the host as the
 correctness oracle and the ``pghi_exact`` inversion mode (accelerated by
 native/pghi.cc when built).
@@ -105,18 +117,22 @@ def phase_gradients(
     return time_step, freq_step
 
 
-def _nearest_anchor_fill(phase_anchor, anchored, freq_step):
-    """Fill unanchored bins by integrating ``freq_step`` from the nearest
-    anchored bin below (up-sweep) or above (down-sweep), choosing the nearer.
+def _nearest_anchor_fill(values, anchored, freq_step):
+    """Fill unanchored bins from the nearest anchored bin below (up-sweep) or
+    above (down-sweep), choosing the nearer; the FIRST channel of ``values``
+    additionally integrates the ``freq_step`` trapezoid along the way.
 
     Formulated as two *segmented affine scans*: each bin is the map
-    ``f_k(x) = phi_k`` (anchored) or ``f_k(x) = x + step_k`` (unanchored), and
+    ``f_k(x) = v_k`` (anchored) or ``f_k(x) = x + step_k`` (unanchored), and
     the prefix composition — an associative op on ``(a, b)`` with
-    ``f(x) = a x + b`` — yields the integrated phase from the nearest anchor
-    directly.  A third carried coefficient counts the distance.  No gathers,
-    no index arithmetic: two ``associative_scan`` calls total (this is the
+    ``f(x) = a x + b`` — yields the propagated value from the nearest anchor
+    directly.  One extra carried coefficient counts the distance; additional
+    channels (the blocked recurrence's source-index and gate, see
+    :func:`_pghi_blocked`) ride the same scan with zero step.  No gathers, no
+    index arithmetic: two ``associative_scan`` calls total (this is the
     per-frame hot path of the PGHI scan).
     """
+    phase_anchor = values[0]
     dt = phase_anchor.dtype
     F = phase_anchor.shape[-1]
     last_axis = phase_anchor.ndim - 1
@@ -129,28 +145,205 @@ def _nearest_anchor_fill(phase_anchor, anchored, freq_step):
     a = (~anchored).astype(dt)  # 0 resets the recurrence at anchors
 
     def scan_dir(step, reverse):
-        b = jnp.where(anchored, phase_anchor, step)
-        db = jnp.where(anchored, 0.0, 1.0)
+        bs = [jnp.where(anchored, values[0], step)]
+        for v in values[1:]:
+            bs.append(jnp.where(anchored, v, 0.0))
+        bs.append(jnp.where(anchored, 0.0, 1.0))  # distance counter
 
         def comb(l, r):  # prefix map: apply l (earlier) then r
-            a_l, b_l, d_l = l
-            a_r, b_r, d_r = r
-            return (a_l * a_r, b_l * a_r + b_r, d_l * a_r + d_r)
+            a_l, bs_l = l[0], l[1:]
+            a_r, bs_r = r[0], r[1:]
+            return (a_l * a_r,) + tuple(
+                b_l * a_r + b_r for b_l, b_r in zip(bs_l, bs_r)
+            )
 
-        ac, bc, dc = jax.lax.associative_scan(
-            comb, (a, b, db), axis=last_axis, reverse=reverse
+        out = jax.lax.associative_scan(
+            comb, (a,) + tuple(bs), axis=last_axis, reverse=reverse
         )
-        return bc, dc, ac == 0  # phase, distance, has-anchor
+        ac, filled, dist = out[0], out[1:-1], out[-1]
+        return filled, dist, ac == 0  # channels, distance, has-anchor
 
-    phi_up, d_up, v_up = scan_dir(step_up, reverse=False)
-    phi_dn, d_dn, v_dn = scan_dir(step_dn, reverse=True)
+    f_up, d_up, v_up = scan_dir(step_up, reverse=False)
+    f_dn, d_dn, v_dn = scan_dir(step_dn, reverse=True)
 
     big = jnp.asarray(10 * F, dt)
     du = jnp.where(v_up, d_up, big)
     dd = jnp.where(v_dn, d_dn, big)
-    filled = jnp.where(du <= dd, phi_up, phi_dn)
+    use_up = du <= dd
     any_anchor = jnp.any(anchored, axis=-1, keepdims=True)
-    return jnp.where(any_anchor, filled, jnp.zeros_like(filled))
+    out = []
+    for fu, fd in zip(f_up, f_dn):
+        filled = jnp.where(use_up, fu, fd)
+        out.append(jnp.where(any_anchor, filled, jnp.zeros_like(filled)))
+    return tuple(out)
+
+
+def _anchor_mask(m, prev_m, abstol):
+    """Anchor selection for one frame (or a whole (..., T, F) block at once):
+    audible freq-ridge cells also audible in the previous frame, plus onset
+    seeding at the loudest bin of anchor-less audible frames."""
+    thr = abstol[..., None, :] if m.ndim > abstol.ndim else abstol
+    sig = m > thr
+    prev_sig = prev_m > thr
+    time_ok = sig & prev_sig
+    mpad = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(1, 1)], constant_values=-1.0)
+    peak = (m >= mpad[..., :-2]) & (m >= mpad[..., 2:])
+    anchored = time_ok & peak
+    no_anchor = ~jnp.any(anchored, axis=-1, keepdims=True)
+    is_gmax = m == jnp.max(m, axis=-1, keepdims=True)
+    return anchored | (no_anchor & sig & is_gmax), sig
+
+
+def _pghi_core(
+    anchored, sig, c, freq_step, rnd, init_phase, track_map=False
+):
+    """The PGHI time recurrence: one ``lax.scan`` over the frame axis (-2).
+
+    Inputs are fully precomputed per frame (anchor mask, audibility, time
+    trapezoid ``c``, frequency steps, random phases); the carry is just the
+    previous frame's phase.  With ``track_map=True`` two extra channels ride
+    the same segmented-scan fill — the *source index* ``idx`` (which input
+    bin each output phase chains back to) and the *gate* ``g`` (0 once a
+    random-phase reset broke the chain) — so the scan simultaneously yields
+    the block's composed affine-selection map ``phi_out = g * phi_in[idx] +
+    phi`` for the blocked recurrence, at ~no extra cost.
+    """
+    F = c.shape[-1]
+    kidx = jnp.arange(F, dtype=c.dtype)
+
+    def step(carry, inp):
+        anch, sg, c_t, fs, rnd_t = inp
+        if track_map:
+            phi, idx, g = carry
+        else:
+            phi = carry
+        phi_t = phi + c_t  # anchored bins: time trapezoid from prev phase
+        if track_map:
+            fill_phi, fill_idx, fill_g = _nearest_anchor_fill(
+                (jnp.where(anch, phi_t, 0.0), jnp.where(anch, idx, 0.0),
+                 jnp.where(anch, g, 0.0)),
+                anch, fs,
+            )
+            idx = jnp.where(anch, idx, fill_idx)
+            g = jnp.where(anch, g, fill_g)
+            idx = jnp.where(sg, idx, kidx)
+            g = jnp.where(sg, g, 0.0)
+        else:
+            (fill_phi,) = _nearest_anchor_fill(
+                (jnp.where(anch, phi_t, 0.0),), anch, fs
+            )
+        phi = jnp.where(anch, phi_t, fill_phi)
+        phi = jnp.where(sg, phi, rnd_t)
+        carry = (phi, idx, g) if track_map else phi
+        return carry, phi
+
+    def to_front(x):
+        return jnp.moveaxis(x, -2, 0)
+
+    init = (
+        (init_phase, jnp.broadcast_to(kidx, init_phase.shape),
+         jnp.ones_like(init_phase))
+        if track_map
+        else init_phase
+    )
+    carry, phases = jax.lax.scan(
+        step,
+        init,
+        (to_front(anchored), to_front(sig), to_front(c),
+         to_front(freq_step), to_front(rnd)),
+    )
+    phases = jnp.moveaxis(phases, 0, -2)
+    if track_map:
+        return phases, carry
+    return phases, None
+
+
+def _onehot_apply(idx, g, d, phi):
+    """Apply the affine-selection map ``g * phi[idx] + d`` WITHOUT a gather:
+    build the one-hot selection of ``idx`` and contract it on the MXU.
+    ``idx`` is float (exact integers); all shapes ``(..., F)``."""
+    F = phi.shape[-1]
+    onehot = (idx[..., :, None] == jnp.arange(F, dtype=idx.dtype)).astype(phi.dtype)
+    # HIGHEST: default (bf16) would round the selected phases themselves
+    sel = jnp.einsum(
+        "...kf,...f->...k", onehot, phi, precision=jax.lax.Precision.HIGHEST
+    )
+    return g * sel + d
+
+
+def _pghi_blocked(anchored, sig, c, freq_step, rnd, init_phase, block: int):
+    """Blocked PGHI time recurrence: serial depth T -> ``block + T/block``.
+
+    Each frame acts on the previous phase as an affine-selection map
+    ``phi_t[k] = g_t[k] * phi_{t-1}[s_t[k]] + d_t[k]`` (silent bins gate to
+    their random phase; everything else chains back to some bin of the
+    previous frame).  The schedule:
+
+    1. run the scan on every length-``block`` slab *in parallel* (slabs ride
+       as a batch dim), seeded with phase 0 and ``track_map=True`` — the
+       final carry of each slab is its composed map ``(idx, g, d)``;
+    2. thread the true boundary phases through the ~T/block composed maps —
+       each application is a one-hot matmul on the MXU (gathers measured ~3ms
+       each on the v5e; one-hot matvecs are ~100x cheaper here);
+    3. every bin's phase is ``g * phi_in[idx] + d`` of its slab's incoming
+       phase — one batched one-hot matmul, no re-scan.
+
+    Numerically identical to the serial scan up to fp reassociation.
+    """
+    T, F = c.shape[-2], c.shape[-1]
+    batch = c.shape[:-2]
+    n_blocks = -(-T // block)
+    pad = n_blocks * block - T
+
+    def pad_t(x, value):
+        if not pad:
+            return x
+        shp = x.shape[:-2] + (pad, F)
+        return jnp.concatenate([x, jnp.full(shp, value, x.dtype)], axis=-2)
+
+    # identity padding frames: everything anchored & audible with zero steps
+    # (phi, idx, g all pass straight through)
+    anchored_p = pad_t(anchored, True)
+    sig_p = pad_t(sig, True)
+    c_p = pad_t(c, 0.0)
+    fs_p = pad_t(freq_step, 0.0)
+    rnd_p = pad_t(rnd, 0.0)
+
+    def slab(x):  # (..., n_blocks * block, F) -> (..., n_blocks, block, F)
+        return x.reshape(x.shape[:-2] + (n_blocks, block, F))
+
+    zero0 = jnp.zeros(batch + (n_blocks, F), c.dtype)
+    # pass 1: all slabs in parallel, seed 0, track the composed map
+    d_all, (d_end, idx_end, g_end) = _pghi_core(
+        slab(anchored_p), slab(sig_p), slab(c_p), slab(fs_p), slab(rnd_p),
+        zero0, track_map=True,
+    )
+
+    # pass 2: boundary phases through the composed maps (serial over blocks,
+    # one-hot matvec each)
+    def boundary(phi, blk):
+        idx_b, g_b, d_b = blk
+        return _onehot_apply(idx_b, g_b, d_b, phi), phi
+
+    def bfront(x):  # (..., n_blocks, F) -> (n_blocks, ..., F)
+        return jnp.moveaxis(x, -2, 0)
+
+    phi0 = init_phase
+    _, phi_in = jax.lax.scan(
+        boundary, phi0, (bfront(idx_end), bfront(g_end), bfront(d_end))
+    )
+    phi_in = jnp.moveaxis(phi_in, 0, -2)  # (..., n_blocks, F): slab seeds
+
+    # pass 3: apply every frame's composed-so-far map to its slab seed.
+    # d_all is phase-with-seed-0; idx/g per frame aren't stored (only final
+    # carries are), so recompute cheaply: phi_t = d_t + g_t * phi_in[idx_t]
+    # requires per-frame maps — instead re-run pass 1 with the true seeds.
+    phases, _ = _pghi_core(
+        slab(anchored_p), slab(sig_p), slab(c_p), slab(fs_p), slab(rnd_p),
+        phi_in, track_map=False,
+    )
+    phases = phases.reshape(batch + (n_blocks * block, F))
+    return phases[..., :T, :]
 
 
 def pghi_scan(
@@ -164,6 +357,7 @@ def pghi_scan(
     key: Optional[jax.Array] = None,
     time_stencil: str = "backward",
     parallel: Optional[bool] = None,
+    block: Optional[int] = None,
 ) -> jnp.ndarray:
     """Peak-anchored causal PGHI over ``mag (..., T, F)`` (see module docs).
 
@@ -172,8 +366,8 @@ def pghi_scan(
     use.  Fully batched and jittable.
 
     ``parallel`` selects the time recurrence: the serial ``lax.scan`` or the
-    log-depth affine-selection ``associative_scan`` (identical math, see
-    :func:`_pghi_parallel`); ``None`` auto-selects by frame count.
+    sqrt-blocked schedule (identical math, ~2 sqrt(T) serial depth, see
+    :func:`_pghi_blocked`); ``None`` auto-selects by frame count.
     """
     batch_shape = mag.shape[:-2]
     T, F = mag.shape[-2], mag.shape[-1]
@@ -200,162 +394,26 @@ def pghi_scan(
     prev1 = prev_mag[..., 1, :]
     rand_phases = 2.0 * jnp.pi * jax.random.uniform(key, mag.shape, dtype=mag.dtype)
 
-    if parallel is None:
-        # the log-depth recurrence wins once the serial chain dominates;
-        # short streaming chunks stay on the cheap serial scan
-        parallel = T >= 32
-    if parallel:
-        return _pghi_parallel(
-            mag, time_step, freq_step, rand_phases, abstol,
-            prev_phase, prev1, prev_ts,
-        )
-
-    def step(carry, inp):
-        prev_phi, prev_m, prev_ts = carry
-        m, ts, fs, rnd = inp
-        anchored, sig = _anchor_mask(m, prev_m, abstol)
-        phi_time = prev_phi + (prev_ts + ts) / 2.0
-        filled = _nearest_anchor_fill(jnp.where(anchored, phi_time, 0.0), anchored, fs)
-        phi = jnp.where(anchored, phi_time, filled)
-        phi = jnp.where(sig, phi, rnd)
-        return (phi, m, ts), phi
-
-    def to_front(a):
-        return jnp.moveaxis(a, -2, 0)
-
-    init = (prev_phase, prev1, prev_ts)
-    _, phases = jax.lax.scan(
-        step,
-        init,
-        (to_front(mag), to_front(time_step), to_front(freq_step), to_front(rand_phases)),
-    )
-    return jnp.moveaxis(phases, 0, -2)
-
-
-def _anchor_mask(m, prev_m, abstol):
-    """Anchor selection for one frame (or a whole (..., T, F) block at once):
-    audible freq-ridge cells also audible in the previous frame, plus onset
-    seeding at the loudest bin of anchor-less audible frames."""
-    sig = m > abstol[..., None, :] if m.ndim > abstol.ndim else m > abstol
-    prev_sig = prev_m > (abstol[..., None, :] if m.ndim > abstol.ndim else abstol)
-    time_ok = sig & prev_sig
-    mpad = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(1, 1)], constant_values=-1.0)
-    peak = (m >= mpad[..., :-2]) & (m >= mpad[..., 2:])
-    anchored = time_ok & peak
-    no_anchor = ~jnp.any(anchored, axis=-1, keepdims=True)
-    is_gmax = m == jnp.max(m, axis=-1, keepdims=True)
-    return anchored | (no_anchor & sig & is_gmax), sig
-
-
-def _pghi_parallel(
-    mag, time_step, freq_step, rand_phases, abstol, prev_phase, prev1, prev_ts
-):
-    """Log-depth PGHI time recurrence.
-
-    The serial scan computes ``phi_t = G_t(phi_{t-1})`` where, given the
-    anchor pattern (a pure function of magnitudes), ``G_t`` is an
-    *affine-selection* map:
-
-        phi_t[k] = g_t[k] * phi_{t-1}[s_t[k]] + d_t[k]
-
-    with ``s_t[k]`` the bin whose time-anchored phase the fill propagates
-    from (the nearest anchor; ``k`` itself when anchored), ``d_t[k]`` the
-    time-trapezoid at the anchor plus the frequency-trapezoid path integral
-    anchor->k, and ``g_t = 0`` for silent bins (random phase enters through
-    ``d``).  Such maps are closed under composition —
-
-        (s, d, g) . (s', d', g') = (s[s'], g' * d[s'] + d', g' * g[s'])
-
-    — so the whole time recurrence is one ``associative_scan`` over frames:
-    serial depth T collapses to ceil(log2 T) gather+mad stages, with the
-    per-frame anchor/fill precomputation batched over all frames in two
-    associative scans along frequency (vs 2T in the serial path).  Output is
-    numerically identical to the serial scan up to fp reassociation.
-    """
-    dt = mag.dtype
-    T, F = mag.shape[-2], mag.shape[-1]
-    batch = mag.shape[:-2]
-
+    # batched per-frame precomputation (hoisted out of the scan)
     prev_m = jnp.concatenate([prev1[..., None, :], mag[..., :-1, :]], axis=-2)
     anchored, sig = _anchor_mask(mag, prev_m, abstol)
-
-    # time trapezoid c_t[k] = (ts[t-1, k] + ts[t, k]) / 2
     ts_prev = jnp.concatenate([prev_ts[..., None, :], time_step[..., :-1, :]], axis=-2)
     c = (ts_prev + time_step) / 2.0
 
-    # --- frequency fill, batched over all frames: nearest anchor index,
-    # path integral and distance via segmented affine scans along F
-    trap = (freq_step[..., 1:] + freq_step[..., :-1]) / 2.0
-    step_up = jnp.concatenate([jnp.zeros_like(freq_step[..., :1]), trap], axis=-1)
-    step_dn = jnp.concatenate([-trap, jnp.zeros_like(freq_step[..., :1])], axis=-1)
-
-    a = (~anchored).astype(dt)
-    kidx = jnp.broadcast_to(jnp.arange(F, dtype=dt), anchored.shape)
-    last_axis = anchored.ndim - 1
-
-    def scan_dir(step, reverse):
-        b_idx = jnp.where(anchored, kidx, 0.0)
-        b_path = jnp.where(anchored, 0.0, step)
-        b_dist = jnp.where(anchored, 0.0, 1.0)
-
-        def comb(l, r):  # prefix map: apply l (earlier) then r
-            a_l, i_l, p_l, d_l = l
-            a_r, i_r, p_r, d_r = r
-            return (
-                a_l * a_r,
-                i_l * a_r + i_r,
-                p_l * a_r + p_r,
-                d_l * a_r + d_r,
-            )
-
-        ac, ic, pc, dc = jax.lax.associative_scan(
-            comb, (a, b_idx, b_path, b_dist), axis=last_axis, reverse=reverse
+    if block is None:
+        # steps = 2*block + T/block (passes 1+3 and the boundary pass are all
+        # latency-bound per step on TPU) -> optimum at sqrt(T/2)
+        block = max(8, min(128, int(np.ceil(np.sqrt(T / 2.0)))))
+    if parallel is None:
+        parallel = T >= 4 * block
+    if parallel:
+        return _pghi_blocked(
+            anchored, sig, c, freq_step, rand_phases, prev_phase, block
         )
-        return ic, pc, dc, ac == 0  # index, path, distance, has-anchor
-
-    i_up, p_up, d_up, v_up = scan_dir(step_up, reverse=False)
-    i_dn, p_dn, d_dn, v_dn = scan_dir(step_dn, reverse=True)
-
-    big = jnp.asarray(10 * F, dt)
-    du = jnp.where(v_up, d_up, big)
-    dd = jnp.where(v_dn, d_dn, big)
-    use_up = du <= dd
-    src = jnp.where(use_up, i_up, i_dn).astype(jnp.int32)
-    path = jnp.where(use_up, p_up, p_dn)
-
-    # --- assemble per-frame affine-selection elements (s, d, g)
-    s = jnp.where(anchored, jnp.arange(F, dtype=jnp.int32), src)
-    c_at_s = jnp.take_along_axis(c, s, axis=-1)
-    d = jnp.where(anchored, c, c_at_s + path)
-    d = jnp.where(sig, d, rand_phases)
-    g = sig.astype(dt)
-    # silent bins ignore the source phase entirely
-    s = jnp.where(sig, s, jnp.arange(F, dtype=jnp.int32))
-
-    # --- seed element: a constant map producing prev_phase
-    seed_s = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32), batch + (1, F))
-    seed_d = jnp.broadcast_to(prev_phase[..., None, :], batch + (1, F))
-    seed_g = jnp.zeros(batch + (1, F), dt)
-
-    s = jnp.concatenate([seed_s, s], axis=-2)
-    d = jnp.concatenate([seed_d, d], axis=-2)
-    g = jnp.concatenate([seed_g, g], axis=-2)
-
-    # scan over frames: move T to the front so the combine gathers along F
-    def to_front(x):
-        return jnp.moveaxis(x, -2, 0)
-
-    def comb(l, r):  # l earlier:  f_r(f_l(x))[k] = g_r[k] f_l(x)[s_r[k]] + d_r[k]
-        s_l, d_l, g_l = l
-        s_r, d_r, g_r = r
-        take = lambda arr: jnp.take_along_axis(arr, s_r, axis=-1)
-        return (take(s_l), g_r * take(d_l) + d_r, g_r * take(g_l))
-
-    _, dc, _ = jax.lax.associative_scan(
-        comb, (to_front(s), to_front(d), to_front(g)), axis=0
+    phases, _ = _pghi_core(
+        anchored, sig, c, freq_step, rand_phases, prev_phase, track_map=False
     )
-    # the seed ignores its input, so every prefix is a constant map = phi_t
-    return jnp.moveaxis(dc[1:], 0, -2)
+    return phases
 
 
 # ================================================================ host oracle

@@ -147,3 +147,45 @@ def test_2d_mesh_batch_and_seq_sharded():
     y = np.asarray(sequence_parallel_istft(spec, n_fft, hop, w, mesh, batch_axis="data"))
     inner = slice(n_fft, L - n_fft)
     assert np.abs(y[..., inner] - x[..., inner]).max() < 1e-4
+
+
+def test_fused_forward_data_parallel():
+    mesh8 = local_mesh()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from acids_transforms_tpu.fuse import fuse_forward
+
+    n_fft, hop = 256, 64
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((16, 64 * hop)).astype(np.float32))
+    chain = (
+        T.STFT(n_fft=n_fft, hop_length=hop)
+        + T.Magnitude(mode="unipolar", mel=True, n_fft=n_fft)
+    ).fit(x)
+    fused = fuse_forward(chain)
+    xs = shard_along(x, mesh8, "data", 0)
+    y = jax.jit(fused, in_shardings=NamedSharding(mesh8, P("data")))(xs)
+    ref = fused(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+
+
+def test_sharded_stablehlo_export_roundtrip(tmp_path):
+    mesh8 = local_mesh()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from acids_transforms_tpu.export import export_stablehlo, load_stablehlo
+    from acids_transforms_tpu.fuse import fuse_forward
+
+    n_fft, hop = 256, 64
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((8, 32 * hop)).astype(np.float32))
+    chain = (
+        T.STFT(n_fft=n_fft, hop_length=hop)
+        + T.Magnitude(mode="unipolar", mel=True, n_fft=n_fft)
+    ).fit(x)
+    fused = fuse_forward(chain)
+    sh = NamedSharding(mesh8, P("data"))
+    path = str(tmp_path / "melspec_dp.stablehlo")
+    export_stablehlo(fused, (x,), path=path, in_shardings=sh)
+    call = load_stablehlo(path)
+    xs = shard_along(x, mesh8, "data", 0)
+    out = jax.jit(call)(xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fused(x)), atol=1e-5)
