@@ -125,6 +125,7 @@ def export_stablehlo(
     example_args: Sequence[Any],
     path: Optional[str] = None,
     polymorphic_batch: bool = False,
+    in_shardings: Any = None,
 ) -> bytes:
     """Serialize ``jit(fn)(*example_args)`` to portable StableHLO bytes.
 
@@ -135,9 +136,17 @@ def export_stablehlo(
     ``polymorphic_batch=True`` exports with a symbolic leading dimension, so
     one artifact serves any batch size (sample-axis lengths stay static —
     bucket them with utils/bucketing.py).
+
+    ``in_shardings`` (e.g. ``NamedSharding(mesh, P("data"))``) exports a
+    *multi-chip* program: the sharding annotations are recorded in the
+    artifact and the loaded callable runs SPMD on any mesh of the same
+    device count (tests/test_parallel.py exercises this on the virtual
+    8-CPU mesh; cannot be combined with ``polymorphic_batch``).
     """
-    jitted = jax.jit(fn)
+    jitted = jax.jit(fn, in_shardings=in_shardings) if in_shardings is not None else jax.jit(fn)
     if polymorphic_batch:
+        if in_shardings is not None:
+            raise ValueError("polymorphic_batch and in_shardings are exclusive")
         (b,) = jax.export.symbolic_shape("b")
         shapes = [
             jax.ShapeDtypeStruct((b,) + jnp.shape(a)[1:], jnp.asarray(a).dtype)
