@@ -38,13 +38,13 @@ from typing import Callable, Optional
 
 import jax.numpy as jnp
 
-from .ops.fft import _dft_matrices, _resolve_impl, matmul_precision, spectral_frames
+from .ops.fft import _resolve_impl, matmul_precision, stft_real
 from .transforms.base import AudioTransform, ComposeAudioTransform
 from .transforms.raw import Mono
 from .transforms.spectral_repr import Magnitude
 from .transforms.stft import STFT
 
-__all__ = ["fuse_forward", "fusable"]
+__all__ = ["fuse_forward", "fuse_fit", "fusable", "fit_fusable"]
 
 
 def _match_melspec(chain: AudioTransform, backend: str = "xla"):
@@ -80,16 +80,16 @@ def fusable(chain: AudioTransform, backend: str = "xla") -> bool:
 
 def _xla_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
     n_fft, hop = stft_t.n_fft, stft_t.hop_length
-    C, S = _dft_matrices(n_fft)
-    C, S = jnp.asarray(C), jnp.asarray(S)
 
     def forward(x: jnp.ndarray) -> jnp.ndarray:
         if mono is not None:
             x = mono.forward(x)
         prec = matmul_precision()
-        fw = spectral_frames(x, n_fft, hop, stft_t.window)
-        re = jnp.matmul(fw, C, precision=prec)
-        im = jnp.matmul(fw, S, precision=prec)
+        # direct GEMM: the chunk-DFT factorization (impl="factored") is
+        # SLOWER as an XLA graph — its elementwise twiddle/taps chains are
+        # HBM-bound (measured 8.9 vs 15.8 M frames/s); it wins only inside
+        # the Pallas kernel where intermediates stay in VMEM
+        re, im = stft_real(x, n_fft, hop, stft_t.window, impl=stft_t.impl)
         mag = jnp.sqrt(re * re + im * im)
         if mag_t.mel:
             mag = jnp.matmul(mag, mag_t.mel_bank, precision=prec)
@@ -146,3 +146,83 @@ def fuse_forward(
     if backend == "pallas":
         return _pallas_fused(mono, stft_t, mag_t)
     return _xla_fused(mono, stft_t, mag_t)
+
+
+def _match_fit(chain: AudioTransform):
+    """Like :func:`_match_melspec` for the *fit* pass.
+
+    Fit statistics are taken on the non-mel contrasted magnitude
+    (the reference ``Magnitude.scale_data`` quirk), so the mel /
+    keep_nyquist gates of the forward kernel do not apply — only the
+    framing constraints do.
+    """
+    match = _match_melspec(chain, backend="xla")
+    if match is None:
+        return None
+    mono, stft_t, mag_t = match
+    if stft_t.n_fft % stft_t.hop_length != 0:
+        return None
+    if mono is not None and (mono.normalize or not mono.squeeze):
+        return None
+    return mono, stft_t, mag_t
+
+
+def fit_fusable(chain: AudioTransform) -> bool:
+    return _match_fit(chain) is not None
+
+
+def fuse_fit(chain: AudioTransform) -> Callable[[jnp.ndarray], AudioTransform]:
+    """Return a one-kernel-pass ``fit`` for a melspec chain.
+
+    The returned callable maps raw audio to a fitted copy of ``chain``
+    exactly like ``chain.fit(x)``, but the normalization statistics are
+    reduced *inside* the fused Pallas kernel epilogue
+    (ops/pallas/spectral.py:fused_melspec_stats): neither the framed signal
+    (an ``n_fft/hop``-fold blow-up of the input) nor the spectrogram is ever
+    materialized in HBM — only an (8, bins) stats block leaves the chip.
+    The XLA fit path cannot express this (its reduction consumer still
+    forces the framed GEMM operand out to HBM).
+
+    Chains that don't match the pattern fall back to ``chain.jfit``.
+    """
+    match = _match_fit(chain)
+    if match is None:
+        return chain.jfit
+    mono, stft_t, mag_t = match
+    from .ops.pallas.spectral import fused_melspec_stats
+    from .transforms.norm import Normalize
+
+    norm = mag_t.norm
+    if not isinstance(norm, Normalize) or norm.mode is None:
+        return chain.jfit  # nothing to fit on this pattern
+
+    def fit(x: jnp.ndarray) -> AudioTransform:
+        y = mono.forward(x) if mono is not None else x
+        flat = y.reshape((-1, y.shape[-1]))
+        st = fused_melspec_stats(
+            flat,
+            stft_t.n_fft,
+            stft_t.hop_length,
+            stft_t.window,
+            mag_t.contrast_mode or "none",
+        )
+        if norm.mode == "unipolar":
+            offset = st["min"]
+            scale = st["max"] - st["min"]
+        elif norm.mode == "bipolar":
+            offset = (st["max"] + st["min"]) / 2.0
+            scale = st["max"] - offset
+        else:  # gaussian
+            n = jnp.asarray(st["count"], jnp.float32)
+            offset = st["sum"] / n
+            var = jnp.maximum(st["sumsq"] - n * offset * offset, 0.0)
+            scale = jnp.sqrt(var / jnp.maximum(n - 1.0, 1.0))
+        new_norm = norm.replace(offset=offset, scale=scale)
+        new_norm.needs_scaling = False
+        new_mag = mag_t.replace(norm=new_norm)
+        # Mono/STFT fits are no-ops in the matched pattern; only the
+        # Magnitude's norm carries fitted state.
+        children = [new_mag if t is mag_t else t for t in chain.transforms]
+        return ComposeAudioTransform(transforms=children, sr=chain.sr)
+
+    return fit

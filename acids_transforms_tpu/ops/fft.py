@@ -32,10 +32,12 @@ from .framing import frame, overlap_add
 
 __all__ = [
     "stft",
+    "stft_real",
     "istft",
     "rfft_frames",
     "irfft_frames",
     "spectral_frames",
+    "window_taps",
     "MATMUL_MAX_NFFT",
 ]
 
@@ -100,6 +102,10 @@ def _resolve_impl(impl: str, n_fft: int) -> str:
         # cost more than the halved MXU FLOPs) and 4.3M for XLA's FFT
         # (BENCH_NOTES.md) — MXU FLOPs are cheaper than data reshuffles.
         return "matmul" if n_fft <= MATMUL_MAX_NFFT else "fft"
+    if impl == "factored":
+        # already-framed entry points (rfft_frames / irfft_frames) have no
+        # chunk structure to exploit — they run the direct GEMM
+        return "matmul"
     if impl not in ("fft", "matmul", "matmul2"):
         raise ValueError("unknown fft impl %r" % impl)
     return impl
@@ -200,6 +206,185 @@ def spectral_frames(
     return frames * window
 
 
+# -- cosine-sum window factorization ------------------------------------------
+#
+# For windows that are short cosine sums (hann = 0.5 - 0.5 cos(2 pi n / N),
+# hamming, blackman, ...), the DFT of the window has 2P+1 nonzero bins
+# (P = 1 for hann), so the *windowed* frame DFT factors exactly:
+#
+#   DFT(w . x_t)[k] = sum_p c_p X_t[k - p]            (P-tap spectral conv)
+#   X_t[k]          = sum_j e^{-2 pi i k j hop / N} C[t + j, k]   (twiddle)
+#   C[c, k]         = sum_{m < hop} x[c hop + m] e^{-2 pi i k m / N}
+#
+# where C is the DFT of the *non-overlapping* hop chunks against the full-
+# resolution basis — a K=hop GEMM computed ONCE per chunk and reused by all
+# `overlap` frames covering it.  MXU FLOPs drop by ~overlap x (4x at the
+# 1024/256 headline shape) vs the direct windowed-frame GEMM; the twiddle
+# combine and the taps conv are cheap fused elementwise work.  This is the
+# factorization the radix-2 split could not deliver (BENCH_NOTES.md): the
+# data movement here is hop-aligned slices, not lane deinterleaves.
+
+
+@functools.lru_cache(maxsize=None)
+def window_taps(
+    window_key, tol: float = 1e-8, max_p: int = 4
+) -> Optional[Tuple[float, ...]]:
+    """Spectral taps ``(c_0, .., c_P)`` of a cosine-sum window, else None.
+
+    ``window_key`` is a hashable array snapshot (``tuple(np.asarray(w))`` or
+    bytes); returns the real symmetric DFT coefficients ``c_p = W[p] / N``
+    when the window's DFT is supported on ``|p| <= max_p`` (hann/hamming:
+    P=1, blackman: P=2).  Bartlett/kaiser/gaussian windows are not cosine
+    sums and return None (callers fall back to the direct GEMM)."""
+    w = np.frombuffer(window_key, dtype=np.float64)
+    n = w.shape[0]
+    W = np.fft.fft(w) / n
+    mag = np.abs(W)
+    scale = float(mag.max())
+    if scale == 0.0:
+        return None
+    nz = np.where(mag > tol * scale)[0]
+    signed = np.where(nz <= n // 2, nz, nz - n)
+    P = int(np.abs(signed).max()) if signed.size else 0
+    if P > max_p:
+        return None
+    for p in range(P + 1):
+        if abs(W[p].imag) > tol * scale * n:
+            return None
+        if p and abs(W[p] - W[-p]) > tol * scale * n:
+            return None
+    return tuple(float(W[p].real) for p in range(P + 1))
+
+
+def taps_for_window(window) -> Optional[Tuple[float, ...]]:
+    """Concrete-window convenience wrapper around :func:`window_taps`."""
+    w = np.asarray(window, dtype=np.float64)
+    return window_taps(w.tobytes())
+
+
+@functools.lru_cache(maxsize=None)
+def _chunk_dft_matrices(n_fft: int, hop: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Full-resolution DFT basis restricted to one hop chunk: (hop, n_bins)."""
+    n = np.arange(hop)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddles(n_fft: int, hop: int) -> Tuple[np.ndarray, np.ndarray]:
+    """``e^{-2 pi i k j hop / n_fft}`` as (overlap, n_bins) cos/-sin tables."""
+    overlap = n_fft // hop
+    j = np.arange(overlap)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * k * j * hop / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def _taps_conv(Xre, Xim, taps):
+    """Hermitian-aware P-tap convolution along the bin axis:
+    ``Y[k] = sum_p c_p X[k-p]`` with ``X[-m] = conj(X[m])`` and
+    ``X[N+m] = conj(X[N-m])`` (real signal, N = nyquist index)."""
+    Yre = taps[0] * Xre
+    Yim = taps[0] * Xim
+    for p in range(1, len(taps)):
+        c = taps[p]
+        # X[k-p]: left edge k < p wraps to conj(X[p-k])
+        rp_re = jnp.concatenate(
+            [jnp.flip(Xre[..., 1: p + 1], -1), Xre[..., :-p]], -1
+        )
+        rp_im = jnp.concatenate(
+            [-jnp.flip(Xim[..., 1: p + 1], -1), Xim[..., :-p]], -1
+        )
+        # X[k+p]: right edge k > N-p reflects to conj(X[2N-k-p])
+        lp_re = jnp.concatenate(
+            [Xre[..., p:], jnp.flip(Xre[..., -p - 1: -1], -1)], -1
+        )
+        lp_im = jnp.concatenate(
+            [Xim[..., p:], -jnp.flip(Xim[..., -p - 1: -1], -1)], -1
+        )
+        Yre = Yre + c * (rp_re + lp_re)
+        Yim = Yim + c * (rp_im + lp_im)
+    return Yre, Yim
+
+
+def _stft_factored(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    taps: Tuple[float, ...],
+    center: bool,
+    pad_mode: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(re, im) STFT via the chunk-DFT factorization (see module comment)."""
+    overlap = n_fft // hop_length
+    if center:
+        pads = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        x = jnp.pad(x, pads, mode=pad_mode)
+    Lp = x.shape[-1]
+    T = (Lp - n_fft) // hop_length + 1
+    n_rows = T - 1 + overlap
+    x = x[..., : n_rows * hop_length]
+    chunks = x.reshape(x.shape[:-1] + (n_rows, hop_length))
+
+    Ch, Sh = _chunk_dft_matrices(n_fft, hop_length)
+    prec = _PRECISION
+    Cre = jnp.matmul(chunks, jnp.asarray(Ch), precision=prec)
+    Cim = jnp.matmul(chunks, jnp.asarray(Sh), precision=prec)
+
+    twr_np, twi_np = _twiddles(n_fft, hop_length)
+    Xre = None
+    for j in range(overlap):
+        cr = Cre[..., j: j + T, :]
+        ci = Cim[..., j: j + T, :]
+        twr = jnp.asarray(twr_np[j])
+        twi = jnp.asarray(twi_np[j])
+        re_j = twr * cr - twi * ci
+        im_j = twr * ci + twi * cr
+        Xre = re_j if Xre is None else Xre + re_j
+        Xim = im_j if j == 0 else Xim + im_j
+    return _taps_conv(Xre, Xim, taps)
+
+
+def stft_real(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    window: jnp.ndarray,
+    center: bool = True,
+    pad_mode: str = "reflect",
+    impl: str = "auto",
+    taps: Optional[Tuple[float, ...]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """STFT returning ``(re, im)`` without a complex64 intermediate.
+
+    When ``taps`` (static cosine-sum window coefficients from
+    :func:`taps_for_window`) are provided, ``hop | n_fft`` and the impl
+    resolves to a GEMM, the chunk-DFT factorization runs — ~overlap-fold
+    fewer MXU FLOPs than the direct windowed-frame GEMM, same <=1e-4 parity
+    (tests/test_parity_matrix.py).
+    """
+    if impl == "factored":
+        # Opt-in only: measured 1.8x SLOWER than the direct GEMM as an XLA
+        # graph (the twiddle/taps elementwise chains are HBM-bound and cost
+        # more than the 4x MXU FLOP saving — same lesson as the radix-2
+        # split, BENCH_NOTES.md).  The factorization pays off inside the
+        # fused Pallas kernel, where those intermediates never leave VMEM
+        # (ops/pallas/spectral.py).  Kept as an impl for benchmarking and
+        # as the kernel's reference semantics.
+        if taps is None:
+            raise ValueError(
+                "impl='factored' needs cosine-sum window taps "
+                "(taps_for_window); this window is not a cosine sum"
+            )
+        if n_fft % hop_length != 0:
+            raise ValueError("impl='factored' requires hop | n_fft")
+        return _stft_factored(x, n_fft, hop_length, taps, center, pad_mode)
+    frames_w = spectral_frames(x, n_fft, hop_length, window, center, pad_mode)
+    spec = rfft_frames(frames_w, impl=impl)
+    return jnp.real(spec), jnp.imag(spec)
+
+
 def stft(
     x: jnp.ndarray,
     n_fft: int,
@@ -208,14 +393,70 @@ def stft(
     center: bool = True,
     pad_mode: str = "reflect",
     impl: str = "auto",
+    taps: Optional[Tuple[float, ...]] = None,
 ) -> jnp.ndarray:
     """Short-time Fourier transform, torch conventions, frame-major output.
 
     ``x (..., L) -> complex (..., T, n_fft//2+1)`` with ``T = 1 + L // hop``
-    when ``center=True``.
+    when ``center=True``.  ``taps``: see :func:`stft_real` (used only by
+    ``impl="factored"``).
     """
+    if impl == "factored":
+        re, im = stft_real(
+            x, n_fft, hop_length, window, center, pad_mode, impl, taps
+        )
+        return jax.lax.complex(re, im)
     frames_w = spectral_frames(x, n_fft, hop_length, window, center, pad_mode)
     return rfft_frames(frames_w, impl=impl)
+
+
+def _istft_factored_frames(
+    spec: jnp.ndarray, n_fft: int, hop_length: int, taps: Tuple[float, ...]
+) -> jnp.ndarray:
+    """``overlap_add(irfft(spec) * w, hop)`` via the chunk factorization.
+
+    The synthesis window multiply is the hermitian taps conv in the spectral
+    domain; the OLA target chunk ``c`` collects the ``overlap`` frames
+    covering it as conjugate-twiddled accumulations, and ONE K=n_bins GEMM
+    against the (n_bins, hop) restricted inverse basis produces the samples —
+    ~overlap-fold fewer MXU FLOPs than the (n_bins, n_fft) frame iDFT.
+    Returns the un-normalized OLA signal of length ``(T-1) hop + n_fft``.
+    """
+    overlap = n_fft // hop_length
+    T = spec.shape[-2]
+    n_bins = spec.shape[-1]
+    re, im = jnp.real(spec), jnp.imag(spec)
+    re, im = _taps_conv(re, im, taps)
+
+    # hermitian weights / N of the inverse DFT, folded in as a row constant
+    wgt = np.full(n_bins, 2.0, np.float32)
+    wgt[0] = 1.0
+    if n_fft % 2 == 0:
+        wgt[-1] = 1.0
+    scale = jnp.asarray(wgt / n_fft)
+    re = re * scale
+    im = im * scale
+
+    twr_np, twi_np = _twiddles(n_fft, hop_length)  # e^{-i...}: conj = (twr, -twi)
+    pad_cfg = [(0, 0)] * (re.ndim - 2)
+    D_re = None
+    for j in range(overlap):
+        twc_re = jnp.asarray(twr_np[j])
+        twc_im = jnp.asarray(-twi_np[j])
+        rj = twc_re * re - twc_im * im
+        ij = twc_re * im + twc_im * re
+        rj = jnp.pad(rj, pad_cfg + [(j, overlap - 1 - j), (0, 0)])
+        ij = jnp.pad(ij, pad_cfg + [(j, overlap - 1 - j), (0, 0)])
+        D_re = rj if D_re is None else D_re + rj
+        D_im = ij if j == 0 else D_im + ij
+
+    Ch, Sh = _chunk_dft_matrices(n_fft, hop_length)  # (hop, n_bins) cos / -sin
+    prec = _PRECISION
+    chunks = jnp.matmul(D_re, jnp.asarray(Ch.T), precision=prec) + jnp.matmul(
+        D_im, jnp.asarray(Sh.T), precision=prec
+    )
+    n_rows = T + overlap - 1
+    return chunks.reshape(chunks.shape[:-2] + (n_rows * hop_length,))
 
 
 def istft(
@@ -226,15 +467,25 @@ def istft(
     center: bool = True,
     length: Optional[int] = None,
     impl: str = "auto",
+    taps: Optional[Tuple[float, ...]] = None,
 ) -> jnp.ndarray:
     """Least-squares ISTFT matching ``torch.istft`` (frame-major input).
 
     ``spec (..., T, n_bins) -> (..., hop * (T - 1))`` when ``center=True`` and
-    ``length`` is None.
+    ``length`` is None.  ``taps``: static cosine-sum coefficients of the
+    *synthesis* window (see :func:`taps_for_window`) — dispatches the chunk
+    factorization when the impl resolves to a GEMM.
     """
     T = spec.shape[-2]
-    y_frames = irfft_frames(spec, n_fft=n_fft, impl=impl) * window
-    y = overlap_add(y_frames, hop_length)
+    if impl == "factored":
+        if taps is None or n_fft % hop_length != 0:
+            raise ValueError(
+                "impl='factored' needs cosine-sum taps and hop | n_fft"
+            )
+        y = _istft_factored_frames(spec, n_fft, hop_length, taps)
+    else:
+        y_frames = irfft_frames(spec, n_fft=n_fft, impl=impl) * window
+        y = overlap_add(y_frames, hop_length)
 
     env_frames = jnp.broadcast_to(window[None, :] ** 2, (T, n_fft))
     env = overlap_add(env_frames, hop_length)

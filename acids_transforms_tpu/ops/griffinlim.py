@@ -32,12 +32,15 @@ def griffin_lim(
     key: Optional[jax.Array] = None,
     impl: str = "auto",
     init_phase: Optional[jnp.ndarray] = None,
+    taps=None,
 ) -> jnp.ndarray:
     """Reconstruct a waveform from a magnitude spectrogram ``(..., T, F)``.
 
     ``init_phase`` seeds the iteration with an explicit phase estimate
     (e.g. PGHI) instead of random/ones — the standard PGHI+GL hybrid, which
-    converges far faster than a cold start."""
+    converges far faster than a cold start.  ``taps`` (static cosine-sum
+    window coefficients) dispatch both projections of every iteration to the
+    chunk-DFT factorization (~overlap-fold fewer MXU FLOPs per iteration)."""
     mom = momentum / (1.0 + momentum)
     if init_phase is not None:
         angles = jnp.exp(1j * init_phase.astype(jnp.float32))
@@ -56,9 +59,10 @@ def griffin_lim(
     def body(_, carry):
         angles, tprev = carry
         inverse = istft(
-            magnitude * angles, n_fft, hop_length, window, length=length, impl=impl
+            magnitude * angles, n_fft, hop_length, window, length=length,
+            impl=impl, taps=taps,
         )
-        rebuilt = stft(inverse, n_fft, hop_length, window, impl=impl)
+        rebuilt = stft(inverse, n_fft, hop_length, window, impl=impl, taps=taps)
         upd = rebuilt - mom * tprev
         upd = upd / jnp.maximum(jnp.abs(upd), 1e-16)
         return upd, rebuilt
@@ -66,4 +70,7 @@ def griffin_lim(
     angles, _ = jax.lax.fori_loop(
         0, n_iter, body, (angles, jnp.zeros_like(angles))
     )
-    return istft(magnitude * angles, n_fft, hop_length, window, length=length, impl=impl)
+    return istft(
+        magnitude * angles, n_fft, hop_length, window, length=length,
+        impl=impl, taps=taps,
+    )

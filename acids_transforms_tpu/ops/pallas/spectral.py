@@ -1,4 +1,4 @@
-"""Fused Pallas kernel for the hot spectral pipeline.
+"""Fused Pallas kernels for the hot spectral pipeline.
 
 The headline path (BASELINE configs 1/3) is
 ``frame -> window -> rFFT -> |.| -> mel GEMM -> log1p -> affine-norm``.
@@ -6,13 +6,33 @@ XLA runs it well, but materializes the framed signal in HBM — an
 ``n_fft / hop`` (typically 4x) blow-up of the input bytes — and the DFT/mel
 GEMM pair round-trips intermediates through HBM between fusions.
 
-This kernel assembles each tile's frames in VMEM scratch (rolled row-shifts
-of one aligned hop-chunk block) and runs the window-folded DFT as full-K
-MXU contractions — overlapping frames never touch HBM, and all intermediates
-(DFT real/imag, magnitudes, mel) stay in VMEM.  The GEMMs use a manual bf16x3
-decomposition (the ``Precision.HIGH`` algorithm; Mosaic only accepts DEFAULT
-dot precision) with *bit-masked* splits — measured 5.2e-5 vs float64 end to
-end, slightly better than the XLA chain's 8.1e-5 (BENCH_NOTES.md).
+Kernel design (v3, round 2):
+
+* **Time-tiled, pipelined input.**  The signal rows are block-specced with a
+  ``pl.Element`` window of ``tile_t + halo`` rows starting at ``t * tile_t``
+  — overlapping blocks, so Mosaic double-buffers the HBM fetch of tile t+1
+  behind tile t's MXU work, and arbitrarily long signals stream through a
+  fixed VMEM footprint (the round-1 kernel loaded the whole signal row per
+  grid step: no pipelining and a hard VMEM ceiling — VERDICT.md weak #1).
+* **Adaptive tile size.**  ``tile_t`` is chosen per call so the padded frame
+  count ``n_tiles * tile_t`` hugs the true frame count (sublane-aligned),
+  instead of rounding T up to a fixed 128 multiple (11%+ wasted MXU work at
+  the headline shape).
+* Frames are assembled in VMEM scratch as rolled row-shifts of the aligned
+  hop-chunk block; the window-folded DFT runs as full-K MXU contractions —
+  overlapping frames never touch HBM, and all intermediates (DFT real/imag,
+  magnitudes, mel) stay in VMEM.
+* The GEMMs use a manual bf16x3 decomposition (the ``Precision.HIGH``
+  algorithm; Mosaic only accepts DEFAULT dot precision) with *bit-masked*
+  splits — measured 5.2e-5 vs float64 end to end, slightly better than the
+  XLA chain's 8.1e-5 (BENCH_NOTES.md).
+* **Fused fit epilogue** (:func:`fused_melspec_stats`): a stats-only kernel
+  computes the masked ``sum / sumsq / min / max`` of the contrasted
+  magnitude entirely on-chip — ``Normalize.fit`` over a spectrogram without
+  ever materializing the spectrogram (or the 4x framed signal) in HBM.
+  This is the capability the XLA path cannot express: its fit must write
+  the framed signal out and read it back.  Matches the reference quirk of
+  fitting on the *non-mel* contrasted magnitude (spectral_repr.py:242-245).
 
 Bin/mel dimensions are zero-padded to lane multiples (128); callers slice the
 valid region (handled by :func:`fused_melspec`).
@@ -30,14 +50,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fft import _dft_matrices
 
-__all__ = ["fused_melspec"]
+__all__ = ["fused_melspec", "fused_melspec_stats"]
 
-TILE_T = 128
 LANE = 128
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _pick_tile(T: int, target: int = 256) -> int:
+    """Sublane-aligned tile size minimizing pad waste around ``target`` rows."""
+    if T <= target:
+        return _round_up(max(T, 8), 8)
+    n_tiles = -(-T // target)
+    return _round_up(-(-T // n_tiles), 8)
 
 
 def _split_bf16(m: jnp.ndarray):
@@ -57,27 +84,21 @@ def _split_bf16(m: jnp.ndarray):
     return hi_f32.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
-def _kernel(
-    x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, mel_hi_ref, mel_lo_ref,
-    aff_ref, o_ref, scr_ref, *, overlap, hop, n_bins_p, contrast, eps, use_mel,
+def _tile_magnitude(
+    x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, scr_ref,
+    *, overlap, hop, tile_t,
 ):
-    t = pl.program_id(1)
+    """Assemble this tile's frames in VMEM and return |DFT| (tile_t, Fp)."""
     f32 = jnp.float32
-
-    # one aligned load per tile (sublane starts must be multiples of 8);
-    # per-j row shifts are VPU rolls of the in-register block, written into a
-    # VMEM scratch so the DFT runs as full-K (n_fft) MXU contractions instead
-    # of `overlap` K=hop passes
-    extra = -(-(overlap - 1) // 8) * 8
-    block = x_ref[0, pl.ds(t * TILE_T, TILE_T + extra), :]  # (TILE_T+extra, hop)
-    n_block = TILE_T + extra
+    block = x_ref[0]                      # (tile_t + halo, hop), halo rows follow
+    n_block = block.shape[0]
     for j in range(overlap):
-        # upward shift by j == non-negative roll by (n_block - j)
+        # frame i needs rows i..i+overlap-1: upward shift by j == roll by n-j
         scr_ref[:, j * hop: (j + 1) * hop] = pltpu.roll(
             block, shift=(n_block - j) % n_block, axis=0
-        )[:TILE_T, :]
+        )[:tile_t, :]
 
-    frames = scr_ref[...]  # (TILE_T, n_fft) f32, window folded into WC/WS
+    frames = scr_ref[...]                 # (tile_t, n_fft) f32, window in WC/WS
     fr_hi, fr_lo = _split_bf16(frames)
 
     def dot3(b_hi_ref, b_lo_ref):
@@ -89,8 +110,28 @@ def _kernel(
 
     re = dot3(wc_hi_ref, wc_lo_ref)
     im = dot3(ws_hi_ref, ws_lo_ref)
+    return jnp.sqrt(re * re + im * im)
 
-    mag = jnp.sqrt(re * re + im * im)
+
+def _apply_contrast(mag, contrast, eps):
+    if contrast == "log1p":
+        return jnp.log1p(mag)
+    if contrast == "log":
+        return jnp.log(jnp.maximum(mag, eps))
+    if contrast == "log10":
+        return jnp.log(jnp.maximum(mag, eps)) * (1.0 / np.log(10.0))
+    return mag
+
+
+def _forward_kernel(
+    x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, mel_hi_ref, mel_lo_ref,
+    aff_ref, o_ref, scr_ref, *, overlap, hop, tile_t, contrast, eps, use_mel,
+):
+    f32 = jnp.float32
+    mag = _tile_magnitude(
+        x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, scr_ref,
+        overlap=overlap, hop=hop, tile_t=tile_t,
+    )
     if use_mel:
         mag_hi, mag_lo = _split_bf16(mag)
         mag = (
@@ -98,27 +139,111 @@ def _kernel(
             + jnp.dot(mag_hi, mel_lo_ref[...], preferred_element_type=f32)
             + jnp.dot(mag_lo, mel_hi_ref[...], preferred_element_type=f32)
         )
-    if contrast == "log1p":
-        mag = jnp.log1p(mag)
-    elif contrast == "log":
-        mag = jnp.log(jnp.maximum(mag, eps))
-    elif contrast == "log10":
-        mag = jnp.log(jnp.maximum(mag, eps)) * (1.0 / np.log(10.0))
+    mag = _apply_contrast(mag, contrast, eps)
     offset = aff_ref[0, 0]
     scale = aff_ref[0, 1]
     o_ref[0, :, :] = (mag - offset) / scale
 
 
+def _stats_kernel(
+    x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref,
+    s_ref, scr_ref, *, overlap, hop, tile_t, contrast, eps, t_valid,
+):
+    """Accumulate masked (sum, sumsq, min, max) of contrast(|DFT|) over the
+    whole grid into one (8, Fp) block — the fused-fit epilogue."""
+    mag = _tile_magnitude(
+        x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, scr_ref,
+        overlap=overlap, hop=hop, tile_t=tile_t,
+    )
+    mag = _apply_contrast(mag, contrast, eps)
+
+    t = pl.program_id(1)
+    row = t * tile_t + jax.lax.broadcasted_iota(jnp.int32, mag.shape, 0)
+    valid = row < t_valid
+    inf = jnp.float32(jnp.inf)
+    part = jnp.concatenate(
+        [
+            jnp.where(valid, mag, 0.0).sum(0, keepdims=True),
+            jnp.where(valid, mag * mag, 0.0).sum(0, keepdims=True),
+            jnp.where(valid, mag, inf).min(0, keepdims=True),
+            jnp.where(valid, mag, -inf).max(0, keepdims=True),
+        ],
+        axis=0,
+    )  # (4, Fp)
+
+    first = (pl.program_id(0) == 0) & (t == 0)
+
+    @pl.when(first)
+    def _init():
+        s_ref[:4, :] = part
+        s_ref[4:, :] = jnp.zeros_like(s_ref[4:, :])
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        prev = s_ref[:4, :]
+        s_ref[:4, :] = jnp.concatenate(
+            [
+                prev[0:2] + part[0:2],
+                jnp.minimum(prev[2:3], part[2:3]),
+                jnp.maximum(prev[3:4], part[3:4]),
+            ],
+            axis=0,
+        )
+
+
+def _weights(n_fft: int, window) -> tuple:
+    F = n_fft // 2 + 1
+    Fp = _round_up(F, LANE)
+    C_np, S_np = _dft_matrices(n_fft)
+    w_np = np.asarray(window, dtype=np.float32)[:, None]
+    WC = jnp.asarray(np.pad(w_np * C_np, [(0, 0), (0, Fp - F)]))
+    WS = jnp.asarray(np.pad(w_np * S_np, [(0, 0), (0, Fp - F)]))
+    return F, Fp, WC, WS
+
+
+def _prepare_rows(x, n_fft, hop_length, center, tile_t):
+    """Center-pad, pad to tiled row count + halo, reshape to hop rows."""
+    B, L = x.shape
+    overlap = n_fft // hop_length
+    if center:
+        x = jnp.pad(x, [(0, 0), (n_fft // 2, n_fft // 2)], mode="reflect")
+    T = 1 + L // hop_length if center else (x.shape[-1] - n_fft) // hop_length + 1
+    if tile_t is None:
+        tile_t = _pick_tile(T)
+    halo = _round_up(overlap - 1, 8)
+    n_tiles = -(-T // tile_t)
+    n_rows_total = n_tiles * tile_t + halo
+    x = jnp.pad(x, [(0, 0), (0, n_rows_total * hop_length - x.shape[-1])])
+    return x.reshape(B, n_rows_total, hop_length), T, tile_t, halo, n_tiles
+
+
+def _common_specs(tile_t, halo, hop, n_fft, Fp):
+    # Mosaic requires all dims of one spec to be Element (or none); the
+    # element-indexed window overlaps tiles by `halo` rows so Mosaic can
+    # pipeline the HBM fetch of tile t+1 behind tile t's MXU work.
+    x_spec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(tile_t + halo), pl.Element(hop)),
+        lambda b, t: (b, t * tile_t, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+
+    return [x_spec] + [fixed((n_fft, Fp))] * 4
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "contrast", "interpret"),
+    static_argnames=("n_fft", "hop_length", "contrast", "interpret", "tile_t"),
 )
 def _fused_call(
-    x_rows, WC, WS, mel_p, aff, n_fft, hop_length, contrast, interpret
+    x_rows, WC, WS, mel_p, aff, n_fft, hop_length, contrast, interpret, tile_t
 ):
     B, n_rows_total, hop = x_rows.shape
-    overlap = n_fft // hop
-    n_tiles = (n_rows_total - _round_up(overlap - 1, 8)) // TILE_T
+    overlap = n_fft // hop_length
+    halo = _round_up(overlap - 1, 8)
+    n_tiles = (n_rows_total - halo) // tile_t
     Fp = WC.shape[1]
     use_mel = mel_p is not None
     Mp = mel_p.shape[1] if use_mel else Fp
@@ -130,10 +255,10 @@ def _fused_call(
     mel_hi, mel_lo = _split_bf16(mel_p)
 
     kernel = functools.partial(
-        _kernel,
+        _forward_kernel,
         overlap=overlap,
         hop=hop,
-        n_bins_p=Fp,
+        tile_t=tile_t,
         contrast=contrast,
         eps=float(np.finfo(np.float32).eps),
         use_mel=use_mel,
@@ -145,25 +270,72 @@ def _fused_call(
     return pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec(
-                (1, n_rows_total, hop), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
-            fixed((n_fft, Fp)),
-            fixed((n_fft, Fp)),
-            fixed((n_fft, Fp)),
-            fixed((n_fft, Fp)),
+        in_specs=_common_specs(tile_t, halo, hop, n_fft, Fp)
+        + [
             fixed((Fp, Mp)),
             fixed((Fp, Mp)),
             pl.BlockSpec((1, 2), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, TILE_T, Mp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            (1, tile_t, Mp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE_T, Mp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TILE_T, n_fft), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_t, Mp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_t, n_fft), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
         interpret=interpret,
     )(x_rows, wc_hi, wc_lo, ws_hi, ws_lo, mel_hi, mel_lo, aff)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "contrast", "interpret", "tile_t", "t_valid"),
+)
+def _stats_call(
+    x_rows, WC, WS, n_fft, hop_length, contrast, interpret, tile_t, t_valid
+):
+    B, n_rows_total, hop = x_rows.shape
+    overlap = n_fft // hop_length
+    halo = _round_up(overlap - 1, 8)
+    n_tiles = (n_rows_total - halo) // tile_t
+    Fp = WC.shape[1]
+
+    wc_hi, wc_lo = _split_bf16(WC)
+    ws_hi, ws_lo = _split_bf16(WS)
+
+    kernel = functools.partial(
+        _stats_kernel,
+        overlap=overlap,
+        hop=hop,
+        tile_t=tile_t,
+        contrast=contrast,
+        eps=float(np.finfo(np.float32).eps),
+        t_valid=t_valid,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=_common_specs(tile_t, halo, hop, n_fft, Fp),
+        out_specs=pl.BlockSpec(
+            (8, Fp), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, Fp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_t, n_fft), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=interpret,
+    )(x_rows, wc_hi, wc_lo, ws_hi, ws_lo)
+
+
+def _check_args(x, n_fft, hop_length, interpret):
+    if n_fft % hop_length != 0:
+        raise ValueError("fused kernels require hop | n_fft")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return interpret
 
 
 def fused_melspec(
@@ -177,6 +349,7 @@ def fused_melspec(
     contrast: str = "log1p",
     center: bool = True,
     interpret: Optional[bool] = None,
+    tile_t: Optional[int] = None,
 ) -> jnp.ndarray:
     """Fused ``(B, L) -> (B, T, n_mels)`` mel-spectrogram pipeline.
 
@@ -184,36 +357,18 @@ def fused_melspec(
     torch STFT conventions; everything after the centre padding runs in one
     Pallas kernel.  ``mel_bank=None`` skips the mel projection (plain
     contrasted magnitudes).  ``interpret`` defaults to True off-TPU so tests
-    exercise the same kernel on CPU.
+    exercise the same kernel on CPU.  ``tile_t`` (frames per grid step) is
+    chosen adaptively when None.
     """
     if x.ndim == 1:
         return fused_melspec(
-            x[None], n_fft, hop_length, window, mel_bank, offset, scale, contrast, center, interpret
+            x[None], n_fft, hop_length, window, mel_bank, offset, scale,
+            contrast, center, interpret, tile_t,
         )[0]
-    if n_fft % hop_length != 0:
-        raise ValueError("fused_melspec requires hop | n_fft")
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    interpret = _check_args(x, n_fft, hop_length, interpret)
+    x_rows, T, tile_t, halo, _ = _prepare_rows(x, n_fft, hop_length, center, tile_t)
 
-    B, L = x.shape
-    overlap = n_fft // hop_length
-    if center:
-        x = jnp.pad(x, [(0, 0), (n_fft // 2, n_fft // 2)], mode="reflect")
-    T = 1 + L // hop_length if center else (x.shape[-1] - n_fft) // hop_length + 1
-
-    n_tiles = -(-T // TILE_T)
-    # the kernel loads 8-row-aligned blocks of TILE_T + round_up(overlap-1, 8)
-    n_rows_total = n_tiles * TILE_T + _round_up(overlap - 1, 8)
-    x = jnp.pad(x, [(0, 0), (0, n_rows_total * hop_length - x.shape[-1])])
-    x_rows = x.reshape(B, n_rows_total, hop_length)
-
-    F = n_fft // 2 + 1
-    Fp = _round_up(F, LANE)
-    C_np, S_np = _dft_matrices(n_fft)
-    w_np = np.asarray(window, dtype=np.float32)[:, None]
-    WC = jnp.asarray(np.pad(w_np * C_np, [(0, 0), (0, Fp - F)]))
-    WS = jnp.asarray(np.pad(w_np * S_np, [(0, 0), (0, Fp - F)]))
-
+    F, Fp, WC, WS = _weights(n_fft, window)
     if mel_bank is not None:
         M = mel_bank.shape[1]
         Mp = _round_up(M, LANE)
@@ -223,6 +378,45 @@ def fused_melspec(
 
     aff = jnp.asarray([[offset, scale]], dtype=jnp.float32)
     out = _fused_call(
-        x_rows, WC, WS, mel_p, aff, n_fft, hop_length, contrast, interpret
+        x_rows, WC, WS, mel_p, aff, n_fft, hop_length, contrast, interpret, tile_t
     )
     return out[:, :T, :M]
+
+
+def fused_melspec_stats(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    window: jnp.ndarray,
+    contrast: str = "log1p",
+    center: bool = True,
+    interpret: Optional[bool] = None,
+    tile_t: Optional[int] = None,
+) -> dict:
+    """One-pass fused fit statistics of ``contrast(|stft(x)|)``.
+
+    Returns ``{"sum", "sumsq", "min", "max", "count"}`` scalars over the
+    whole (batch, frames, bins) spectrogram without materializing it (or the
+    framed signal) in HBM — the reduction runs in the kernel epilogue and a
+    single (8, bins) block leaves the chip.  Stats are taken on the non-mel
+    contrasted magnitude, matching the reference ``Magnitude.scale_data``
+    quirk (spectral_repr.py:242-245).
+    """
+    if x.ndim == 1:
+        x = x[None]
+    x = x.reshape((-1, x.shape[-1]))
+    interpret = _check_args(x, n_fft, hop_length, interpret)
+    x_rows, T, tile_t, halo, _ = _prepare_rows(x, n_fft, hop_length, center, tile_t)
+    F, Fp, WC, WS = _weights(n_fft, window)
+
+    s = _stats_call(
+        x_rows, WC, WS, n_fft, hop_length, contrast, interpret, tile_t, T
+    )
+    B = x.shape[0]
+    return {
+        "sum": s[0, :F].sum(),
+        "sumsq": s[1, :F].sum(),
+        "min": s[2, :F].min(),
+        "max": s[3, :F].max(),
+        "count": B * T * F,
+    }

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fft import istft, rfft_frames, irfft_frames, stft as stft_op
+from ..ops.fft import istft, rfft_frames, irfft_frames, stft as stft_op, taps_for_window
 from ..ops.griffinlim import griffin_lim
 from ..ops.interp import interp_linear
 from ..ops.windows import dual_window, get_window, window_gamma
@@ -93,6 +93,11 @@ class STFT(AudioTransform):
     def _refresh_windows(self) -> None:
         self.window = self._get_window()
         self.inv_window = self._get_inv_window()
+        # static cosine-sum spectral taps (hann/hamming/blackman; None
+        # otherwise) — enables the chunk-DFT factorization in ops/fft.py,
+        # ~overlap-fold fewer MXU FLOPs for the offline forward
+        self._window_taps = taps_for_window(np.asarray(self.window))
+        self._inv_window_taps = taps_for_window(np.asarray(self.inv_window))
 
     def set_params(self, n_fft: int, hop_length: int) -> None:
         """Eager reconfiguration (API parity with reference stft.py:67-75).
@@ -151,7 +156,8 @@ class STFT(AudioTransform):
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """``(..., L) -> complex (..., T, n_fft//2 + 1)``."""
         spec = stft_op(
-            x, self.n_fft, self.hop_length, self.window, impl=self.impl
+            x, self.n_fft, self.hop_length, self.window, impl=self.impl,
+            taps=self._window_taps,
         )
         self._stash_phase(spec)
         return spec
@@ -173,7 +179,8 @@ class STFT(AudioTransform):
         if not jnp.iscomplexobj(x):
             return self.invert_without_phase(x, inversion_mode, key=key, phase=phase)
         return istft(
-            x, self.n_fft, self.hop_length, self.inv_window, impl=self.impl
+            x, self.n_fft, self.hop_length, self.inv_window, impl=self.impl,
+            taps=self._inv_window_taps,
         )
 
     def invert_without_phase(

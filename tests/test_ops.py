@@ -187,6 +187,52 @@ def test_fdiff_fint_central_roundtrip_even():
     np.testing.assert_allclose(rec, x, atol=1e-4)
 
 
+def test_fdiff_fint_central_odd_t_smooth():
+    # odd T: the odd-parity chain offset is least-squares estimated from the
+    # even-neighbor midpoints; on smooth signals the residual is the mean
+    # curvature * step^2 / 2 — exact for linear-in-t signals, small for smooth
+    t = np.linspace(0, 1, 33, dtype=np.float32)[:, None]
+    lin = (3.0 * t + 0.5) * np.ones((1, 8), np.float32)
+    rec = np.asarray(fint_central(fdiff_central(jnp.asarray(lin[None]))))
+    np.testing.assert_allclose(rec, lin[None], atol=1e-4)
+    smooth = np.sin(2 * np.pi * t) * np.ones((1, 8), np.float32)
+    rec_s = np.asarray(fint_central(fdiff_central(jnp.asarray(smooth[None]))))
+    err = np.abs(rec_s - smooth[None]).max()
+    assert err < 0.02, err  # curvature-bounded, NOT the O(1) single-seed error
+
+
+def test_factored_stft_istft_match_direct():
+    # chunk-DFT factorization (impl="factored"): exact same semantics as the
+    # direct GEMM for cosine-sum windows (ops/fft.py module comment)
+    from acids_transforms_tpu.ops.fft import istft, stft, taps_for_window
+    from acids_transforms_tpu.ops.windows import get_window
+
+    x = RNG.standard_normal((2, 30000)).astype(np.float32)
+    for name, n_fft, hop in [("hann", 1024, 256), ("hamming", 512, 128), ("blackman", 512, 256)]:
+        w = get_window(name, n_fft)
+        taps = taps_for_window(np.asarray(w))
+        assert taps is not None, name
+        ref = np.asarray(stft(jnp.asarray(x), n_fft, hop, w))
+        fac = np.asarray(stft(jnp.asarray(x), n_fft, hop, w, impl="factored", taps=taps))
+        assert np.abs(fac - ref).max() / np.abs(ref).max() < 1e-5, name
+        rec_ref = np.asarray(istft(jnp.asarray(ref), n_fft, hop, w))
+        rec_fac = np.asarray(istft(jnp.asarray(ref), n_fft, hop, w, impl="factored", taps=taps))
+        assert np.abs(rec_fac - rec_ref).max() / np.abs(rec_ref).max() < 1e-5, name
+
+
+def test_factored_requires_taps_and_divisor_hop():
+    from acids_transforms_tpu.ops.fft import stft, taps_for_window
+    from acids_transforms_tpu.ops.windows import get_window
+
+    x = jnp.zeros(4096)
+    with pytest.raises(ValueError):
+        stft(x, 512, 128, get_window("bartlett", 512), impl="factored",
+             taps=taps_for_window(np.asarray(get_window("bartlett", 512))))
+    with pytest.raises(ValueError):
+        stft(x, 512, 160, get_window("hann", 512), impl="factored",
+             taps=taps_for_window(np.asarray(get_window("hann", 512))))
+
+
 def test_interp_linear_matches_torch():
     x = RNG.standard_normal((2, 5, 40)).astype(np.float32)
     ours = np.asarray(interp_linear(jnp.asarray(x), 160))

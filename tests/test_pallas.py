@@ -5,10 +5,10 @@ import pytest
 import jax.numpy as jnp
 
 from acids_transforms_tpu import transforms as T
-from acids_transforms_tpu.fuse import fusable, fuse_forward
+from acids_transforms_tpu.fuse import fit_fusable, fusable, fuse_fit, fuse_forward
 from acids_transforms_tpu.ops.fft import stft
 from acids_transforms_tpu.ops.mel import square_mel_banks
-from acids_transforms_tpu.ops.pallas.spectral import fused_melspec
+from acids_transforms_tpu.ops.pallas.spectral import fused_melspec, fused_melspec_stats
 from acids_transforms_tpu.ops.windows import hann_window
 
 RNG = np.random.default_rng(3)
@@ -71,6 +71,56 @@ def test_fuse_forward_xla_handles_pallas_unfriendly_configs(test_files):
     y_ref = np.asarray(fitted.forward(jnp.asarray(sig)))
     assert y_fused.shape == y_ref.shape
     assert np.abs(y_fused - y_ref).max() / (np.abs(y_ref).max() + 1e-9) < 1e-4
+
+
+def test_fused_melspec_tile_sizes_agree():
+    # explicit tile_t values (incl. non-128 sublane-aligned) match the default
+    x = RNG.standard_normal((2, 20000)).astype(np.float32)
+    n_fft, hop = 1024, 256
+    w = hann_window(n_fft)
+    base = np.asarray(fused_melspec(jnp.asarray(x), n_fft, hop, w, None))
+    for tt in (64, 120, 256):
+        y = np.asarray(fused_melspec(jnp.asarray(x), n_fft, hop, w, None, tile_t=tt))
+        assert np.array_equal(y.shape, base.shape)
+        assert np.abs(y - base).max() / np.abs(base).max() < 1e-5, tt
+
+
+def test_fused_melspec_stats_matches_direct():
+    x = RNG.standard_normal((3, 17000)).astype(np.float32)
+    n_fft, hop = 512, 128
+    w = hann_window(n_fft)
+    st = fused_melspec_stats(jnp.asarray(x), n_fft, hop, w, "log1p")
+    cm = np.log1p(np.abs(np.asarray(stft(jnp.asarray(x), n_fft, hop, w))))
+    assert st["count"] == cm.size
+    assert abs(float(st["sum"]) - cm.sum()) / abs(cm.sum()) < 1e-4
+    assert abs(float(st["sumsq"]) - (cm ** 2).sum()) / (cm ** 2).sum() < 1e-4
+    assert abs(float(st["max"]) - cm.max()) < 1e-3
+    assert abs(float(st["min"]) - cm.min()) < 1e-3
+
+
+@pytest.mark.parametrize("mode", ["unipolar", "bipolar", "gaussian"])
+def test_fuse_fit_matches_chain_fit(test_files, mode):
+    sig, _ = test_files
+    chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode=mode, contrast="log1p", mel=True, n_fft=512
+    )
+    assert fit_fusable(chain)
+    fitted_fused = fuse_fit(chain)(jnp.asarray(sig))
+    fitted_ref = chain.fit(jnp.asarray(sig))
+    norm_f = fitted_fused[-1].norm
+    norm_r = fitted_ref[-1].norm
+    assert abs(float(norm_f.offset) - float(norm_r.offset)) < 1e-3
+    assert abs(float(norm_f.scale) - float(norm_r.scale)) / abs(float(norm_r.scale)) < 1e-3
+    # and the fitted chains produce matching outputs
+    y_f = np.asarray(fitted_fused.forward(jnp.asarray(sig)))
+    y_r = np.asarray(fitted_ref.forward(jnp.asarray(sig)))
+    assert np.abs(y_f - y_r).max() / (np.abs(y_r).max() + 1e-9) < 1e-3
+
+
+def test_fuse_fit_fallback_unmatched():
+    chain = T.Stereo() + T.STFT()
+    assert not fit_fusable(chain)
+    assert fuse_fit(chain) == chain.jfit
 
 
 def test_fuse_forward_fallback():
