@@ -6,27 +6,32 @@ structure matches the hot mel-spectrogram pattern
     [Mono?] + STFT + Magnitude
 
 returns a callable that computes the whole pipeline without materializing
-the complex spectrogram: the analysis frames feed the cos/sin DFT GEMMs and
-the magnitude, mel GEMM, contrast and normalizer epilogue are applied to the
-real/imaginary parts directly.  The composable path (``chain.forward``)
-round-trips through a complex64 intermediate (STFT's public output); XLA
-fuses most of the surrounding elementwise work either way, so the measured
-gain is modest — 17.16M vs 16.74M frames/s (+2.5%) on one v5e chip at the
-headline shape (n_fft=1024, hop=256, batch=128) — but it is free, exact
-(<1e-4 vs the chain, enforced by bench.py's honesty guard) and compiles as
-fast as the chain.
+the complex spectrogram.  Any chain that doesn't match falls back to the
+jitted ``chain.forward``.
 
-Any chain that doesn't match falls back to the jitted ``chain.forward``.
+Backends (all <1e-4 vs the chain, enforced by bench.py's honesty guard;
+v5e figures at the headline shape n_fft=1024, hop=256, batch=128):
 
-Backends:
+- ``"auto"`` (default): the measured winner — the chunk-factored Pallas
+  kernel on TPU with a cosine-sum window, else the XLA fused GEMM.
+- ``"pallas"``: one Mosaic kernel (ops/pallas/spectral.py).  For cosine-sum
+  windows (hann/hamming/blackman) it runs the chunk-DFT factorization —
+  K=hop chunk GEMMs reused across overlapping frames + exact twiddle
+  combine + P-tap spectral window conv, all intermediates in VMEM —
+  **19.1M frames/s vs 15.7M** for the XLA path (+21%), 6.5e-5 vs f64.
+  The same factorization as an XLA graph is HBM-bound and *loses* 1.8x
+  (``impl="factored"``, ops/fft.py) — the kernel is what makes the FLOP
+  saving real.  Non-cosine windows use the full-K windowed kernel (13.2M,
+  loses to XLA — auto never picks it).  Requires ``hop | n_fft`` and
+  ``keep_nyquist``.
+- ``"xla"``: the fused-GEMM formulation — analysis frames feed the cos/sin
+  DFT GEMMs; magnitude, mel GEMM, contrast and normalizer epilogue fuse
+  onto the real/imaginary parts (15.7M frames/s; the composable
+  ``chain.forward`` with its complex64 intermediate is ~2.5% slower).
 
-- ``"xla"`` (default): the fused-GEMM formulation above; XLA fuses the
-  windowing into the GEMM prologue and the epilogue into its consumers.
-- ``"pallas"``: the single Pallas kernel (ops/pallas/spectral.py) that also
-  keeps framing in VMEM.  Accurate (6.8e-5 vs f64) but loses to XLA's
-  pipelined HBM double-buffering at the headline shape (12.6M frames/s), so
-  it stays opt-in (``ATT_BENCH_FUSED=1`` in bench.py).  It also requires
-  ``hop | n_fft`` and ``keep_nyquist``.
+``fuse_fit`` is the same story for the *fit* pass: the kernel's stats
+epilogue reduces the normalization statistics on-chip (26.3M vs 17.3M
+frames/s, +52%) — see :func:`fuse_fit`.
 
 Note: the fused forward is trace-pure — it does not stash forward phase for
 ``keep_input`` inversion (the eager-only side channel; pass ``phase=``
@@ -74,7 +79,9 @@ def _match_melspec(chain: AudioTransform, backend: str = "xla"):
     return mono, stft_t, mag_t
 
 
-def fusable(chain: AudioTransform, backend: str = "xla") -> bool:
+def fusable(chain: AudioTransform, backend: str = "auto") -> bool:
+    if backend == "auto":
+        backend = "pallas" if _pallas_preferred(chain) else "xla"
     return _match_melspec(chain, backend) is not None
 
 
@@ -113,6 +120,8 @@ def _pallas_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
     contrast = mag_t.contrast_mode or "none"
     mel_bank = mag_t.mel_bank if mag_t.mel else None
 
+    taps = getattr(stft_t, "_window_taps", None)
+
     def forward(x: jnp.ndarray) -> jnp.ndarray:
         if mono is not None:
             x = mono.forward(x)
@@ -127,18 +136,42 @@ def _pallas_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
             offset,
             scale,
             contrast,
+            taps=taps,
         )
         return y.reshape(batch_shape + y.shape[1:])
 
     return forward
 
 
+def _pallas_preferred(chain: AudioTransform) -> bool:
+    """True when the chunk-factored Pallas kernel is the fastest option:
+    on a TPU (elsewhere the kernel runs in interpret mode), pattern-fusable
+    under the Mosaic constraints, and the analysis window is a cosine sum
+    (without taps the full-K kernel loses to XLA — BENCH_NOTES.md)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    match = _match_melspec(chain, "pallas")
+    if match is None:
+        return False
+    return getattr(match[1], "_window_taps", None) is not None
+
+
 def fuse_forward(
-    chain: AudioTransform, backend: str = "xla"
+    chain: AudioTransform, backend: str = "auto"
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Return the fastest available forward for ``chain`` (see module docs)."""
-    if backend not in ("xla", "pallas"):
+    """Return the fastest available forward for ``chain`` (see module docs).
+
+    ``backend="auto"`` (default) dispatches to the chunk-factored Pallas
+    kernel when it is the measured winner (TPU + cosine-sum window: 19.1M
+    vs 15.7M frames/s for the XLA fused path at the headline shape), else
+    the XLA fused GEMM formulation, else ``chain.jforward``.
+    """
+    if backend not in ("auto", "xla", "pallas"):
         raise ValueError("unknown fuse backend %r" % backend)
+    if backend == "auto":
+        backend = "pallas" if _pallas_preferred(chain) else "xla"
     match = _match_melspec(chain, backend)
     if match is None:
         return chain.jforward
@@ -196,6 +229,8 @@ def fuse_fit(chain: AudioTransform) -> Callable[[jnp.ndarray], AudioTransform]:
     if not isinstance(norm, Normalize) or norm.mode is None:
         return chain.jfit  # nothing to fit on this pattern
 
+    taps = getattr(stft_t, "_window_taps", None)
+
     def fit(x: jnp.ndarray) -> AudioTransform:
         y = mono.forward(x) if mono is not None else x
         flat = y.reshape((-1, y.shape[-1]))
@@ -205,6 +240,7 @@ def fuse_fit(chain: AudioTransform) -> Callable[[jnp.ndarray], AudioTransform]:
             stft_t.hop_length,
             stft_t.window,
             mag_t.contrast_mode or "none",
+            taps=taps,
         )
         if norm.mode == "unipolar":
             offset = st["min"]

@@ -48,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..fft import _dft_matrices
+from ..fft import _chunk_dft_matrices, _dft_matrices, _twiddles
 
 __all__ = ["fused_melspec", "fused_melspec_stats"]
 
@@ -113,6 +113,86 @@ def _tile_magnitude(
     return jnp.sqrt(re * re + im * im)
 
 
+def _tile_magnitude_factored(
+    x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
+    *, taps, overlap, tile_t, n_bins,
+):
+    """|windowed DFT| via the chunk factorization, entirely in VMEM.
+
+    The cosine-sum window trick (ops/fft.py module comment): one K=hop chunk
+    GEMM per hop of signal (reused by all ``overlap`` frames), an exact
+    twiddle combine over the ``overlap`` covering chunks, and a P-tap
+    hermitian spectral convolution for the window.  ~overlap-fold fewer MXU
+    FLOPs than the windowed full-K DFT of :func:`_tile_magnitude` — and
+    unlike the XLA graph of ``impl="factored"`` (measured HBM-bound, 1.8x
+    slower than direct), the twiddle/taps intermediates here never leave
+    VMEM, so the FLOP saving is realized.
+    """
+    f32 = jnp.float32
+    block = x_ref[0]                      # (tile_t + halo, hop)
+    bh, bl = _split_bf16(block)
+
+    def dot3(b_hi_ref, b_lo_ref):
+        return (
+            jnp.dot(bh, b_hi_ref[...], preferred_element_type=f32)
+            + jnp.dot(bh, b_lo_ref[...], preferred_element_type=f32)
+            + jnp.dot(bl, b_hi_ref[...], preferred_element_type=f32)
+        )
+
+    Cre = dot3(cc_hi_ref, cc_lo_ref)      # (tile_t + halo, Fp)
+    Cim = dot3(cs_hi_ref, cs_lo_ref)
+
+    Xre = Xim = None
+    for j in range(overlap):
+        twr = twr_ref[j, :][None, :]
+        twi = twi_ref[j, :][None, :]
+        cr = Cre[j: j + tile_t]
+        ci = Cim[j: j + tile_t]
+        re_j = twr * cr - twi * ci
+        im_j = twr * ci + twi * cr
+        Xre = re_j if Xre is None else Xre + re_j
+        Xim = im_j if j == 0 else Xim + im_j
+
+    # P-tap hermitian conv along lanes: Y[k] = sum_p c_p X[k-p] with
+    # X[-m] = conj(X[m]), X[N+m] = conj(X[N-m]) (N = nyquist lane).
+    # Lanes >= n_bins hold zeros (zero-padded basis columns), so circular
+    # rolls bring zeros in; the hermitian edges are patched per-lane from
+    # the complementary roll (conjugated).
+    P = len(taps) - 1
+    Fp = Xre.shape[-1]
+    N = n_bins - 1
+    shifts = sorted({s % Fp for p in range(1, P + 1)
+                     for s in (p, -p, *[2 * k - p for k in range(p)],
+                               *[p - 2 * i for i in range(p)])})
+    rolls = {
+        s: (pltpu.roll(Xre, shift=s, axis=1), pltpu.roll(Xim, shift=s, axis=1))
+        for s in shifts
+    }
+
+    def at(s):
+        s = s % Fp
+        return (Xre, Xim) if s == 0 else rolls[s]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, Xre.shape, 1)
+    Yre = taps[0] * Xre
+    Yim = taps[0] * Xim
+    for p in range(1, P + 1):
+        rp_re, rp_im = at(p)              # X[k-p]
+        for k in range(p):                # lanes k < p: conj(X[p-k])
+            sre, sim = at(2 * k - p)
+            rp_re = jnp.where(lane == k, sre, rp_re)
+            rp_im = jnp.where(lane == k, -sim, rp_im)
+        lp_re, lp_im = at(-p)             # X[k+p]
+        for i in range(p):                # lanes N-i: conj(X[N-p+i])
+            sre, sim = at(p - 2 * i)
+            lp_re = jnp.where(lane == N - i, sre, lp_re)
+            lp_im = jnp.where(lane == N - i, -sim, lp_im)
+        Yre = Yre + taps[p] * (rp_re + lp_re)
+        Yim = Yim + taps[p] * (rp_im + lp_im)
+
+    return jnp.sqrt(Yre * Yre + Yim * Yim)
+
+
 def _apply_contrast(mag, contrast, eps):
     if contrast == "log1p":
         return jnp.log1p(mag)
@@ -123,40 +203,19 @@ def _apply_contrast(mag, contrast, eps):
     return mag
 
 
-def _forward_kernel(
-    x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, mel_hi_ref, mel_lo_ref,
-    aff_ref, o_ref, scr_ref, *, overlap, hop, tile_t, contrast, eps, use_mel,
-):
+def _mel3(mag, mel_hi_ref, mel_lo_ref):
     f32 = jnp.float32
-    mag = _tile_magnitude(
-        x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, scr_ref,
-        overlap=overlap, hop=hop, tile_t=tile_t,
+    mag_hi, mag_lo = _split_bf16(mag)
+    return (
+        jnp.dot(mag_hi, mel_hi_ref[...], preferred_element_type=f32)
+        + jnp.dot(mag_hi, mel_lo_ref[...], preferred_element_type=f32)
+        + jnp.dot(mag_lo, mel_hi_ref[...], preferred_element_type=f32)
     )
-    if use_mel:
-        mag_hi, mag_lo = _split_bf16(mag)
-        mag = (
-            jnp.dot(mag_hi, mel_hi_ref[...], preferred_element_type=f32)
-            + jnp.dot(mag_hi, mel_lo_ref[...], preferred_element_type=f32)
-            + jnp.dot(mag_lo, mel_hi_ref[...], preferred_element_type=f32)
-        )
-    mag = _apply_contrast(mag, contrast, eps)
-    offset = aff_ref[0, 0]
-    scale = aff_ref[0, 1]
-    o_ref[0, :, :] = (mag - offset) / scale
 
 
-def _stats_kernel(
-    x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref,
-    s_ref, scr_ref, *, overlap, hop, tile_t, contrast, eps, t_valid,
-):
-    """Accumulate masked (sum, sumsq, min, max) of contrast(|DFT|) over the
-    whole grid into one (8, Fp) block — the fused-fit epilogue."""
-    mag = _tile_magnitude(
-        x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, scr_ref,
-        overlap=overlap, hop=hop, tile_t=tile_t,
-    )
-    mag = _apply_contrast(mag, contrast, eps)
-
+def _stats_update(mag, s_ref, *, tile_t, t_valid):
+    """Accumulate masked (sum, sumsq, min, max) of this tile's ``mag`` into
+    the single (8, Fp) stats block shared by every grid step."""
     t = pl.program_id(1)
     row = t * tile_t + jax.lax.broadcasted_iota(jnp.int32, mag.shape, 0)
     valid = row < t_valid
@@ -191,6 +250,61 @@ def _stats_kernel(
         )
 
 
+def _forward_kernel(
+    x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, mel_hi_ref, mel_lo_ref,
+    aff_ref, o_ref, scr_ref, *, overlap, hop, tile_t, contrast, eps, use_mel,
+):
+    mag = _tile_magnitude(
+        x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, scr_ref,
+        overlap=overlap, hop=hop, tile_t=tile_t,
+    )
+    if use_mel:
+        mag = _mel3(mag, mel_hi_ref, mel_lo_ref)
+    mag = _apply_contrast(mag, contrast, eps)
+    o_ref[0, :, :] = (mag - aff_ref[0, 0]) / aff_ref[0, 1]
+
+
+def _forward_kernel_factored(
+    x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
+    mel_hi_ref, mel_lo_ref, aff_ref, o_ref,
+    *, taps, overlap, tile_t, n_bins, contrast, eps, use_mel,
+):
+    mag = _tile_magnitude_factored(
+        x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
+        taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
+    )
+    if use_mel:
+        mag = _mel3(mag, mel_hi_ref, mel_lo_ref)
+    mag = _apply_contrast(mag, contrast, eps)
+    o_ref[0, :, :] = (mag - aff_ref[0, 0]) / aff_ref[0, 1]
+
+
+def _stats_kernel(
+    x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref,
+    s_ref, scr_ref, *, overlap, hop, tile_t, contrast, eps, t_valid,
+):
+    """Fused-fit epilogue over the windowed full-K DFT formulation."""
+    mag = _tile_magnitude(
+        x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, scr_ref,
+        overlap=overlap, hop=hop, tile_t=tile_t,
+    )
+    mag = _apply_contrast(mag, contrast, eps)
+    _stats_update(mag, s_ref, tile_t=tile_t, t_valid=t_valid)
+
+
+def _stats_kernel_factored(
+    x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
+    s_ref, *, taps, overlap, tile_t, n_bins, contrast, eps, t_valid,
+):
+    """Fused-fit epilogue over the chunk-factored formulation."""
+    mag = _tile_magnitude_factored(
+        x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
+        taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
+    )
+    mag = _apply_contrast(mag, contrast, eps)
+    _stats_update(mag, s_ref, tile_t=tile_t, t_valid=t_valid)
+
+
 def _weights(n_fft: int, window) -> tuple:
     F = n_fft // 2 + 1
     Fp = _round_up(F, LANE)
@@ -199,6 +313,21 @@ def _weights(n_fft: int, window) -> tuple:
     WC = jnp.asarray(np.pad(w_np * C_np, [(0, 0), (0, Fp - F)]))
     WS = jnp.asarray(np.pad(w_np * S_np, [(0, 0), (0, Fp - F)]))
     return F, Fp, WC, WS
+
+
+def _factored_weights(n_fft: int, hop: int) -> tuple:
+    """Chunk DFT basis (hop, Fp) + twiddle tables (8, Fp), lane-padded."""
+    F = n_fft // 2 + 1
+    Fp = _round_up(F, LANE)
+    Cc, Cs = _chunk_dft_matrices(n_fft, hop)
+    CC = jnp.asarray(np.pad(Cc, [(0, 0), (0, Fp - F)]))
+    CS = jnp.asarray(np.pad(Cs, [(0, 0), (0, Fp - F)]))
+    twr, twi = _twiddles(n_fft, hop)
+    overlap = n_fft // hop
+    rows = max(8, _round_up(overlap, 8))
+    TWR = jnp.asarray(np.pad(twr, [(0, rows - overlap), (0, Fp - F)]))
+    TWI = jnp.asarray(np.pad(twi, [(0, rows - overlap), (0, Fp - F)]))
+    return F, Fp, CC, CS, TWR, TWI
 
 
 def _prepare_rows(x, n_fft, hop_length, center, tile_t):
@@ -235,11 +364,17 @@ def _common_specs(tile_t, halo, hop, n_fft, Fp):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "contrast", "interpret", "tile_t"),
+    static_argnames=(
+        "n_fft", "hop_length", "contrast", "interpret", "tile_t", "taps", "n_bins"
+    ),
 )
 def _fused_call(
-    x_rows, WC, WS, mel_p, aff, n_fft, hop_length, contrast, interpret, tile_t
+    x_rows, WC, WS, TWR, TWI, mel_p, aff,
+    n_fft, hop_length, contrast, interpret, tile_t, taps, n_bins,
 ):
+    """One pallas_call of the forward kernel.  With ``taps`` set, WC/WS are
+    the chunk basis and TWR/TWI the twiddle tables (factored formulation);
+    otherwise WC/WS are the window-folded full-K basis."""
     B, n_rows_total, hop = x_rows.shape
     overlap = n_fft // hop_length
     halo = _round_up(overlap - 1, 8)
@@ -253,47 +388,64 @@ def _fused_call(
     wc_hi, wc_lo = _split_bf16(WC)
     ws_hi, ws_lo = _split_bf16(WS)
     mel_hi, mel_lo = _split_bf16(mel_p)
-
-    kernel = functools.partial(
-        _forward_kernel,
-        overlap=overlap,
-        hop=hop,
-        tile_t=tile_t,
-        contrast=contrast,
-        eps=float(np.finfo(np.float32).eps),
-        use_mel=use_mel,
-    )
+    eps = float(np.finfo(np.float32).eps)
 
     def fixed(shape):
         return pl.BlockSpec(shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
-        kernel,
+    common = dict(
         grid=(B, n_tiles),
-        in_specs=_common_specs(tile_t, halo, hop, n_fft, Fp)
-        + [
-            fixed((Fp, Mp)),
-            fixed((Fp, Mp)),
-            pl.BlockSpec((1, 2), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
-        ],
         out_specs=pl.BlockSpec(
             (1, tile_t, Mp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_t, Mp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_t, n_fft), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")
         ),
         interpret=interpret,
+    )
+    mel_aff_specs = [
+        fixed((Fp, Mp)),
+        fixed((Fp, Mp)),
+        pl.BlockSpec((1, 2), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
+    ]
+
+    if taps is not None:
+        kernel = functools.partial(
+            _forward_kernel_factored,
+            taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
+            contrast=contrast, eps=eps, use_mel=use_mel,
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=_common_specs(tile_t, halo, hop, hop, Fp)
+            + [fixed((TWR.shape[0], Fp))] * 2 + mel_aff_specs,
+            **common,
+        )(x_rows, wc_hi, wc_lo, ws_hi, ws_lo, TWR, TWI, mel_hi, mel_lo, aff)
+
+    kernel = functools.partial(
+        _forward_kernel,
+        overlap=overlap, hop=hop, tile_t=tile_t,
+        contrast=contrast, eps=eps, use_mel=use_mel,
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=_common_specs(tile_t, halo, hop, n_fft, Fp) + mel_aff_specs,
+        scratch_shapes=[pltpu.VMEM((tile_t, n_fft), jnp.float32)],
+        **common,
     )(x_rows, wc_hi, wc_lo, ws_hi, ws_lo, mel_hi, mel_lo, aff)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "contrast", "interpret", "tile_t", "t_valid"),
+    static_argnames=(
+        "n_fft", "hop_length", "contrast", "interpret", "tile_t", "t_valid",
+        "taps", "n_bins",
+    ),
 )
 def _stats_call(
-    x_rows, WC, WS, n_fft, hop_length, contrast, interpret, tile_t, t_valid
+    x_rows, WC, WS, TWR, TWI,
+    n_fft, hop_length, contrast, interpret, tile_t, t_valid, taps, n_bins,
 ):
     B, n_rows_total, hop = x_rows.shape
     overlap = n_fft // hop_length
@@ -303,30 +455,46 @@ def _stats_call(
 
     wc_hi, wc_lo = _split_bf16(WC)
     ws_hi, ws_lo = _split_bf16(WS)
+    eps = float(np.finfo(np.float32).eps)
 
-    kernel = functools.partial(
-        _stats_kernel,
-        overlap=overlap,
-        hop=hop,
-        tile_t=tile_t,
-        contrast=contrast,
-        eps=float(np.finfo(np.float32).eps),
-        t_valid=t_valid,
-    )
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
-        kernel,
+    common = dict(
         grid=(B, n_tiles),
-        in_specs=_common_specs(tile_t, halo, hop, n_fft, Fp),
         out_specs=pl.BlockSpec(
             (8, Fp), lambda b, t: (0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((8, Fp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_t, n_fft), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")
         ),
         interpret=interpret,
+    )
+
+    if taps is not None:
+        kernel = functools.partial(
+            _stats_kernel_factored,
+            taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
+            contrast=contrast, eps=eps, t_valid=t_valid,
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=_common_specs(tile_t, halo, hop, hop, Fp)
+            + [fixed((TWR.shape[0], Fp))] * 2,
+            **common,
+        )(x_rows, wc_hi, wc_lo, ws_hi, ws_lo, TWR, TWI)
+
+    kernel = functools.partial(
+        _stats_kernel,
+        overlap=overlap, hop=hop, tile_t=tile_t,
+        contrast=contrast, eps=eps, t_valid=t_valid,
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=_common_specs(tile_t, halo, hop, n_fft, Fp),
+        scratch_shapes=[pltpu.VMEM((tile_t, n_fft), jnp.float32)],
+        **common,
     )(x_rows, wc_hi, wc_lo, ws_hi, ws_lo)
 
 
@@ -350,6 +518,7 @@ def fused_melspec(
     center: bool = True,
     interpret: Optional[bool] = None,
     tile_t: Optional[int] = None,
+    taps: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Fused ``(B, L) -> (B, T, n_mels)`` mel-spectrogram pipeline.
 
@@ -358,17 +527,23 @@ def fused_melspec(
     Pallas kernel.  ``mel_bank=None`` skips the mel projection (plain
     contrasted magnitudes).  ``interpret`` defaults to True off-TPU so tests
     exercise the same kernel on CPU.  ``tile_t`` (frames per grid step) is
-    chosen adaptively when None.
+    chosen adaptively when None.  ``taps`` (cosine-sum window coefficients,
+    ops/fft.py:taps_for_window) selects the chunk-factored formulation —
+    ~overlap-fold fewer MXU FLOPs with all intermediates in VMEM.
     """
     if x.ndim == 1:
         return fused_melspec(
             x[None], n_fft, hop_length, window, mel_bank, offset, scale,
-            contrast, center, interpret, tile_t,
+            contrast, center, interpret, tile_t, taps,
         )[0]
     interpret = _check_args(x, n_fft, hop_length, interpret)
     x_rows, T, tile_t, halo, _ = _prepare_rows(x, n_fft, hop_length, center, tile_t)
 
-    F, Fp, WC, WS = _weights(n_fft, window)
+    if taps is not None:
+        F, Fp, WC, WS, TWR, TWI = _factored_weights(n_fft, hop_length)
+    else:
+        F, Fp, WC, WS = _weights(n_fft, window)
+        TWR = TWI = jnp.zeros((8, Fp), jnp.float32)  # unused placeholders
     if mel_bank is not None:
         M = mel_bank.shape[1]
         Mp = _round_up(M, LANE)
@@ -378,7 +553,8 @@ def fused_melspec(
 
     aff = jnp.asarray([[offset, scale]], dtype=jnp.float32)
     out = _fused_call(
-        x_rows, WC, WS, mel_p, aff, n_fft, hop_length, contrast, interpret, tile_t
+        x_rows, WC, WS, TWR, TWI, mel_p, aff,
+        n_fft, hop_length, contrast, interpret, tile_t, taps, F,
     )
     return out[:, :T, :M]
 
@@ -392,6 +568,7 @@ def fused_melspec_stats(
     center: bool = True,
     interpret: Optional[bool] = None,
     tile_t: Optional[int] = None,
+    taps: Optional[tuple] = None,
 ) -> dict:
     """One-pass fused fit statistics of ``contrast(|stft(x)|)``.
 
@@ -400,17 +577,22 @@ def fused_melspec_stats(
     framed signal) in HBM — the reduction runs in the kernel epilogue and a
     single (8, bins) block leaves the chip.  Stats are taken on the non-mel
     contrasted magnitude, matching the reference ``Magnitude.scale_data``
-    quirk (spectral_repr.py:242-245).
+    quirk (spectral_repr.py:242-245).  ``taps``: see :func:`fused_melspec`.
     """
     if x.ndim == 1:
         x = x[None]
     x = x.reshape((-1, x.shape[-1]))
     interpret = _check_args(x, n_fft, hop_length, interpret)
     x_rows, T, tile_t, halo, _ = _prepare_rows(x, n_fft, hop_length, center, tile_t)
-    F, Fp, WC, WS = _weights(n_fft, window)
+    if taps is not None:
+        F, Fp, WC, WS, TWR, TWI = _factored_weights(n_fft, hop_length)
+    else:
+        F, Fp, WC, WS = _weights(n_fft, window)
+        TWR = TWI = jnp.zeros((8, Fp), jnp.float32)
 
     s = _stats_call(
-        x_rows, WC, WS, n_fft, hop_length, contrast, interpret, tile_t, T
+        x_rows, WC, WS, TWR, TWI,
+        n_fft, hop_length, contrast, interpret, tile_t, T, taps, F,
     )
     B = x.shape[0]
     return {

@@ -96,11 +96,11 @@ def bench_tpu(x: np.ndarray):
     backend = "xla-chain"
     dt = dt_xla
     dt_fused_xla = None
+    # honesty guard reference: fused paths must match the chain to <1e-4
+    y_ref = jax.jit(lambda c, v: c.forward(v))(chain, xb[:2])
     # the fused-GEMM forward (fuse.py): same math, no complex64 intermediate
-    if fusable(chain):
-        fused = fuse_forward(chain)
-        # honesty guard: only headline the fused path if it matches the chain
-        y_ref = jax.jit(lambda c, v: c.forward(v))(chain, xb[:2])
+    if fusable(chain, "xla"):
+        fused = fuse_forward(chain, backend="xla")
         y_f = jax.jit(fused)(xb[:2])
         fuse_err = float(
             jnp.max(jnp.abs(y_f - y_ref)) / (jnp.max(jnp.abs(y_ref)) + 1e-12)
@@ -109,17 +109,23 @@ def bench_tpu(x: np.ndarray):
             dt_fused_xla = _device_time(fused, xb, N_ITER_TPU)
             if dt_fused_xla < dt:
                 dt, backend = dt_fused_xla, "xla-fused"
-    # the Mosaic compile of the Pallas kernel takes several minutes over the
-    # remote-compile tunnel — opt in explicitly to include it in the bench
-    if os.environ.get("ATT_BENCH_FUSED") == "1":
-        try:
-            if fusable(chain, "pallas"):
-                pfused = fuse_forward(chain, backend="pallas")
+    # the chunk-factored Pallas kernel (fuse.py backend="pallas") — the
+    # measured winner on TPU for cosine-sum windows; compiles in seconds
+    # (same honesty guard as the XLA fused path)
+    dt_pallas = None
+    try:
+        if fusable(chain, "pallas"):
+            pfused = fuse_forward(chain, backend="pallas")
+            y_p = jax.jit(pfused)(xb[:2])
+            p_err = float(
+                jnp.max(jnp.abs(y_p - y_ref)) / (jnp.max(jnp.abs(y_ref)) + 1e-12)
+            )
+            if p_err < 1e-4:
                 dt_pallas = _device_time(pfused, xb, N_ITER_TPU)
                 if dt_pallas < dt:
                     dt, backend = dt_pallas, "pallas-fused"
-        except Exception:
-            pass
+    except Exception:
+        pass
 
     y = jax.jit(lambda c, v: c.forward(v))(chain, xb)
     frames = TPU_BATCH * y.shape[-2]
@@ -132,8 +138,37 @@ def bench_tpu(x: np.ndarray):
     n = rec.shape[-1]
     ref = np.asarray(xb[:2])[..., :n]
     rel_err = float(np.abs(rec - ref).max() / np.abs(ref).max())
+    # fused fit (fuse.fuse_fit): Normalize stats reduced in the kernel epilogue
+    fps_fit = None
+    try:
+        unfitted = T.Mono() + T.STFT(n_fft=N_FFT, hop_length=HOP) + T.Magnitude(
+            mode="unipolar", contrast="log1p", mel=True, n_fft=N_FFT
+        )
+        from acids_transforms_tpu.fuse import fuse_fit
+
+        ffit = fuse_fit(unfitted)
+        if ffit is not unfitted.jfit:
+            def fit_scalars(v):
+                f = ffit(v)
+                return jnp.stack([f[-1].norm.offset, f[-1].norm.scale])
+
+            ref_fit = chain[-1].norm
+            got = np.asarray(jax.jit(fit_scalars)(xb))
+            ok = (
+                abs(got[0] - float(ref_fit.offset)) < 1e-3
+                and abs(got[1] - float(ref_fit.scale)) / abs(float(ref_fit.scale)) < 1e-3
+            )
+            if ok:
+                fps_fit = frames / _device_time(fit_scalars, xb, N_ITER_TPU)
+    except Exception:
+        pass
+
     fps_fused = frames / dt_fused_xla if dt_fused_xla else None
-    return fps, frames / dt_xla, fps_fused, backend, rel_err, str(jax.devices()[0]).strip()
+    fps_pallas = frames / dt_pallas if dt_pallas else None
+    return (
+        fps, frames / dt_xla, fps_fused, fps_pallas, fps_fit, backend, rel_err,
+        str(jax.devices()[0]).strip(),
+    )
 
 
 def bench_torch_cpu(x: np.ndarray):
@@ -263,7 +298,7 @@ def main():
         "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__) or ".", ".jax_cache")
     )
     x = _load_audio()
-    fps_tpu, fps_xla, fps_fused, backend, rel_err, device = bench_tpu(x)
+    fps_tpu, fps_xla, fps_fused, fps_pallas, fps_fit, backend, rel_err, device = bench_tpu(x)
     fps_cpu = bench_torch_cpu(x)
     extras = {k: _jsonable(v) for k, v in bench_configs(x).items()}
     result = {
@@ -274,6 +309,8 @@ def main():
         "backend": backend,
         "xla_chain_frames_per_sec": round(fps_xla, 1),
         "xla_fused_frames_per_sec": round(fps_fused, 1) if fps_fused else None,
+        "pallas_fused_frames_per_sec": round(fps_pallas, 1) if fps_pallas else None,
+        "fused_fit_frames_per_sec": round(fps_fit, 1) if fps_fit else None,
         "torch_cpu_frames_per_sec": round(fps_cpu, 1),
         "roundtrip_rel_err": rel_err,
         "device": device,

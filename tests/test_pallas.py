@@ -85,6 +85,38 @@ def test_fused_melspec_tile_sizes_agree():
         assert np.abs(y - base).max() / np.abs(base).max() < 1e-5, tt
 
 
+def test_fused_melspec_factored_matches_direct_kernel():
+    # the chunk-factored formulation (taps=) is numerically interchangeable
+    # with the full-K windowed kernel, for every cosine-sum window family
+    from acids_transforms_tpu.ops.fft import taps_for_window
+    from acids_transforms_tpu.ops.windows import get_window
+
+    x = RNG.standard_normal((2, 16000)).astype(np.float32)
+    for name, n_fft, hop in [("hann", 1024, 256), ("hamming", 512, 128), ("blackman", 512, 128)]:
+        w = get_window(name, n_fft)
+        taps = taps_for_window(np.asarray(w))
+        assert taps is not None
+        spec = stft(jnp.asarray(x), n_fft, hop, w)
+        ref = np.log1p(np.abs(np.asarray(spec)))
+        y = np.asarray(fused_melspec(jnp.asarray(x), n_fft, hop, w, None, taps=taps))
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-4, name
+
+
+def test_fused_melspec_stats_factored():
+    from acids_transforms_tpu.ops.fft import taps_for_window
+    from acids_transforms_tpu.ops.windows import get_window
+
+    x = RNG.standard_normal((2, 16000)).astype(np.float32)
+    w = get_window("hann", 512)
+    taps = taps_for_window(np.asarray(w))
+    st = fused_melspec_stats(jnp.asarray(x), 512, 128, w, "log1p", taps=taps)
+    cm = np.log1p(np.abs(np.asarray(stft(jnp.asarray(x), 512, 128, w))))
+    assert st["count"] == cm.size
+    assert abs(float(st["sum"]) - cm.sum()) / abs(cm.sum()) < 1e-4
+    assert abs(float(st["max"]) - cm.max()) < 1e-3
+    assert abs(float(st["min"]) - cm.min()) < 1e-3
+
+
 def test_fused_melspec_stats_matches_direct():
     x = RNG.standard_normal((3, 17000)).astype(np.float32)
     n_fft, hop = 512, 128

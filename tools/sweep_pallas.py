@@ -1,13 +1,13 @@
-"""TPU sweep: tiled Pallas fused kernel vs the XLA fused path.
+"""TPU sweep: Pallas fused kernels (full-K and chunk-factored) vs XLA fused.
 
-Times (on the real chip, bench.py methodology):
-  * XLA fused forward (the round-1 headline, 17.2M frames/s)
-  * Pallas fused forward at several tile_t values (v3 pipelined kernel)
-  * chain.jfit vs fuse_fit (fused stats epilogue)
+Times, on the real chip (bench.py methodology):
+  * XLA fused forward (the round-1 headline path)
+  * Pallas full-K windowed kernel (v3, pipelined Element tiles)
+  * Pallas chunk-factored kernel at several tile_t values
+  * fit: XLA cascade vs the fused stats epilogue (both kernel formulations)
 
 Run:  JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python tools/sweep_pallas.py
-Each new Mosaic kernel compiles in ~6-15 min through the remote-compile
-relay; results append to /tmp/sweep_pallas.json as they land.
+Results land in /tmp/sweep_pallas.json as they complete.
 """
 import json
 import os
@@ -19,7 +19,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
 
-import bench
 from bench import HOP, N_FFT, TPU_BATCH, _device_time, _load_audio
 
 N_ITER = 50
@@ -49,27 +48,37 @@ def main():
     )
     chain = chain.fit(xb)
     mono, stft_t, mag_t = chain[0], chain[1], chain[2]
+    taps = stft_t._window_taps
     T_frames = 1 + x.shape[-1] // HOP
     frames = TPU_BATCH * T_frames
-    print(f"device={jax.devices()[0]}, T={T_frames}, B={TPU_BATCH}", flush=True)
+    print(f"device={jax.devices()[0]}, T={T_frames}, B={TPU_BATCH}, taps={taps}",
+          flush=True)
 
-    # reference: XLA fused path
     fused_xla = fuse_forward(chain)
     record("xla_fused", _device_time(fused_xla, xb, N_ITER), frames)
-
-    # accuracy reference for the pallas variants
     y_ref = np.asarray(jax.jit(fused_xla)(xb[:2]))
 
-    for tile in (None, 128, 256):
-        name = f"pallas_tile_{tile or 'auto'}"
+    def pallas_variant(tile, use_taps):
+        def pall(v):
+            y = mono.forward(v)
+            return fused_melspec(
+                y, N_FFT, HOP, stft_t.window, mag_t.mel_bank,
+                float(mag_t.norm.offset), float(mag_t.norm.scale),
+                mag_t.contrast_mode, tile_t=tile,
+                taps=taps if use_taps else None,
+            )
+        return pall
+
+    cases = [
+        ("pallas_fullk_auto", None, False),
+        ("pallas_fact_auto", None, True),
+        ("pallas_fact_128", 128, True),
+        ("pallas_fact_256", 256, True),
+        ("pallas_fact_344", 344, True),
+    ]
+    for name, tile, use_taps in cases:
         try:
-            def pall(v, tile=tile):
-                y = mono.forward(v)
-                return fused_melspec(
-                    y, N_FFT, HOP, stft_t.window, mag_t.mel_bank,
-                    float(mag_t.norm.offset), float(mag_t.norm.scale),
-                    mag_t.contrast_mode, tile_t=tile,
-                )
+            pall = pallas_variant(tile, use_taps)
             t0 = time.time()
             y_p = np.asarray(jax.jit(pall)(xb[:2]))
             print(f"{name}: compiled in {time.time()-t0:.0f}s, rel err "
@@ -77,11 +86,11 @@ def main():
             record(name, _device_time(pall, xb, N_ITER), frames)
         except Exception as e:
             print(f"{name} FAILED: {type(e).__name__}: {e}", flush=True)
-            results[name] = {"error": str(e)[:500]}
+            results[name] = {"error": str(e)[:400]}
             with open(OUT, "w") as f:
                 json.dump(results, f, indent=1)
 
-    # fit: XLA cascade vs fused stats epilogue
+    # fit
     unfitted = T.Mono() + T.STFT(n_fft=N_FFT, hop_length=HOP) + T.Magnitude(
         mode="unipolar", contrast="log1p", mel=True, n_fft=N_FFT
     )
@@ -93,7 +102,7 @@ def main():
     record("fit_xla", _device_time(fit_xla, xb, N_ITER), frames)
 
     try:
-        ffit = fuse_fit(unfitted)
+        ffit = fuse_fit(unfitted)  # factored via _window_taps
 
         def fit_pallas(v):
             f = ffit(v)
@@ -102,9 +111,9 @@ def main():
         a = np.asarray(jax.jit(fit_pallas)(xb[:2]))
         b = np.asarray(jax.jit(fit_xla)(xb[:2]))
         print(f"fit stats fused={a} xla={b}", flush=True)
-        record("fit_pallas", _device_time(fit_pallas, xb, N_ITER), frames)
+        record("fit_pallas_fact", _device_time(fit_pallas, xb, N_ITER), frames)
     except Exception as e:
-        print(f"fit_pallas FAILED: {type(e).__name__}: {e}", flush=True)
+        print(f"fit_pallas_fact FAILED: {type(e).__name__}: {e}", flush=True)
 
     print(json.dumps(results), flush=True)
 
