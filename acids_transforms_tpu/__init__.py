@@ -8,7 +8,7 @@ streaming real-time variants), designed TPU-first — batched MXU kernels,
 functional pytree transforms, scan-based streaming, mesh sharding.
 """
 from . import export, fuse, ops, parallel, serving, streaming, transforms, utils
-from .fuse import fuse_forward
+from .fuse import fuse_fit, fuse_forward
 from .streaming import chunk_signal, scan_forward, scan_roundtrip
 from .transforms import *  # noqa: F401,F403
 from .transforms import __all__ as _transforms_all
@@ -24,6 +24,7 @@ __all__ = [
     "fuse",
     "serving",
     "fuse_forward",
+    "fuse_fit",
     "chunk_signal",
     "scan_forward",
     "scan_roundtrip",

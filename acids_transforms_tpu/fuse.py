@@ -69,12 +69,14 @@ def _match_melspec(chain: AudioTransform, backend: str = "xla"):
     if _resolve_impl(stft_t.impl, stft_t.n_fft) != "matmul":
         return None  # the fused formulation is the GEMM DFT
     if backend == "pallas":
-        # Mosaic kernel constraints (ops/pallas/spectral.py)
+        # Mosaic kernel constraints (ops/pallas/spectral.py); Mono options
+        # and the nyquist drop run outside the kernel
         if stft_t.n_fft % stft_t.hop_length != 0:
             return None
-        if not mag_t.keep_nyquist:
-            return None
-        if mono is not None and (mono.normalize or not mono.squeeze):
+        # "log"/"log10" amplify the kernel's ~5e-5 bf16x3 magnitude error
+        # unboundedly near silent bins (log of ~eps); only contrasts with
+        # bounded error amplification keep the <1e-4 output guarantee
+        if mag_t.contrast_mode in ("log", "log10"):
             return None
     return mono, stft_t, mag_t
 
@@ -138,7 +140,7 @@ def _pallas_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
             contrast,
             taps=taps,
         )
-        return y.reshape(batch_shape + y.shape[1:])
+        return mag_t._drop_nyquist(y.reshape(batch_shape + y.shape[1:]))
 
     return forward
 
@@ -194,8 +196,6 @@ def _match_fit(chain: AudioTransform):
         return None
     mono, stft_t, mag_t = match
     if stft_t.n_fft % stft_t.hop_length != 0:
-        return None
-    if mono is not None and (mono.normalize or not mono.squeeze):
         return None
     return mono, stft_t, mag_t
 

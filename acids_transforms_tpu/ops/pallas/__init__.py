@@ -1,4 +1,4 @@
 """Pallas TPU kernels for the hot compute paths."""
-from .spectral import fused_melspec
+from .spectral import fused_melspec, fused_melspec_stats
 
-__all__ = ["fused_melspec"]
+__all__ = ["fused_melspec", "fused_melspec_stats"]

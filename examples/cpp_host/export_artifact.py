@@ -37,7 +37,10 @@ def main(out_dir: str) -> None:
         T.STFT(n_fft=n_fft, hop_length=hop)
         + T.Magnitude(mode="unipolar", contrast="log1p", mel=True, n_fft=n_fft)
     ).fit(xj)
-    fused = fuse_forward(chain)
+    # pin the XLA formulation: backend="auto" would bake the TPU Pallas
+    # kernel (a tpu_custom_call) into the artifact, which a CPU host
+    # cannot execute — exported modules must be portable StableHLO
+    fused = fuse_forward(chain, backend="xla")
 
     lowered = jax.jit(fused).lower(xj)
     mlir_text = lowered.as_text()  # StableHLO module, parameters inlined

@@ -59,6 +59,27 @@ def test_fuse_forward_dispatch(test_files, backend):
     assert np.abs(y_fused - y_ref).max() / (np.abs(y_ref).max() + 1e-9) < 1e-4
 
 
+def test_fuse_forward_pallas_handles_nyquist_drop_and_mono_options(test_files):
+    sig, _ = test_files
+    chain = T.Mono(normalize=True, squeeze=False) + T.STFT(
+        n_fft=512, hop_length=128
+    ) + T.Magnitude(mode="gaussian", contrast="log1p", mel=False, n_fft=512,
+                    keep_nyquist=False)
+    fitted = chain.fit(jnp.asarray(sig))
+    assert fusable(fitted, "pallas")
+    y_fused = np.asarray(fuse_forward(fitted, "pallas")(jnp.asarray(sig)))
+    y_ref = np.asarray(fitted.forward(jnp.asarray(sig)))
+    assert y_fused.shape == y_ref.shape
+    assert np.abs(y_fused - y_ref).max() / (np.abs(y_ref).max() + 1e-9) < 1e-4
+    # "log" contrast amplifies the kernel's bf16x3 error near silent bins —
+    # the pallas matcher declines it (fuse.py) and falls back
+    log_chain = (T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="gaussian", contrast="log", mel=False, n_fft=512
+    )).fit(jnp.asarray(sig))
+    assert not fusable(log_chain, "pallas")
+    assert fusable(log_chain, "xla")
+
+
 def test_fuse_forward_xla_handles_pallas_unfriendly_configs(test_files):
     sig, _ = test_files
     # non-divisor hop + dropped nyquist: XLA path fuses, Pallas path declines

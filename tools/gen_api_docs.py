@@ -58,6 +58,8 @@ def main():
     sections = [
         ("Ops (`acids_transforms_tpu.ops`)", [
             ("stft", att.ops.fft.stft), ("istft", att.ops.fft.istft),
+            ("stft_real", att.ops.fft.stft_real),
+            ("taps_for_window", att.ops.fft.taps_for_window),
             ("rfft_frames", att.ops.fft.rfft_frames),
             ("irfft_frames", att.ops.fft.irfft_frames),
             ("set_matmul_precision", att.ops.set_matmul_precision),
@@ -75,6 +77,7 @@ def main():
             ("dual_window", att.ops.windows.dual_window),
             ("window_gamma", att.ops.windows.window_gamma),
             ("fused_melspec (Pallas)", att.ops.pallas.fused_melspec),
+            ("fused_melspec_stats (Pallas)", att.ops.pallas.fused_melspec_stats),
         ]),
         ("Streaming (`acids_transforms_tpu.streaming`)", [
             ("chunk_signal", att.chunk_signal),
@@ -98,6 +101,7 @@ def main():
         ("Serving / utils", [
             ("serving.CompiledTransform", att.serving.CompiledTransform),
             ("fuse.fuse_forward", att.fuse_forward),
+            ("fuse.fuse_fit", att.fuse_fit),
             ("utils.import_data", att.utils.import_data),
             ("utils.load_wav", att.utils.load_wav),
             ("utils.save_wav", att.utils.save_wav),
