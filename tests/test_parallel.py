@@ -44,6 +44,24 @@ def test_data_parallel_stft_matches_single_device():
     np.testing.assert_allclose(np.abs(y_sharded), np.abs(y_ref), atol=2e-4)
 
 
+def test_data_parallel_pallas_fused_matches_single_device():
+    # the chunk-factored Pallas kernel (interpret mode on CPU) under the
+    # same batch sharding as the default TPU serving path
+    from acids_transforms_tpu.fuse import fuse_forward
+
+    mesh = local_mesh()
+    x = RNG.standard_normal((mesh.devices.size * 2, 8192)).astype(np.float32)
+    chain = (T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        n_fft=512
+    )).fit(jnp.asarray(x))
+    pall = fuse_forward(chain, backend="pallas")
+    fwd = data_parallel(lambda t, xx: pall(xx), mesh)
+    xs = shard_along(jnp.asarray(x), mesh, "data", dim=0)
+    y = np.asarray(fwd(chain, xs))
+    y_ref = np.asarray(chain.jforward(jnp.asarray(x)))
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 2e-4
+
+
 def test_sequence_parallel_stft_exact():
     mesh = local_mesh(axis="seq")
     n_dev = mesh.devices.size
