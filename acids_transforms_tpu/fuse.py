@@ -231,7 +231,12 @@ def fuse_fit(chain: AudioTransform) -> Callable[[jnp.ndarray], AudioTransform]:
 
     taps = getattr(stft_t, "_window_taps", None)
 
-    def fit(x: jnp.ndarray) -> AudioTransform:
+    def fit(x: jnp.ndarray, mask=None) -> AudioTransform:
+        if mask is not None:
+            # bucket-padding masks need the masked reductions of the exact
+            # cascade (transforms/norm.py fit) — the kernel epilogue only
+            # masks its own tile padding
+            return chain.fit(x, mask=mask)
         y = mono.forward(x) if mono is not None else x
         flat = y.reshape((-1, y.shape[-1]))
         st = fused_melspec_stats(
