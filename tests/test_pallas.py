@@ -2,6 +2,7 @@
 compiles via Mosaic on TPU — verified by bench.py)."""
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from acids_transforms_tpu import transforms as T
@@ -168,6 +169,21 @@ def test_fuse_fit_matches_chain_fit(test_files, mode):
     y_f = np.asarray(fitted_fused.forward(jnp.asarray(sig)))
     y_r = np.asarray(fitted_ref.forward(jnp.asarray(sig)))
     assert np.abs(y_f - y_r).max() / (np.abs(y_r).max() + 1e-9) < 1e-3
+
+
+def test_pallas_fused_is_differentiable(test_files):
+    # kernel primal + XLA-formulation VJP (fuse.py _pallas_fused): gradients
+    # of a spectral loss through the fused forward match the chain's
+    sig, _ = test_files
+    x = jnp.asarray(sig)
+    chain = (T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        n_fft=512
+    )).fit(x)
+    fused = fuse_forward(chain, backend="pallas")
+    g_fused = np.asarray(jax.grad(lambda v: jnp.sum(fused(v) ** 2))(x))
+    g_ref = np.asarray(jax.grad(lambda v: jnp.sum(chain.forward(v) ** 2))(x))
+    assert g_fused.shape == g_ref.shape
+    assert np.abs(g_fused - g_ref).max() / (np.abs(g_ref).max() + 1e-9) < 1e-3
 
 
 def test_fuse_fit_fallback_unmatched():
