@@ -167,10 +167,14 @@ def _pallas_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
 
 
 def _pallas_preferred(chain: AudioTransform) -> bool:
-    """True when the chunk-factored Pallas kernel is the fastest option:
+    """True when the chunk-factored Pallas kernel is the measured winner:
     on a TPU (elsewhere the kernel runs in interpret mode), pattern-fusable
-    under the Mosaic constraints, and the analysis window is a cosine sum
-    (without taps the full-K kernel loses to XLA — BENCH_NOTES.md)."""
+    under the Mosaic constraints, the analysis window a cosine sum (without
+    taps the full-K kernel loses to XLA), and a shape where the
+    factorization pays — overlap >= 4 (the MXU saving is ~overlap-fold; at
+    overlap 2 the twiddle/taps VPU work eats it: measured 0.99x) and
+    n_fft >= 1024 (at 512 the 257 -> 384 lane padding wastes 50% of the MXU:
+    0.95x).  Shape sweep in BENCH_NOTES.md: 1.21-1.79x inside this region."""
     import jax
 
     if jax.default_backend() != "tpu":
@@ -178,7 +182,11 @@ def _pallas_preferred(chain: AudioTransform) -> bool:
     match = _match_melspec(chain, "pallas")
     if match is None:
         return False
-    return getattr(match[1], "_window_taps", None) is not None
+    stft_t = match[1]
+    if getattr(stft_t, "_window_taps", None) is None:
+        return False
+    overlap = stft_t.n_fft // stft_t.hop_length
+    return overlap >= 4 and stft_t.n_fft >= 1024
 
 
 def fuse_forward(
