@@ -113,21 +113,8 @@ def _tile_magnitude(
     return jnp.sqrt(re * re + im * im)
 
 
-def _tile_magnitude_factored(
-    x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
-    *, taps, overlap, tile_t, n_bins,
-):
-    """|windowed DFT| via the chunk factorization, entirely in VMEM.
-
-    The cosine-sum window trick (ops/fft.py module comment): one K=hop chunk
-    GEMM per hop of signal (reused by all ``overlap`` frames), an exact
-    twiddle combine over the ``overlap`` covering chunks, and a P-tap
-    hermitian spectral convolution for the window.  ~overlap-fold fewer MXU
-    FLOPs than the windowed full-K DFT of :func:`_tile_magnitude` — and
-    unlike the XLA graph of ``impl="factored"`` (measured HBM-bound, 1.8x
-    slower than direct), the twiddle/taps intermediates here never leave
-    VMEM, so the FLOP saving is realized.
-    """
+def _chunk_dots(x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref):
+    """The MXU half of the factored formulation: bf16x3 chunk-DFT dots."""
     f32 = jnp.float32
     block = x_ref[0]                      # (tile_t + halo, hop)
     bh, bl = _split_bf16(block)
@@ -139,17 +126,40 @@ def _tile_magnitude_factored(
             + jnp.dot(bl, b_hi_ref[...], preferred_element_type=f32)
         )
 
-    Cre = dot3(cc_hi_ref, cc_lo_ref)      # (tile_t + halo, Fp)
-    Cim = dot3(cs_hi_ref, cs_lo_ref)
+    return dot3(cc_hi_ref, cc_lo_ref), dot3(cs_hi_ref, cs_lo_ref)
 
+
+def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bins):
+    """The VPU half: twiddle combine + P-tap window conv + magnitude."""
+    Fp = Cre.shape[-1]
     Xre = Xim = None
     for j in range(overlap):
-        twr = twr_ref[j, :][None, :]
-        twi = twi_ref[j, :][None, :]
         cr = Cre[j: j + tile_t]
         ci = Cim[j: j + tile_t]
-        re_j = twr * cr - twi * ci
-        im_j = twr * ci + twi * cr
+        if overlap in (2, 4):
+            # the twiddles e^{-2 pi i j k / overlap} are exactly {1,-i,-1,i}
+            # (jk mod 4 selects which): the combine is sign/swap lane selects
+            # on iota-derived masks, not runtime FMAs — less VPU time than
+            # multiplying by the (0/±1-valued) twiddle rows.  Masks are
+            # (1, Fp) rows; captured-constant restrictions rule out
+            # precomputed tables.
+            # r4 = (j*k*4/overlap) mod 4, via lane iota
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, Fp), 1)
+            r = (lane * (j * (4 // overlap))) & 3
+            if (j * (4 // overlap)) % 4 == 0:
+                re_j, im_j = cr, ci
+            else:
+                one = jnp.float32(1.0)
+                sgn_re = jnp.where(r <= 1, one, -one)
+                sgn_im = jnp.where((r == 0) | (r == 3), one, -one)
+                swap = (r & 1) == 1
+                re_j = jnp.where(swap, ci, cr) * sgn_re
+                im_j = jnp.where(swap, cr, ci) * sgn_im
+        else:
+            twr = twr_ref[j, :][None, :]
+            twi = twi_ref[j, :][None, :]
+            re_j = twr * cr - twi * ci
+            im_j = twr * ci + twi * cr
         Xre = re_j if Xre is None else Xre + re_j
         Xim = im_j if j == 0 else Xim + im_j
 
@@ -191,6 +201,28 @@ def _tile_magnitude_factored(
         Yim = Yim + taps[p] * (rp_im + lp_im)
 
     return jnp.sqrt(Yre * Yre + Yim * Yim)
+
+
+def _tile_magnitude_factored(
+    x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
+    *, taps, overlap, tile_t, n_bins,
+):
+    """|windowed DFT| via the chunk factorization, entirely in VMEM.
+
+    The cosine-sum window trick (ops/fft.py module comment): one K=hop chunk
+    GEMM per hop of signal (reused by all ``overlap`` frames), an exact
+    twiddle combine over the ``overlap`` covering chunks, and a P-tap
+    hermitian spectral convolution for the window.  ~overlap-fold fewer MXU
+    FLOPs than the windowed full-K DFT of :func:`_tile_magnitude` — and
+    unlike the XLA graph of ``impl="factored"`` (measured HBM-bound, 1.8x
+    slower than direct), the twiddle/taps intermediates here never leave
+    VMEM, so the FLOP saving is realized.
+    """
+    Cre, Cim = _chunk_dots(x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref)
+    return _combine_taps_mag(
+        Cre, Cim, twr_ref, twi_ref,
+        taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
+    )
 
 
 def _apply_contrast(mag, contrast, eps):
@@ -411,6 +443,11 @@ def _fused_call(
     ]
 
     if taps is not None:
+        # NOTE a two-stage software pipeline (MXU dots for tile t while the
+        # VPU emits tile t-1 from double-buffered scratch) was built and
+        # measured SLOWER (18.9 vs 20.7 M frames/s): the C scratch
+        # write/read round-trip costs more than the stage overlap buys.
+        # Straight-line per-tile dataflow is the winner.
         kernel = functools.partial(
             _forward_kernel_factored,
             taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
