@@ -13,25 +13,27 @@ Backends (all <1e-4 vs the chain, enforced by bench.py's honesty guard;
 v5e figures at the headline shape n_fft=1024, hop=256, batch=128):
 
 - ``"auto"`` (default): the measured winner — the chunk-factored Pallas
-  kernel on TPU with a cosine-sum window, else the XLA fused GEMM.
+  kernel inside its winning region (TPU, cosine-sum window, overlap >= 4,
+  n_fft >= 1024, bounded-amplification contrast), else the XLA fused GEMM.
 - ``"pallas"``: one Mosaic kernel (ops/pallas/spectral.py).  For cosine-sum
   windows (hann/hamming/blackman) it runs the chunk-DFT factorization —
   K=hop chunk GEMMs reused across overlapping frames + exact twiddle
   combine + P-tap spectral window conv, all intermediates in VMEM —
-  **19.1M frames/s vs 15.7M** for the XLA path (+21%), 6.5e-5 vs f64.
-  The same factorization as an XLA graph is HBM-bound and *loses* 1.8x
-  (``impl="factored"``, ops/fft.py) — the kernel is what makes the FLOP
-  saving real.  Non-cosine windows use the full-K windowed kernel (13.2M,
-  loses to XLA — auto never picks it).  Requires ``hop | n_fft`` and
-  ``keep_nyquist``.
+  **21.3M frames/s vs 15.7-17.1M** for the XLA paths (+21-24%, up to 1.79x
+  at 2048/512), 6.5e-5 vs the HIGH-precision chain.  The same factorization
+  as an XLA graph is HBM-bound and *loses* 1.8x (``impl="factored"``,
+  ops/fft.py) — the kernel is what makes the FLOP saving real.  Non-cosine
+  windows use the full-K windowed kernel (13.2M, loses to XLA — auto never
+  picks it).  Requires ``hop | n_fft``; declines ``log``/``log10``
+  contrasts (unbounded error amplification near silent bins).
 - ``"xla"``: the fused-GEMM formulation — analysis frames feed the cos/sin
   DFT GEMMs; magnitude, mel GEMM, contrast and normalizer epilogue fuse
   onto the real/imaginary parts (15.7M frames/s; the composable
   ``chain.forward`` with its complex64 intermediate is ~2.5% slower).
 
 ``fuse_fit`` is the same story for the *fit* pass: the kernel's stats
-epilogue reduces the normalization statistics on-chip (26.3M vs 17.3M
-frames/s, +52%) — see :func:`fuse_fit`.
+epilogue reduces the normalization statistics on-chip (30.0M vs 17.3M
+frames/s, +73%) — see :func:`fuse_fit`.
 
 Note: the fused forward is trace-pure — it does not stash forward phase for
 ``keep_input`` inversion (the eager-only side channel; pass ``phase=``
