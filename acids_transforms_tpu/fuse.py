@@ -47,6 +47,7 @@ import jax.numpy as jnp
 
 from .ops.fft import _resolve_impl, matmul_precision, stft_real
 from .transforms.base import AudioTransform, ComposeAudioTransform
+from .transforms.dgt import DGT
 from .transforms.raw import Mono
 from .transforms.spectral_repr import Magnitude
 from .transforms.stft import STFT
@@ -66,7 +67,10 @@ def _match_melspec(chain: AudioTransform, backend: str = "xla"):
     if len(ts) != 2:
         return None
     stft_t, mag_t = ts
-    if type(stft_t) is not STFT or type(mag_t) is not Magnitude:
+    # offline STFT or DGT (the DGT's gaussian window rides the same fused
+    # formulation via the window leaf); realtime subclasses take frames,
+    # not signals, and never match
+    if type(stft_t) not in (STFT, DGT) or type(mag_t) is not Magnitude:
         return None
     if _resolve_impl(stft_t.impl, stft_t.n_fft) != "matmul":
         return None  # the fused formulation is the GEMM DFT

@@ -192,6 +192,25 @@ def test_fuse_fit_fallback_unmatched():
     assert fuse_fit(chain) == chain.jfit
 
 
+def test_fuse_forward_dgt_chain(test_files):
+    # DGT + Magnitude (BASELINE config 4's forward) rides the same fused
+    # formulation; the gaussian window has no cosine-sum taps so auto stays
+    # on the XLA path, and the full-K pallas kernel serves explicit requests
+    sig, _ = test_files
+    chain = (T.Mono() + T.DGT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", mel=True, n_fft=512
+    )).fit(jnp.asarray(sig))
+    assert fusable(chain, "xla") and fusable(chain, "pallas")
+    y_ref = np.asarray(chain.forward(jnp.asarray(sig)))
+    for backend in ("xla", "pallas"):
+        y = np.asarray(fuse_forward(chain, backend)(jnp.asarray(sig)))
+        assert y.shape == y_ref.shape
+        assert np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9) < 1e-4
+    # realtime subclasses never match (they consume frames, not signals)
+    rt = T.OverlapAdd(512, 128) + T.RealtimeSTFT(n_fft=512, hop_length=128)
+    assert not fusable(rt, "xla")
+
+
 def test_fuse_forward_fallback():
     chain = T.Stereo() + T.STFT()
     assert not fusable(chain)
