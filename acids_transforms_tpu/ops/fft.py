@@ -358,11 +358,11 @@ def stft_real(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """STFT returning ``(re, im)`` without a complex64 intermediate.
 
-    When ``taps`` (static cosine-sum window coefficients from
-    :func:`taps_for_window`) are provided, ``hop | n_fft`` and the impl
-    resolves to a GEMM, the chunk-DFT factorization runs — ~overlap-fold
-    fewer MXU FLOPs than the direct windowed-frame GEMM, same <=1e-4 parity
-    (tests/test_parity_matrix.py).
+    ``impl="factored"`` (with ``taps``, the static cosine-sum window
+    coefficients from :func:`taps_for_window`, and ``hop | n_fft``) runs
+    the chunk-DFT factorization — exact to ~5e-7 vs the direct GEMM but
+    opt-in only (see the inline note); every other impl takes the
+    windowed-frames path.
     """
     if impl == "factored":
         # Opt-in only: measured 1.8x SLOWER than the direct GEMM as an XLA

@@ -94,8 +94,9 @@ class STFT(AudioTransform):
         self.window = self._get_window()
         self.inv_window = self._get_inv_window()
         # static cosine-sum spectral taps (hann/hamming/blackman; None
-        # otherwise) — enables the chunk-DFT factorization in ops/fft.py,
-        # ~overlap-fold fewer MXU FLOPs for the offline forward
+        # otherwise) — consumed by impl="factored" (ops/fft.py) and by the
+        # fused Pallas kernel dispatch (fuse.py), where the chunk-DFT
+        # factorization is the default TPU fast path
         self._window_taps = taps_for_window(np.asarray(self.window))
         self._inv_window_taps = taps_for_window(np.asarray(self.inv_window))
 
