@@ -35,6 +35,11 @@ v5e figures at the headline shape n_fft=1024, hop=256, batch=128):
 epilogue reduces the normalization statistics on-chip (30.0M vs 17.3M
 frames/s, +73%) — see :func:`fuse_fit`.
 
+``[Mono?] + MFCC`` chains (and bare ``MFCC`` transforms — the reference's
+MelSpectrogram: power spectrogram -> mel GEMM, bin-major output) dispatch
+to the same kernel with ``power=2`` (no sqrt) and the 128-mel bank:
+**31.2M frames/s vs 18.9M** for the XLA fusion (+65%), 1.8e-5.
+
 Note: the fused forward is trace-pure — it does not stash forward phase for
 ``keep_input`` inversion (the eager-only side channel; pass ``phase=``
 explicitly, as under any jit).
@@ -45,7 +50,9 @@ from typing import Callable, Optional
 
 import jax.numpy as jnp
 
-from .ops.fft import _resolve_impl, matmul_precision, stft_real
+import numpy as np
+
+from .ops.fft import _resolve_impl, matmul_precision, stft_real, taps_for_window
 from .transforms.base import AudioTransform, ComposeAudioTransform
 from .transforms.dgt import DGT
 from .transforms.raw import Mono
@@ -88,6 +95,8 @@ def _match_melspec(chain: AudioTransform, backend: str = "xla"):
 
 
 def fusable(chain: AudioTransform, backend: str = "auto") -> bool:
+    if _match_mfcc(chain) is not None:
+        return True
     if backend == "auto":
         backend = "pallas" if _pallas_preferred(chain) else "xla"
     return _match_melspec(chain, backend) is not None
@@ -172,6 +181,72 @@ def _pallas_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
     return forward
 
 
+def _match_mfcc(chain: AudioTransform):
+    """Return (mono, mfcc) for ``[Mono?] + MFCC`` chains (or a bare MFCC).
+
+    The reference's "MFCC" is a MelSpectrogram (power spectrogram -> mel
+    GEMM, bin-major output); its whole forward maps onto the fused kernel
+    with ``power=2`` and no contrast.  The optional true-DCT extension
+    (``n_mfcc``) and non-GEMM impls fall back.
+    """
+    from .transforms.mel import MFCC
+
+    mono = None
+    if isinstance(chain, ComposeAudioTransform):
+        ts = list(chain.transforms)
+        if ts and type(ts[0]) is Mono:
+            mono = ts[0]
+            ts = ts[1:]
+        if len(ts) != 1:
+            return None
+        chain = ts[0]
+    if type(chain) is not MFCC:
+        return None
+    if chain.n_mfcc or chain.power not in (1.0, 2.0):
+        return None
+    if _resolve_impl(chain.impl, chain.n_fft) != "matmul":
+        return None
+    if chain.n_fft % chain.hop_length != 0:
+        return None
+    return mono, chain
+
+
+def _fused_mfcc(mono, mfcc, backend: str):
+    from .ops.pallas.spectral import fused_melspec
+
+    # MFCC's window is always hann (transforms/mel.py ctor); rebuild it in
+    # pure numpy — under a jit trace (serving) both the window *leaf* and
+    # any jnp-constructed constant are tracers
+    k = np.arange(mfcc.n_fft)
+    w_np = 0.5 - 0.5 * np.cos(2.0 * np.pi * k / mfcc.n_fft)
+    taps = taps_for_window(w_np)
+
+    def forward(x: jnp.ndarray) -> jnp.ndarray:
+        if mono is not None:
+            x = mono.forward(x)
+        if backend == "pallas":
+            batch_shape = x.shape[:-1]
+            flat = x.reshape((-1, x.shape[-1]))
+            mel = fused_melspec(
+                flat, mfcc.n_fft, mfcc.hop_length, mfcc.window,
+                mfcc.mel_bank, 0.0, 1.0, "none", taps=taps, power=mfcc.power,
+            )
+            mel = mel.reshape(batch_shape + mel.shape[1:])
+        else:
+            re, im = stft_real(
+                x, mfcc.n_fft, mfcc.hop_length, mfcc.window, impl=mfcc.impl
+            )
+            sq = re * re + im * im
+            p = sq if mfcc.power == 2.0 else jnp.sqrt(sq)
+            mel = jnp.matmul(p, mfcc.mel_bank, precision=matmul_precision())
+        mel = jnp.swapaxes(mel, -2, -1)  # torchaudio bin-major layout
+        if mfcc.norm is not None:
+            mel = mfcc.norm.forward(mel)
+        return mel
+
+    return forward
+
+
 def _pallas_preferred(chain: AudioTransform) -> bool:
     """True when the chunk-factored Pallas kernel is the measured winner:
     on a TPU (elsewhere the kernel runs in interpret mode), pattern-fusable
@@ -207,6 +282,22 @@ def fuse_forward(
     """
     if backend not in ("auto", "xla", "pallas"):
         raise ValueError("unknown fuse backend %r" % backend)
+    mfcc_match = _match_mfcc(chain)
+    if mfcc_match is not None:
+        mono, mfcc = mfcc_match
+        be = backend
+        if be == "auto":
+            import jax
+
+            overlap = mfcc.n_fft // mfcc.hop_length
+            be = (
+                "pallas"
+                if jax.default_backend() == "tpu"
+                and overlap >= 4
+                and mfcc.n_fft >= 1024
+                else "xla"
+            )
+        return _fused_mfcc(mono, mfcc, be)
     if backend == "auto":
         backend = "pallas" if _pallas_preferred(chain) else "xla"
     match = _match_melspec(chain, backend)

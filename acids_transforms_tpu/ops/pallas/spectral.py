@@ -96,7 +96,7 @@ def _split_bf16(m: jnp.ndarray):
 
 def _tile_magnitude(
     x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, scr_ref,
-    *, overlap, hop, tile_t,
+    *, overlap, hop, tile_t, power=1.0,
 ):
     """Assemble this tile's frames in VMEM and return |DFT| (tile_t, Fp)."""
     f32 = jnp.float32
@@ -120,7 +120,8 @@ def _tile_magnitude(
 
     re = dot3(wc_hi_ref, wc_lo_ref)
     im = dot3(ws_hi_ref, ws_lo_ref)
-    return jnp.sqrt(re * re + im * im)
+    sq = re * re + im * im
+    return sq if power == 2.0 else jnp.sqrt(sq)
 
 
 def _chunk_dots(x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref):
@@ -139,7 +140,7 @@ def _chunk_dots(x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref):
     return dot3(cc_hi_ref, cc_lo_ref), dot3(cs_hi_ref, cs_lo_ref)
 
 
-def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bins):
+def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bins, power=1.0):
     """The VPU half: twiddle combine + P-tap window conv + magnitude."""
     Fp = Cre.shape[-1]
     Xre = Xim = None
@@ -210,12 +211,13 @@ def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bi
         Yre = Yre + taps[p] * (rp_re + lp_re)
         Yim = Yim + taps[p] * (rp_im + lp_im)
 
-    return jnp.sqrt(Yre * Yre + Yim * Yim)
+    sq = Yre * Yre + Yim * Yim
+    return sq if power == 2.0 else jnp.sqrt(sq)
 
 
 def _tile_magnitude_factored(
     x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
-    *, taps, overlap, tile_t, n_bins,
+    *, taps, overlap, tile_t, n_bins, power=1.0,
 ):
     """|windowed DFT| via the chunk factorization, entirely in VMEM.
 
@@ -231,7 +233,7 @@ def _tile_magnitude_factored(
     Cre, Cim = _chunk_dots(x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref)
     return _combine_taps_mag(
         Cre, Cim, twr_ref, twi_ref,
-        taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
+        taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins, power=power,
     )
 
 
@@ -295,10 +297,11 @@ def _stats_update(mag, s_ref, *, tile_t, t_valid):
 def _forward_kernel(
     x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, mel_hi_ref, mel_lo_ref,
     aff_ref, o_ref, scr_ref, *, overlap, hop, tile_t, contrast, eps, use_mel,
+    power=1.0,
 ):
     mag = _tile_magnitude(
         x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, scr_ref,
-        overlap=overlap, hop=hop, tile_t=tile_t,
+        overlap=overlap, hop=hop, tile_t=tile_t, power=power,
     )
     if use_mel:
         mag = _mel3(mag, mel_hi_ref, mel_lo_ref)
@@ -309,11 +312,11 @@ def _forward_kernel(
 def _forward_kernel_factored(
     x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
     mel_hi_ref, mel_lo_ref, aff_ref, o_ref,
-    *, taps, overlap, tile_t, n_bins, contrast, eps, use_mel,
+    *, taps, overlap, tile_t, n_bins, contrast, eps, use_mel, power=1.0,
 ):
     mag = _tile_magnitude_factored(
         x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
-        taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
+        taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins, power=power,
     )
     if use_mel:
         mag = _mel3(mag, mel_hi_ref, mel_lo_ref)
@@ -407,12 +410,13 @@ def _common_specs(tile_t, halo, hop, n_fft, Fp):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_fft", "hop_length", "contrast", "interpret", "tile_t", "taps", "n_bins"
+        "n_fft", "hop_length", "contrast", "interpret", "tile_t", "taps",
+        "n_bins", "power",
     ),
 )
 def _fused_call(
     x_rows, WC, WS, TWR, TWI, mel_p, aff,
-    n_fft, hop_length, contrast, interpret, tile_t, taps, n_bins,
+    n_fft, hop_length, contrast, interpret, tile_t, taps, n_bins, power,
 ):
     """One pallas_call of the forward kernel.  With ``taps`` set, WC/WS are
     the chunk basis and TWR/TWI the twiddle tables (factored formulation);
@@ -461,7 +465,7 @@ def _fused_call(
         kernel = functools.partial(
             _forward_kernel_factored,
             taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
-            contrast=contrast, eps=eps, use_mel=use_mel,
+            contrast=contrast, eps=eps, use_mel=use_mel, power=power,
         )
         return pl.pallas_call(
             kernel,
@@ -473,7 +477,7 @@ def _fused_call(
     kernel = functools.partial(
         _forward_kernel,
         overlap=overlap, hop=hop, tile_t=tile_t,
-        contrast=contrast, eps=eps, use_mel=use_mel,
+        contrast=contrast, eps=eps, use_mel=use_mel, power=power,
     )
     return pl.pallas_call(
         kernel,
@@ -566,6 +570,7 @@ def fused_melspec(
     interpret: Optional[bool] = None,
     tile_t: Optional[int] = None,
     taps: Optional[tuple] = None,
+    power: float = 1.0,
 ) -> jnp.ndarray:
     """Fused ``(B, L) -> (B, T, n_mels)`` mel-spectrogram pipeline.
 
@@ -581,7 +586,7 @@ def fused_melspec(
     if x.ndim == 1:
         return fused_melspec(
             x[None], n_fft, hop_length, window, mel_bank, offset, scale,
-            contrast, center, interpret, tile_t, taps,
+            contrast, center, interpret, tile_t, taps, power,
         )[0]
     interpret = _check_args(x, n_fft, hop_length, interpret)
     x_rows, T, tile_t, halo, _ = _prepare_rows(x, n_fft, hop_length, center, tile_t)
@@ -601,7 +606,7 @@ def fused_melspec(
     aff = jnp.asarray([[offset, scale]], dtype=jnp.float32)
     out = _fused_call(
         x_rows, WC, WS, TWR, TWI, mel_p, aff,
-        n_fft, hop_length, contrast, interpret, tile_t, taps, F,
+        n_fft, hop_length, contrast, interpret, tile_t, taps, F, power,
     )
     return out[:, :T, :M]
 

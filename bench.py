@@ -163,11 +163,26 @@ def bench_tpu(x: np.ndarray):
     except Exception:
         pass
 
+    # fused MFCC (power-2 mel spectrogram, the feature-extraction op)
+    fps_mfcc = None
+    try:
+        mfcc = T.MFCC(n_fft=N_FFT, hop_length=HOP)
+        fm = fuse_forward(mfcc)
+        y_m = jax.jit(fm)(xb[:2])
+        y_mr = jax.jit(lambda c, v: c.forward(v))(mfcc, xb[:2])
+        m_err = float(
+            jnp.max(jnp.abs(y_m - y_mr)) / (jnp.max(jnp.abs(y_mr)) + 1e-12)
+        )
+        if m_err < 1e-4:
+            fps_mfcc = frames / _device_time(fm, xb, N_ITER_TPU)
+    except Exception:
+        pass
+
     fps_fused = frames / dt_fused_xla if dt_fused_xla else None
     fps_pallas = frames / dt_pallas if dt_pallas else None
     return (
-        fps, frames / dt_xla, fps_fused, fps_pallas, fps_fit, backend, rel_err,
-        str(jax.devices()[0]).strip(),
+        fps, frames / dt_xla, fps_fused, fps_pallas, fps_fit, fps_mfcc,
+        backend, rel_err, str(jax.devices()[0]).strip(),
     )
 
 
@@ -298,7 +313,8 @@ def main():
         "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__) or ".", ".jax_cache")
     )
     x = _load_audio()
-    fps_tpu, fps_xla, fps_fused, fps_pallas, fps_fit, backend, rel_err, device = bench_tpu(x)
+    (fps_tpu, fps_xla, fps_fused, fps_pallas, fps_fit, fps_mfcc, backend,
+     rel_err, device) = bench_tpu(x)
     fps_cpu = bench_torch_cpu(x)
     extras = {k: _jsonable(v) for k, v in bench_configs(x).items()}
     result = {
@@ -311,6 +327,7 @@ def main():
         "xla_fused_frames_per_sec": round(fps_fused, 1) if fps_fused else None,
         "pallas_fused_frames_per_sec": round(fps_pallas, 1) if fps_pallas else None,
         "fused_fit_frames_per_sec": round(fps_fit, 1) if fps_fit else None,
+        "fused_mfcc_frames_per_sec": round(fps_mfcc, 1) if fps_mfcc else None,
         "torch_cpu_frames_per_sec": round(fps_cpu, 1),
         "roundtrip_rel_err": rel_err,
         "device": device,

@@ -211,6 +211,27 @@ def test_fuse_forward_dgt_chain(test_files):
     assert not fusable(rt, "xla")
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_fuse_forward_mfcc(test_files, backend):
+    # the reference's MFCC (a MelSpectrogram: power spectrogram -> mel GEMM,
+    # bin-major output) maps onto the fused kernel with power=2
+    sig, _ = test_files
+    for chain in (
+        T.MFCC(n_fft=512, hop_length=128),
+        T.Mono() + T.MFCC(n_fft=512, hop_length=128, norm_mode="gaussian"),
+    ):
+        fitted = chain.fit(jnp.asarray(sig))
+        assert fusable(fitted, backend)
+        y_f = np.asarray(fuse_forward(fitted, backend)(jnp.asarray(sig)))
+        y_r = np.asarray(fitted.forward(jnp.asarray(sig)))
+        assert y_f.shape == y_r.shape
+        assert np.abs(y_f - y_r).max() / (np.abs(y_r).max() + 1e-9) < 1e-4
+    # the true-DCT extension falls back to the chain
+    dct = T.MFCC(n_fft=512, hop_length=128, n_mfcc=13)
+    assert not fusable(dct)
+    assert fuse_forward(dct) == dct.jforward
+
+
 def test_fuse_forward_fallback():
     chain = T.Stereo() + T.STFT()
     assert not fusable(chain)

@@ -87,8 +87,12 @@ def test_mfcc_bin_major_trim():
     ref = chain.forward(x)
     assert y.shape == ref.shape  # (2, 64, 55), not (2, 55, ...)
     t_interior = (7000 - 512 // 2) // 128
+    # the server now dispatches MFCC chains to the fused forward (fuse.py),
+    # a different-but-equal formulation: compare relatively (power-spec
+    # values reach ~1e3; measured 3.5e-7 rel)
     np.testing.assert_allclose(
-        np.asarray(y)[..., :t_interior], np.asarray(ref)[..., :t_interior], atol=1e-5
+        np.asarray(y)[..., :t_interior], np.asarray(ref)[..., :t_interior],
+        rtol=1e-5, atol=1e-4,
     )
 
 
