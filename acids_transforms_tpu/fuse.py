@@ -267,7 +267,10 @@ def _pallas_preferred(chain: AudioTransform) -> bool:
     if getattr(stft_t, "_window_taps", None) is None:
         return False
     overlap = stft_t.n_fft // stft_t.hop_length
-    return overlap >= 4 and stft_t.n_fft >= 1024
+    # 1024-2048 is the measured winning region (BENCH_NOTES shape sweep);
+    # 4096 also compiles (raised VMEM limit) but is unmeasured — auto stays
+    # conservative, explicit backend="pallas" remains available
+    return overlap >= 4 and 1024 <= stft_t.n_fft <= 2048
 
 
 def fuse_forward(

@@ -446,7 +446,10 @@ def _fused_call(
         ),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_t, Mp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
+            dimension_semantics=("parallel", "arbitrary"),
+            # large n_fft (2048+) weight sets exceed the 16M default
+            # scoped-vmem ceiling; the chip has far more
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -518,7 +521,8 @@ def _stats_call(
         ),
         out_shape=jax.ShapeDtypeStruct((8, Fp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )
