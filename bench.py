@@ -266,6 +266,14 @@ def bench_configs(x: np.ndarray):
         lambda m: dgt.invert(m, inversion_mode="pghi"), mag_b, max(N_ITER_TPU // 10, 5)
     )
     out["pghi_invert_frames_per_sec"] = round(mag_b.shape[0] * mag_b.shape[-2] / dt_pghi, 1)
+    dt_gl = _device_time(
+        lambda m: dgt.invert(m, inversion_mode="griffin_lim"),
+        mag_b,
+        max(N_ITER_TPU // 20, 3),
+    )
+    out["griffin_lim_frames_per_sec"] = round(
+        mag_b.shape[0] * mag_b.shape[-2] / dt_gl, 1
+    )
 
     from acids_transforms_tpu.ops.phase import unwrap
 
