@@ -214,6 +214,7 @@ class STFT(AudioTransform):
                 momentum=self.gl_momentum,
                 impl=self.impl,
                 init_phase=ph,
+                taps=self._inv_window_taps,
             )
         if mode == "keep_input":
             phase = self._recall_phase(mag) if phase is None else phase
@@ -275,6 +276,7 @@ class STFT(AudioTransform):
             momentum=self.gl_momentum,
             key=self._take_key(key),
             impl=self.impl,
+            taps=self._inv_window_taps,
         )
 
     def get_sinebank_inversion(

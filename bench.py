@@ -266,8 +266,11 @@ def bench_configs(x: np.ndarray):
         lambda m: dgt.invert(m, inversion_mode="pghi"), mag_b, max(N_ITER_TPU // 10, 5)
     )
     out["pghi_invert_frames_per_sec"] = round(mag_b.shape[0] * mag_b.shape[-2] / dt_pghi, 1)
+    # GL on the hann STFT (the reference's default inversion context) —
+    # rides the fused projection kernel on TPU (ops/pallas/glstep.py)
+    stft_gl = T.STFT(n_fft=N_FFT, hop_length=HOP)
     dt_gl = _device_time(
-        lambda m: dgt.invert(m, inversion_mode="griffin_lim"),
+        lambda m: stft_gl.invert_without_phase(m, inversion_mode="griffin_lim"),
         mag_b,
         max(N_ITER_TPU // 20, 3),
     )

@@ -232,6 +232,56 @@ def test_fuse_forward_mfcc(test_files, backend):
     assert fuse_forward(dct) == dct.jforward
 
 
+def test_gl_project_matches_roundtrip_interior():
+    # the fused GL consistency projection == istft->stft for interior frames
+    # (edge frames use the OLA-tail boundary instead of trim + reflect-repad)
+    from acids_transforms_tpu.ops.fft import istft, taps_for_window
+    from acids_transforms_tpu.ops.pallas.glstep import gl_project
+    from acids_transforms_tpu.ops.windows import get_window
+
+    n_fft, hop = 1024, 256
+    w = get_window("hann", n_fft)
+    taps = taps_for_window(np.asarray(w))
+    x = RNG.standard_normal((2, 30000)).astype(np.float32)
+    spec = stft(jnp.asarray(x), n_fft, hop, w)
+    mag = jnp.abs(spec)
+    ang = spec / jnp.maximum(mag, 1e-20)
+    ore, oim = gl_project(
+        mag, jnp.real(ang), jnp.imag(ang), n_fft, hop, taps, w
+    )
+    ref = np.asarray(stft(istft(spec, n_fft, hop, w), n_fft, hop, w))
+    got = np.asarray(ore) + 1j * np.asarray(oim)
+    e = 4
+    rel = np.abs(got[:, e:-e] - ref[:, e:-e]).max() / np.abs(ref).max()
+    assert rel < 1e-4, rel
+
+
+def test_griffin_lim_fused_quality_parity():
+    # the fused-projection GL converges like the XLA loop (same seed):
+    # spectral convergence within a few percent on a harmonic signal
+    from acids_transforms_tpu.ops.fft import taps_for_window
+    from acids_transforms_tpu.ops.griffinlim import griffin_lim
+    from acids_transforms_tpu.ops.windows import get_window
+
+    n_fft, hop = 1024, 256
+    w = get_window("hann", n_fft)
+    taps = taps_for_window(np.asarray(w))
+    t = np.arange(30000) / 44100
+    x = sum(np.sin(2 * np.pi * f * t) / (i + 1) for i, f in enumerate([220, 440, 880]))
+    x = jnp.asarray((x / np.abs(x).max()).astype(np.float32))
+    mag = jnp.abs(stft(x[None], n_fft, hop, w))
+
+    def sc(rec):
+        R = jnp.abs(stft(rec, n_fft, hop, w))
+        n = min(R.shape[-2], mag.shape[-2])
+        return float(jnp.linalg.norm(R[:, :n] - mag[:, :n]) / jnp.linalg.norm(mag))
+
+    rec_xla = griffin_lim(mag, n_fft, hop, w, n_iter=8, fused=False)
+    rec_ker = griffin_lim(mag, n_fft, hop, w, n_iter=8, taps=taps, fused=True)
+    s_x, s_k = sc(rec_xla), sc(rec_ker)
+    assert s_k < max(1.15 * s_x, s_x + 0.02), (s_k, s_x)
+
+
 def test_fuse_forward_fallback():
     chain = T.Stereo() + T.STFT()
     assert not fusable(chain)
