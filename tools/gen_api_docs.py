@@ -78,6 +78,7 @@ def main():
             ("window_gamma", att.ops.windows.window_gamma),
             ("fused_melspec (Pallas)", att.ops.pallas.fused_melspec),
             ("fused_melspec_stats (Pallas)", att.ops.pallas.fused_melspec_stats),
+            ("gl_project (Pallas)", __import__("acids_transforms_tpu.ops.pallas.glstep", fromlist=["gl_project"]).gl_project),
         ]),
         ("Streaming (`acids_transforms_tpu.streaming`)", [
             ("chunk_signal", att.chunk_signal),
