@@ -134,8 +134,10 @@ def _pallas_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
 
     norm = mag_t.norm
     if isinstance(norm, Normalize):
-        offset = float(norm.offset)
-        scale = float(norm.scale)
+        # keep as (possibly traced) scalars — under serving's jit the
+        # transform is a pytree ARGUMENT and float() would concretize
+        offset = norm.offset
+        scale = norm.scale
     else:  # Dummy
         offset, scale = 0.0, 1.0
     contrast = mag_t.contrast_mode or "none"

@@ -288,7 +288,11 @@ def gl_project(
 
     # exact OLA envelope of the squared synthesis window over the true T
     # frames, chunk-major, ones outside the signal (those rows are unused)
-    w2 = jnp.broadcast_to(np.asarray(window, np.float32)[None, :] ** 2, (T, n_fft))
+    # jnp (not numpy): `window` may be a traced pytree leaf (serving jits
+    # invert with the transform as an argument)
+    w2 = jnp.broadcast_to(
+        jnp.asarray(window, jnp.float32)[None, :] ** 2, (T, n_fft)
+    )
     env = overlap_add(w2, hop_length)  # ((T-1) hop + n_fft,)
     tiny = jnp.finfo(jnp.float32).tiny
     env = jnp.where(env > tiny, env, jnp.ones_like(env))

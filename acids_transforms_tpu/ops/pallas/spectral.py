@@ -354,9 +354,11 @@ def _weights(n_fft: int, window) -> tuple:
     F = n_fft // 2 + 1
     Fp = _round_up(F, LANE)
     C_np, S_np = _dft_matrices(n_fft)
-    w_np = np.asarray(window, dtype=np.float32)[:, None]
-    WC = jnp.asarray(np.pad(w_np * C_np, [(0, 0), (0, Fp - F)]))
-    WS = jnp.asarray(np.pad(w_np * S_np, [(0, 0), (0, Fp - F)]))
+    # fold the window in jnp: `window` may be a traced pytree leaf (e.g.
+    # serving jits fuse_forward with the transform as an argument)
+    w = jnp.asarray(window, dtype=jnp.float32)[:, None]
+    WC = w * jnp.asarray(np.pad(C_np, [(0, 0), (0, Fp - F)]))
+    WS = w * jnp.asarray(np.pad(S_np, [(0, 0), (0, Fp - F)]))
     return F, Fp, WC, WS
 
 

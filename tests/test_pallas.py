@@ -232,6 +232,33 @@ def test_fuse_forward_mfcc(test_files, backend):
     assert fuse_forward(dct) == dct.jforward
 
 
+def test_fuse_forward_with_traced_transform(test_files):
+    # serving jits fuse_forward with the transform as a pytree ARGUMENT
+    # (serving.py:_fwd): every leaf (norm stats, windows, banks) is a
+    # tracer, so the fused closures must not concretize them — regression
+    # for the float(norm.offset) crash seen on the TPU serving path
+    sig, _ = test_files
+    x = jnp.asarray(sig)
+    chain = (T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="gaussian", mel=True, n_fft=512
+    )).fit(x)
+    for backend in ("xla", "pallas"):
+        y = np.asarray(
+            jax.jit(lambda t, v, b=backend: fuse_forward(t, b)(v))(chain, x)
+        )
+        y_ref = np.asarray(chain.forward(x))
+        assert np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9) < 1e-4
+    # gaussian-window (no taps) full-K kernel under tracing too
+    dgt_chain = (T.DGT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", mel=True, n_fft=512
+    )).fit(x)
+    y = np.asarray(
+        jax.jit(lambda t, v: fuse_forward(t, "pallas")(v))(dgt_chain, x)
+    )
+    y_ref = np.asarray(dgt_chain.forward(x))
+    assert np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9) < 1e-4
+
+
 def test_gl_project_matches_roundtrip_interior():
     # the fused GL consistency projection == istft->stft for interior frames
     # (edge frames use the OLA-tail boundary instead of trim + reflect-repad)
@@ -254,6 +281,27 @@ def test_gl_project_matches_roundtrip_interior():
     e = 4
     rel = np.abs(got[:, e:-e] - ref[:, e:-e]).max() / np.abs(ref).max()
     assert rel < 1e-4, rel
+
+
+def test_gl_project_with_traced_window():
+    # serving jits invert with the transform as an argument: the window
+    # reaching gl_project is a tracer (regression: np.asarray crash)
+    from acids_transforms_tpu.ops.fft import taps_for_window
+    from acids_transforms_tpu.ops.pallas.glstep import gl_project
+    from acids_transforms_tpu.ops.windows import get_window
+
+    n_fft, hop = 512, 128
+    w = get_window("hann", n_fft)
+    taps = taps_for_window(np.asarray(w))
+    x = RNG.standard_normal((1, 8000)).astype(np.float32)
+    spec = stft(jnp.asarray(x), n_fft, hop, w)
+    mag = jnp.abs(spec)
+    ang = spec / jnp.maximum(mag, 1e-20)
+
+    ore, oim = jax.jit(
+        lambda wv, m, ar, ai: gl_project(m, ar, ai, n_fft, hop, taps, wv)
+    )(w, mag, jnp.real(ang), jnp.imag(ang))
+    assert np.isfinite(np.asarray(ore)).all()
 
 
 def test_griffin_lim_fused_quality_parity():
