@@ -112,8 +112,13 @@ def _xla_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
         # direct GEMM: the chunk-DFT factorization (impl="factored") is
         # SLOWER as an XLA graph — its elementwise twiddle/taps chains are
         # HBM-bound (measured 8.9 vs 15.8 M frames/s); it wins only inside
-        # the Pallas kernel where intermediates stay in VMEM
-        re, im = stft_real(x, n_fft, hop, stft_t.window, impl=stft_t.impl)
+        # the Pallas kernel where intermediates stay in VMEM.  taps must be
+        # forwarded: impl="factored" raises without them (chain.forward
+        # passes the transform's own _window_taps).
+        re, im = stft_real(
+            x, n_fft, hop, stft_t.window, impl=stft_t.impl,
+            taps=getattr(stft_t, "_window_taps", None),
+        )
         # tiny floor keeps the VJP finite at silent bins (d sqrt(0) = inf);
         # forward impact is sqrt(tiny) ~ 1e-19, far inside the 1e-4 budget
         mag = jnp.sqrt(jnp.maximum(re * re + im * im, jnp.finfo(jnp.float32).tiny))
@@ -236,7 +241,8 @@ def _fused_mfcc(mono, mfcc, backend: str):
             mel = mel.reshape(batch_shape + mel.shape[1:])
         else:
             re, im = stft_real(
-                x, mfcc.n_fft, mfcc.hop_length, mfcc.window, impl=mfcc.impl
+                x, mfcc.n_fft, mfcc.hop_length, mfcc.window, impl=mfcc.impl,
+                taps=taps,
             )
             sq = re * re + im * im
             p = sq if mfcc.power == 2.0 else jnp.sqrt(sq)
@@ -328,6 +334,12 @@ def _match_fit(chain: AudioTransform):
     mono, stft_t, mag_t = match
     if stft_t.n_fft % stft_t.hop_length != 0:
         return None
+    # the stats epilogue runs the Pallas kernel; "log"/"log10" amplify its
+    # ~5e-5 bf16x3 magnitude error unboundedly near silent bins, and the
+    # min statistic is dominated by exactly those bins — mirror the forward
+    # matcher's contrast gate (ADVICE r2) and fall back to the exact cascade
+    if mag_t.contrast_mode in ("log", "log10"):
+        return None
     return mono, stft_t, mag_t
 
 
@@ -388,7 +400,13 @@ def fuse_fit(chain: AudioTransform) -> Callable[[jnp.ndarray], AudioTransform]:
             n = jnp.asarray(st["count"], jnp.float32)
             offset = st["sum"] / n
             var = jnp.maximum(st["sumsq"] - n * offset * offset, 0.0)
-            scale = jnp.sqrt(var / jnp.maximum(n - 1.0, 1.0))
+            # single-pass sumsq - n*mean^2 cancels catastrophically when
+            # std << mean and the clamp can hit exactly 0; floor the scale
+            # so Normalize.forward never divides by zero (the two-pass
+            # chain.fit path returns a small positive std here)
+            scale = jnp.maximum(
+                jnp.sqrt(var / jnp.maximum(n - 1.0, 1.0)), 1e-12
+            )
         new_norm = norm.replace(offset=offset, scale=scale)
         new_norm.needs_scaling = False
         new_mag = mag_t.replace(norm=new_norm)

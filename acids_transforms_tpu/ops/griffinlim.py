@@ -40,8 +40,13 @@ def griffin_lim(
     ``init_phase`` seeds the iteration with an explicit phase estimate
     (e.g. PGHI) instead of random/ones — the standard PGHI+GL hybrid, which
     converges far faster than a cold start.  ``taps`` (static cosine-sum
-    window coefficients) dispatch both projections of every iteration to the
-    chunk-DFT factorization (~overlap-fold fewer MXU FLOPs per iteration)."""
+    window coefficients) enable the fused consistency-projection kernel
+    (ops/pallas/glstep.py) on TPU, which runs each iteration's whole
+    ISTFT→OLA→STFT roundtrip in VMEM with the chunk factorization both
+    ways.  In the non-kernel fallback loop taps are forwarded to
+    stft/istft but only used when ``impl="factored"`` is requested
+    explicitly (as an XLA graph the factorization is HBM-bound and slower
+    than the direct GEMM — BENCH_NOTES.md)."""
     mom = momentum / (1.0 + momentum)
     if init_phase is not None:
         angles = jnp.exp(1j * init_phase.astype(jnp.float32))

@@ -263,16 +263,29 @@ class AudioTransform:
     def get_inversion_modes(self) -> Optional[List[str]]:
         return None
 
-    #: every inversion-mode name any transform in the library understands —
-    #: used to distinguish "mode meant for another child in the chain" from a
-    #: genuine typo in :meth:`_resolve_mode`.
-    _KNOWN_INVERSION_MODES = frozenset(
-        {
-            "mono", "stereo", "crop",
-            "griffin_lim", "keep_input", "random", "sinebank",
-            "pghi", "pghi_exact", "pghi_gl",
-        }
-    )
+    #: every inversion-mode name any transform in the library (or a user
+    #: subclass) understands — used to distinguish "mode meant for another
+    #: child in the chain" from a genuine typo in :meth:`_resolve_mode`.
+    #: OPEN registry: user transforms extend it via
+    #: :meth:`register_inversion_modes`, and any transform entering a
+    #: ComposeAudioTransform auto-registers its own modes, so custom modes
+    #: broadcast through a chain without tripping typo protection.
+    _KNOWN_INVERSION_MODES = {
+        "mono", "stereo", "crop",
+        "griffin_lim", "keep_input", "random", "sinebank",
+        "pghi", "pghi_exact", "pghi_gl",
+    }
+
+    @classmethod
+    def register_inversion_modes(cls, *modes: str) -> None:
+        """Declare custom inversion-mode names as library-known.
+
+        A mode name must be registered (explicitly here, or implicitly by
+        composing the transform that owns it) for Compose chains to broadcast
+        it past children that don't handle it; unknown strings raise in
+        :meth:`_resolve_mode` as typo protection.
+        """
+        AudioTransform._KNOWN_INVERSION_MODES.update(str(m) for m in modes)
 
     def _resolve_mode(self, inversion_mode: Optional[str]) -> Optional[str]:
         """Resolve a requested inversion mode against this transform's own.
@@ -381,6 +394,16 @@ class ComposeAudioTransform(AudioTransform):
     def __init__(self, transforms: Sequence[AudioTransform] = (), sr: int = 44100):
         super().__init__(sr=sr)
         self.transforms = list(transforms)
+        # auto-register every child's inversion modes so a shared mode string
+        # broadcast by invert() is recognized by siblings that don't own it —
+        # keeps the typo-protection registry open to user subclasses
+        for t in self.transforms:
+            try:
+                modes = t.get_inversion_modes()
+            except Exception:
+                modes = None
+            if modes:
+                AudioTransform._KNOWN_INVERSION_MODES.update(modes)
 
     @property
     def invertible(self) -> bool:

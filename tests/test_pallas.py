@@ -171,6 +171,37 @@ def test_fuse_fit_matches_chain_fit(test_files, mode):
     assert np.abs(y_f - y_r).max() / (np.abs(y_r).max() + 1e-9) < 1e-3
 
 
+def test_fuse_forward_factored_impl_passes_taps(test_files):
+    # ADVICE r2: a chain built with STFT(impl="factored") must fuse without
+    # raising — _xla_fused forwards the transform's own cosine-sum taps
+    sig, _ = test_files
+    chain = T.Mono() + T.STFT(n_fft=512, hop_length=128, impl="factored") + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=True, n_fft=512
+    )
+    fitted = chain.fit(jnp.asarray(sig))
+    assert fusable(fitted, "xla")
+    y_fused = np.asarray(fuse_forward(fitted, "xla")(jnp.asarray(sig)))
+    y_ref = np.asarray(fitted.forward(jnp.asarray(sig)))
+    assert np.abs(y_fused - y_ref).max() / (np.abs(y_ref).max() + 1e-9) < 1e-4
+
+
+def test_fuse_fit_declines_log_contrast(test_files):
+    # ADVICE r2: the kernel's bf16x3 magnitude error is unboundedly amplified
+    # by log near silent bins and the min statistic lives exactly there —
+    # fuse_fit must fall back to the exact cascade for log/log10
+    sig, _ = test_files
+    for contrast in ("log", "log10"):
+        chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+            mode="unipolar", contrast=contrast, mel=True, n_fft=512
+        )
+        assert not fit_fusable(chain)
+        fitted = fuse_fit(chain)(jnp.asarray(sig))  # falls back to jfit
+        ref = chain.fit(jnp.asarray(sig))
+        assert np.allclose(
+            float(fitted[-1].norm.offset), float(ref[-1].norm.offset)
+        )
+
+
 def test_pallas_fused_is_differentiable(test_files):
     # kernel primal + XLA-formulation VJP (fuse.py _pallas_fused): gradients
     # of a spectral loss through the fused forward match the chain's
