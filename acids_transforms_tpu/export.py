@@ -31,7 +31,60 @@ __all__ = [
     "load_transform",
     "export_stablehlo",
     "load_stablehlo",
+    "invert_with_phase_fn",
 ]
+
+
+def invert_with_phase_fn(chain: AudioTransform) -> Callable:
+    """Jittable, trace-pure ``(y, phase) -> audio`` for a spectral chain.
+
+    The reference's scripted chain carries the forward phase inside the
+    TorchScript artifact (``phase_buffer``, reference stft.py:134-143,
+    153-161), so a C++ host can do phase-faithful ``keep_input`` magnitude
+    inversion out of the box.  Here the phase stash is an eager-only side
+    channel by design (transforms/stft.py:_stash_phase) — a deployed
+    artifact is trace-pure — so the deploy equivalent is this *explicit*
+    entry point: export it alongside the forward and hand the host the
+    ``(representation, phase)`` pair.  For a complex spectrogram ``spec``,
+    call it as ``fn(abs(spec), angle(spec))`` (the spec->audio form).
+
+    ``chain`` must contain exactly one STFT-family transform (STFT, DGT, or
+    their realtime variants); the transforms after it are inverted first
+    (denorm / contrast / inverse mel), then ``mag * exp(i * phase)`` goes
+    through the spectral inverse and the leading transforms' inverses.
+    """
+    from .transforms.base import ComposeAudioTransform
+    from .transforms.stft import STFT
+
+    ts = (
+        list(chain.transforms)
+        if isinstance(chain, ComposeAudioTransform)
+        else [chain]
+    )
+    spectral = [i for i, t in enumerate(ts) if isinstance(t, STFT)]
+    if len(spectral) != 1:
+        raise ValueError(
+            "invert_with_phase_fn needs exactly one STFT/DGT in the chain "
+            "(got %d)" % len(spectral)
+        )
+    idx = spectral[0]
+    pre, spec_t, post = ts[:idx], ts[idx], ts[idx + 1:]
+
+    def invert(y: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
+        for t in reversed(post):
+            y = t.invert(y)
+        phase = phase.astype(jnp.float32)
+        # mag * (cos + i sin) instead of mag * exp(i phase): the downstream
+        # GEMM ISTFT consumes real/imag parts, so XLA cancels the complex
+        # wrapper and the exported artifact is complex-free — portable to
+        # hosts whose runtimes mis-handle complex transcendentals
+        spec = jax.lax.complex(y * jnp.cos(phase), y * jnp.sin(phase))
+        x = spec_t.invert(spec)
+        for t in reversed(pre):
+            x = t.invert(x)
+        return x
+
+    return invert
 
 
 def _encode(obj: Any, arrays: Dict[str, np.ndarray], path: str) -> Any:

@@ -76,7 +76,9 @@ def scan_roundtrip(
     compiled program; returns the resynthesized signal ``(..., L_out)``.
     """
     chunks = chunk_signal(x, chunk_size)
-    state = chain.init_state(x.shape[:-1])
+    # states are mode-minimal: thread the session's inversion mode so each
+    # stateful child allocates exactly the carry this mode needs
+    state = chain.init_state(x.shape[:-1], mode=inversion_mode)
     if key is None:
         key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, chunks.shape[0])

@@ -236,7 +236,15 @@ class AudioTransform:
     # and fall back to forward/invert; stateful ones (OverlapAdd, Realtime*)
     # override all three.  The whole chain's state is a pytree, so a chunked
     # loop is just ``lax.scan(chain.step, chain.init_state(...), chunks)``.
-    def init_state(self, batch_shape: Tuple[int, ...] = ()):
+    def init_state(
+        self, batch_shape: Tuple[int, ...] = (), mode: Optional[str] = None
+    ):
+        """Fresh streaming state (default: stateless).
+
+        ``mode`` (an inversion-mode name) lets stateful transforms allocate
+        only the carry their mode actually needs — see
+        ``RealtimeSTFT.init_state``.
+        """
         return None
 
     def step(self, state, x):
@@ -504,8 +512,10 @@ class ComposeAudioTransform(AudioTransform):
         return self.transforms[idx].get_inversion_modes()
 
     # ------------------------------------------------------------- streaming
-    def init_state(self, batch_shape: Tuple[int, ...] = ()):
-        return [t.init_state(batch_shape) for t in self.transforms]
+    def init_state(
+        self, batch_shape: Tuple[int, ...] = (), mode: Optional[str] = None
+    ):
+        return [t.init_state(batch_shape, mode=mode) for t in self.transforms]
 
     def step(self, state, x):
         new_states = []

@@ -78,7 +78,9 @@ class OverlapAdd(AudioTransform):
         return self.frames_out * self.hop_length
 
     # ------------------------------------------------------------------ state
-    def init_state(self, batch_shape: Tuple[int, ...] = ()) -> Dict[str, jnp.ndarray]:
+    def init_state(
+        self, batch_shape: Tuple[int, ...] = (), mode: Optional[str] = None
+    ) -> Dict[str, jnp.ndarray]:
         return {
             "input_buffer": jnp.zeros(tuple(batch_shape) + (self._carry,)),
             "output_buffer": jnp.zeros(tuple(batch_shape) + (self._carry,)),

@@ -438,28 +438,51 @@ class RealtimeSTFT(STFT):
         return ["keep_input", "random", "sinebank", "pghi", "pghi_gl"]
 
     # ------------------------------------------------------------- streaming
-    def init_state(self, batch_shape: Tuple[int, ...] = (), key: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+    def init_state(
+        self,
+        batch_shape: Tuple[int, ...] = (),
+        key: Optional[jax.Array] = None,
+        mode: Optional[str] = None,
+    ) -> Dict[str, jnp.ndarray]:
         """Fresh streaming-inversion state for a given batch shape.
 
-        Carries the sinebank phase continuity (``time_index`` /
-        ``random_phase``), the RT-PGHI frame history — 2 magnitude frames +
-        1 phase frame (reference dgt.py:247-250) — and the ``gl_context``
-        committed frames pinned by the streaming ``pghi_gl`` polish."""
-        key = self._take_key(key)
-        ctx = self.gl_context
-        return {
-            "mag_buffer": jnp.zeros(tuple(batch_shape) + (2, self.n_bins)),
-            "phase_buffer": jnp.zeros(tuple(batch_shape) + (self.n_bins,)),
-            "gl_mag": jnp.zeros(tuple(batch_shape) + (ctx, self.n_bins)),
-            "gl_phase": jnp.zeros(tuple(batch_shape) + (ctx, self.n_bins)),
-            "time_index": jnp.zeros(()),
-            "random_phase": 2.0
-            * jnp.pi
-            * jax.random.uniform(key, tuple(batch_shape) + (1, self.n_bins)),
-        }
+        The state is **mode-minimal** (VERDICT r2 #3): only the carry the
+        resolved inversion mode actually uses is allocated, so a
+        direct/random/keep_input streaming session scans an empty dict
+        instead of hauling dead PGHI/sinebank buffers through every step.
 
-    def reset(self, batch_shape: Tuple[int, ...] = ()) -> None:
-        self._state = self.init_state(tuple(batch_shape))
+        * ``pghi`` / ``pghi_exact`` — RT-PGHI frame history: 2 magnitude
+          frames + 1 phase frame (reference dgt.py:247-250).
+        * ``pghi_gl`` — the above plus the ``gl_context`` committed frames
+          pinned by the streaming GL polish.
+        * ``sinebank`` — ``time_index`` / ``random_phase`` continuity.
+
+        ``mode=None`` resolves to this transform's configured
+        ``inversion_mode`` (foreign chain-broadcast modes fall back the same
+        way ``invert`` does)."""
+        mode = self._resolve_mode(mode)
+        bs = tuple(batch_shape)
+        state: Dict[str, jnp.ndarray] = {}
+        if mode in ("pghi", "pghi_exact", "pghi_gl"):
+            state["mag_buffer"] = jnp.zeros(bs + (2, self.n_bins))
+            state["phase_buffer"] = jnp.zeros(bs + (self.n_bins,))
+        if mode == "pghi_gl":
+            ctx = self.gl_context
+            state["gl_mag"] = jnp.zeros(bs + (ctx, self.n_bins))
+            state["gl_phase"] = jnp.zeros(bs + (ctx, self.n_bins))
+        if mode == "sinebank":
+            state["time_index"] = jnp.zeros(())
+            state["random_phase"] = (
+                2.0
+                * jnp.pi
+                * jax.random.uniform(
+                    self._take_key(key), bs + (1, self.n_bins)
+                )
+            )
+        return state
+
+    def reset(self, batch_shape: Tuple[int, ...] = (), mode: Optional[str] = None) -> None:
+        self._state = self.init_state(tuple(batch_shape), mode=mode)
 
     def get_batch_size(self) -> int:
         return self.batch_size
@@ -515,7 +538,7 @@ class RealtimeSTFT(STFT):
             # streaming: causal scan, with the pinned-context GL polish on top
             # for "pghi_gl" ("pghi_exact" maps to the scan — no heap online)
             mode = "pghi_gl" if mode == "pghi_gl" else "pghi"
-            state = self._eager_state(mag)
+            state = self._eager_state(mag, mode=mode)
             new_state, y = self.invert_stream(state, mag, inversion_mode=mode, key=key)
             self._state = new_state
             return y
@@ -526,7 +549,7 @@ class RealtimeSTFT(STFT):
         elif mode == "random":
             phase = 2.0 * jnp.pi * jax.random.uniform(self._take_key(key), mag.shape)
         elif mode == "sinebank":
-            state = self._eager_state(mag)
+            state = self._eager_state(mag, mode="sinebank")
             new_state, y = self.sinebank_stream(state, mag)
             self._state = new_state
             return y * self.inv_window
@@ -534,7 +557,11 @@ class RealtimeSTFT(STFT):
             raise ValueError("inversion mode %s not valid." % mode)
         spec = mag * jnp.exp(1j * phase)
         if not isinstance(spec, jax.core.Tracer):
-            self._state = self._update_buffers(self._eager_state(mag), spec)
+            # eager keep_input/random sessions still maintain the PGHI frame
+            # history so a later eager mode switch sees real context
+            self._state = self._update_buffers(
+                self._eager_state(mag, mode="pghi"), spec
+            )
         return self.invert(spec)
 
     def invert_stream(
@@ -571,6 +598,13 @@ class RealtimeSTFT(STFT):
         """Causal PGHI for one chunk of frames, seeded by the carried state."""
         from ..ops.pghi import pghi_scan
 
+        if "mag_buffer" not in state:
+            raise KeyError(
+                "streaming state has no PGHI history — create it with "
+                "init_state(batch_shape, mode='pghi') (states are "
+                "mode-minimal)"
+            )
+
         return pghi_scan(
             mag,
             self.gamma,
@@ -604,6 +638,12 @@ class RealtimeSTFT(STFT):
         """
         from ..ops.framing import frame as frame_op, overlap_add
 
+        if "gl_mag" not in state:
+            raise KeyError(
+                "streaming state has no pinned-context buffers — create it "
+                "with init_state(batch_shape, mode='pghi_gl') (states are "
+                "mode-minimal)"
+            )
         ctx = self.gl_context
         overlap = max(self.n_fft // self.hop_length, 1)
         ph0 = self.pghi_stream(state, mag, key=key)
@@ -647,7 +687,11 @@ class RealtimeSTFT(STFT):
         self, state: Dict[str, jnp.ndarray], spec: jnp.ndarray
     ) -> Dict[str, jnp.ndarray]:
         """Carry the trailing 2 magnitude frames + last phase frame
-        (reference dgt.py:330-336)."""
+        (reference dgt.py:330-336).  No-op for mode-minimal states without
+        PGHI history (direct/random/keep_input sessions skip the per-chunk
+        abs/angle entirely)."""
+        if "mag_buffer" not in state:
+            return state
         new = dict(state)
         mag = jnp.abs(spec)
         if spec.shape[-2] >= 2:
@@ -673,6 +717,12 @@ class RealtimeSTFT(STFT):
         ``(T, F, n_fft)`` broadcast (the reference's 3-D tensor, 33 MB/batch
         element at n_fft=1024) into two ``(T, F) x (F, n_fft)`` GEMMs.
         """
+        if "time_index" not in state:
+            raise KeyError(
+                "streaming state has no sinebank continuity — create it with "
+                "init_state(batch_shape, mode='sinebank') (states are "
+                "mode-minimal)"
+            )
         T = mag.shape[-2]
         n_bins = mag.shape[-1]
         omega = 2.0 * jnp.pi * jnp.linspace(0.0, self.sr / 2.0, n_bins)  # rad/s
@@ -692,12 +742,23 @@ class RealtimeSTFT(STFT):
         new_state["time_index"] = state["time_index"] + T * self.hop_length / self.sr
         return new_state, y
 
-    def _eager_state(self, mag: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    def _eager_state(
+        self, mag: jnp.ndarray, mode: Optional[str] = None
+    ) -> Dict[str, jnp.ndarray]:
+        """Stored eager state reconciled against the requested mode: missing
+        or batch-mismatched entries are freshly allocated, matching carried
+        entries survive (so eager mode switches keep whatever history they
+        share)."""
         batch_shape = mag.shape[:-2]
+        template = self.init_state(batch_shape, mode=mode)
         st = getattr(self, "_state", None)
-        if st is None or st["mag_buffer"].shape[:-2] != batch_shape:
-            st = self.init_state(batch_shape)
-        return st
+        if st is None:
+            return template
+        out = dict(st)  # keep other modes' eager history alongside
+        for k, v in template.items():
+            prev = st.get(k)
+            out[k] = prev if prev is not None and prev.shape == v.shape else v
+        return out
 
     def realtime(self) -> "RealtimeSTFT":
         return self

@@ -1,12 +1,21 @@
 """Export a fitted mel-spectrogram chain for the standalone C++ PJRT host.
 
-Produces, in the target directory:
+Produces, in the target directory, a multi-stage artifact described by
+``stages.txt`` (one line per stage: ``<name> <n_inputs>``).  Per stage
+``<name>``:
 
-* ``melspec.stablehlo.mlir`` — the jitted fused forward as a StableHLO
-  module (chain parameters frozen as constants, exactly like TorchScript
-  freezing);
-* ``input.bin`` / ``input_shape.txt`` — float32 test input;
-* ``expected.bin`` — the Python-side output the host must reproduce.
+* ``<name>.stablehlo.mlir`` — the jitted function as a StableHLO module
+  (chain parameters frozen as constants, exactly like TorchScript freezing);
+* ``<name>.input<i>.bin`` / ``<name>.input<i>_shape.txt`` — float32 inputs;
+* ``<name>.expected.bin`` — the Python-side output the host must reproduce.
+
+Stages exported:
+
+* ``melspec`` — the chain forward, audio -> normalized log-mel magnitude;
+* ``invert_keep_input`` — the phase-faithful inverse ``(y, phase) -> audio``
+  (export.invert_with_phase_fn): the deploy equivalent of the reference's
+  scripted ``phase_buffer`` keep_input inversion (reference
+  stft.py:134-143), with the phase as an explicit artifact input.
 
 Usage: python export_artifact.py <out_dir>
 """
@@ -19,11 +28,33 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 
 
+def _write_stage(out_dir, name, fn, inputs):
+    import jax
+
+    mlir_text = jax.jit(fn).lower(*inputs).as_text()
+    with open(os.path.join(out_dir, f"{name}.stablehlo.mlir"), "w") as f:
+        f.write(mlir_text)
+    for i, a in enumerate(inputs):
+        arr = np.asarray(a).astype(np.float32)
+        arr.tofile(os.path.join(out_dir, f"{name}.input{i}.bin"))
+        with open(os.path.join(out_dir, f"{name}.input{i}_shape.txt"), "w") as f:
+            f.write(" ".join(str(d) for d in arr.shape))
+    y = np.asarray(fn(*inputs)).astype(np.float32)
+    y.tofile(os.path.join(out_dir, f"{name}.expected.bin"))
+    return y
+
+
 def main(out_dir: str) -> None:
     import jax
+
+    # the artifact is compiled by the C++ *CPU* host; produce it on the CPU
+    # backend too (the invert stage's eager complex ops are unimplemented on
+    # the tunneled TPU, and the MLIR is platform-neutral StableHLO anyway)
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from acids_transforms_tpu import transforms as T
+    from acids_transforms_tpu.export import invert_with_phase_fn
     from acids_transforms_tpu.fuse import fuse_forward
 
     os.makedirs(out_dir, exist_ok=True)
@@ -42,17 +73,25 @@ def main(out_dir: str) -> None:
     # cannot execute — exported modules must be portable StableHLO
     fused = fuse_forward(chain, backend="xla")
 
-    lowered = jax.jit(fused).lower(xj)
-    mlir_text = lowered.as_text()  # StableHLO module, parameters inlined
-    with open(os.path.join(out_dir, "melspec.stablehlo.mlir"), "w") as f:
-        f.write(mlir_text)
+    y = _write_stage(out_dir, "melspec", fused, [xj])
 
-    y = np.asarray(fused(xj)).astype(np.float32)
-    x.tofile(os.path.join(out_dir, "input.bin"))
-    with open(os.path.join(out_dir, "input_shape.txt"), "w") as f:
-        f.write(" ".join(str(d) for d in x.shape))
-    y.tofile(os.path.join(out_dir, "expected.bin"))
-    print("exported:", out_dir, "input", x.shape, "->", y.shape)
+    # phase-faithful invert: the host reproduces the reference's scripted
+    # keep_input capability with (y, phase) as explicit artifact inputs
+    phase = jnp.angle(chain[0].forward(xj))
+    inv = invert_with_phase_fn(chain)
+    rec = _write_stage(out_dir, "invert_keep_input", inv, [jnp.asarray(y), phase])
+
+    with open(os.path.join(out_dir, "stages.txt"), "w") as f:
+        f.write("melspec 1\ninvert_keep_input 2\n")
+
+    # round-trip quality of the exported pair (mel pseudo-inverse + exact
+    # phase): report it so the artifact's contract is visible at export time
+    n = min(x.shape[-1], rec.shape[-1])
+    err = float(np.abs(rec[..., :n] - x[..., :n]).max())
+    print(
+        "exported:", out_dir, "input", x.shape, "->", y.shape,
+        "| keep_input round-trip max err vs source audio:", round(err, 4),
+    )
 
 
 if __name__ == "__main__":

@@ -2,9 +2,15 @@
 //
 // The reference's raison d'être is TorchScript-in-C++ for realtime use
 // (reference README.md:58-59).  The TPU-native equivalent: a fitted chain is
-// exported to StableHLO (export_artifact.py -> melspec.stablehlo.mlir), and
-// this host — no Python anywhere at runtime — parses the module, compiles it
-// with the XLA local CPU client and executes it on raw float32 audio.
+// exported to StableHLO (export_artifact.py), and this host — no Python
+// anywhere at runtime — parses each module, compiles it with the XLA local
+// CPU client and executes it on raw float32 tensors.
+//
+// The artifact is multi-stage (stages.txt: "<name> <n_inputs>" per line):
+// the forward (audio -> normalized log-mel) and the phase-faithful inverse
+// ((y, phase) -> audio), restoring the scripted reference's keep_input
+// deploy capability (reference stft.py:134-143) with the phase as an
+// explicit input instead of a hidden buffer.
 //
 // Links against the XLA runtime shipped inside the tensorflow wheel
 // (libtensorflow_cc.so.2 exports the full xla:: C++ surface).  The PJRT C++
@@ -16,12 +22,13 @@
 // exercised end to end by tests/test_cpp_host.py).
 //
 // Usage: host <artifact_dir>
-//   artifact_dir/melspec.stablehlo.mlir  StableHLO module (text)
-//   artifact_dir/input.bin               float32 raw input
-//   artifact_dir/input_shape.txt         whitespace-separated dims
-//   artifact_dir/expected.bin            float32 raw expected output
-// Prints the output element count and max |out - expected|; exit 0 iff
-// < 1e-4.
+//   artifact_dir/stages.txt                     stage manifest
+//   artifact_dir/<name>.stablehlo.mlir          StableHLO module (text)
+//   artifact_dir/<name>.input<i>.bin            float32 raw input i
+//   artifact_dir/<name>.input<i>_shape.txt      whitespace-separated dims
+//   artifact_dir/<name>.expected.bin            float32 raw expected output
+// Prints per-stage element count and max |out - expected|; exit 0 iff every
+// stage < 1e-4.
 
 #include <cstdint>
 #include <cstdio>
@@ -70,6 +77,120 @@ std::vector<int64_t> ReadShape(const std::string& path) {
   return dims;
 }
 
+// Compile one StableHLO module and run it on its recorded inputs; returns
+// the max abs deviation from the recorded expected output (exits on infra
+// errors so the caller only reasons about numerics).
+float RunStage(xla::LocalClient* client, const std::string& dir,
+               const std::string& name, int n_inputs) {
+  const std::string mlir = ReadFile(dir + "/" + name + ".stablehlo.mlir");
+
+  xla::XlaComputation computation;
+  absl::Status st = xla::ParseMlirModuleStringAndConvertToXlaComputation(
+      mlir, computation, /*use_tuple_args=*/false, /*return_tuple=*/false);
+  if (!st.ok()) {
+    std::fprintf(stderr, "%s parse: %s\n", name.c_str(), st.ToString().c_str());
+    std::exit(2);
+  }
+
+  std::vector<xla::Shape> arg_shapes;
+  std::vector<std::string> raw_inputs;
+  arg_shapes.reserve(n_inputs);
+  for (int i = 0; i < n_inputs; ++i) {
+    const std::string stem = dir + "/" + name + ".input" + std::to_string(i);
+    arg_shapes.push_back(xla::ShapeUtil::MakeShape(
+        xla::PrimitiveType::F32, ReadShape(stem + "_shape.txt")));
+    raw_inputs.push_back(ReadFile(stem + ".bin"));
+  }
+  std::vector<const xla::Shape*> arg_shape_ptrs;
+  for (const auto& s : arg_shapes) arg_shape_ptrs.push_back(&s);
+
+  auto exes_or = client->Compile(computation, arg_shape_ptrs,
+                                 xla::ExecutableBuildOptions());
+  if (!exes_or.ok()) {
+    std::fprintf(stderr, "%s compile: %s\n", name.c_str(),
+                 exes_or.status().ToString().c_str());
+    std::exit(2);
+  }
+  auto exes = std::move(exes_or).value();
+
+  // ScopedShapedBuffer (not ShapedBuffer): LiteralToShapedBuffer returns the
+  // owning type — slicing it into the base frees the device memory at once.
+  // The literals stay alive until after Run (transfers may alias host data
+  // on the "Host" platform).
+  std::vector<xla::Literal> literals;
+  std::vector<xla::ScopedShapedBuffer> buffers;
+  literals.reserve(n_inputs);
+  buffers.reserve(n_inputs);
+  for (int i = 0; i < n_inputs; ++i) {
+    literals.emplace_back(arg_shapes[i]);
+    xla::Literal& lit = literals.back();
+    if (lit.size_bytes() != raw_inputs[i].size()) {
+      std::fprintf(stderr, "%s input %d size mismatch (%zu vs %zu bytes)\n",
+                   name.c_str(), i, (size_t)lit.size_bytes(),
+                   raw_inputs[i].size());
+      std::exit(2);
+    }
+    std::memcpy(lit.untyped_data(), raw_inputs[i].data(),
+                raw_inputs[i].size());
+    auto buf_or =
+        client->LiteralToShapedBuffer(lit, client->default_device_ordinal());
+    if (!buf_or.ok()) {
+      std::fprintf(stderr, "%s transfer: %s\n", name.c_str(),
+                   buf_or.status().ToString().c_str());
+      std::exit(2);
+    }
+    buffers.push_back(std::move(buf_or).value());
+  }
+  std::vector<const xla::ShapedBuffer*> buffer_ptrs;
+  for (const auto& b : buffers) buffer_ptrs.push_back(&b);
+
+  xla::ExecutableRunOptions run_options;
+  run_options.set_allocator(client->backend().memory_allocator());
+  run_options.set_intra_op_thread_pool(
+      client->backend().eigen_intra_op_thread_pool_device());
+  auto out_or = exes[0]->Run(buffer_ptrs, run_options);
+  if (!out_or.ok()) {
+    std::fprintf(stderr, "%s execute: %s\n", name.c_str(),
+                 out_or.status().ToString().c_str());
+    std::exit(2);
+  }
+  auto lit_or = client->ShapedBufferToLiteral(out_or.value());
+  if (!lit_or.ok()) {
+    std::fprintf(stderr, "%s fetch: %s\n", name.c_str(),
+                 lit_or.status().ToString().c_str());
+    std::exit(2);
+  }
+  xla::Literal out_lit = std::move(lit_or).value();
+  if (out_lit.shape().IsTuple()) {
+    out_lit = out_lit.DecomposeTuple()[0].Clone();
+  }
+
+  const std::string expected_raw = ReadFile(dir + "/" + name + ".expected.bin");
+  const float* out = static_cast<const float*>(out_lit.untyped_data());
+  const size_t n = out_lit.size_bytes() / sizeof(float);
+  {  // dump the produced output next to the expectation (debugging aid)
+    std::ofstream g(dir + "/" + name + ".got.bin", std::ios::binary);
+    g.write(reinterpret_cast<const char*>(out), out_lit.size_bytes());
+  }
+  const float* want = reinterpret_cast<const float*>(expected_raw.data());
+  const size_t n_want = expected_raw.size() / sizeof(float);
+
+  std::printf("%s: output elements %zu (expected %zu)\n", name.c_str(), n,
+              n_want);
+  if (n != n_want) {
+    std::fprintf(stderr, "%s: shape mismatch\n", name.c_str());
+    std::exit(1);
+  }
+  float max_diff = 0.0f;
+  for (size_t i = 0; i < n; ++i) {
+    float d = out[i] - want[i];
+    if (d < 0) d = -d;
+    if (d > max_diff) max_diff = d;
+  }
+  std::printf("%s: max |out - expected| = %g\n", name.c_str(), max_diff);
+  return max_diff;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -79,21 +200,6 @@ int main(int argc, char** argv) {
   }
   const std::string dir = argv[1];
 
-  const std::string mlir = ReadFile(dir + "/melspec.stablehlo.mlir");
-  const std::string input_raw = ReadFile(dir + "/input.bin");
-  const std::string expected_raw = ReadFile(dir + "/expected.bin");
-  const std::vector<int64_t> in_dims = ReadShape(dir + "/input_shape.txt");
-
-  // --- StableHLO -> XlaComputation
-  xla::XlaComputation computation;
-  absl::Status st = xla::ParseMlirModuleStringAndConvertToXlaComputation(
-      mlir, computation, /*use_tuple_args=*/false, /*return_tuple=*/false);
-  if (!st.ok()) {
-    std::fprintf(stderr, "parse: %s\n", st.ToString().c_str());
-    return 2;
-  }
-
-  // --- local CPU client ("Host" platform), compile
   auto platform_or = stream_executor::PlatformManager::PlatformWithName("Host");
   if (!platform_or.ok()) {
     std::fprintf(stderr, "platform: %s\n",
@@ -107,71 +213,20 @@ int main(int argc, char** argv) {
     return 2;
   }
   xla::LocalClient* client = client_or.value();
-  const xla::Shape arg_shape =
-      xla::ShapeUtil::MakeShape(xla::PrimitiveType::F32, in_dims);
-  std::vector<const xla::Shape*> arg_shapes = {&arg_shape};
-  auto exes_or =
-      client->Compile(computation, arg_shapes, xla::ExecutableBuildOptions());
-  if (!exes_or.ok()) {
-    std::fprintf(stderr, "compile: %s\n", exes_or.status().ToString().c_str());
-    return 2;
-  }
-  auto exes = std::move(exes_or).value();
 
-  // --- input literal -> device buffer
-  xla::Literal in_lit(arg_shape);
-  if (in_lit.size_bytes() != input_raw.size()) {
-    std::fprintf(stderr, "input size mismatch (%zu vs %zu bytes)\n",
-                 (size_t)in_lit.size_bytes(), input_raw.size());
+  std::istringstream stages(ReadFile(dir + "/stages.txt"));
+  std::string name;
+  int n_inputs;
+  bool ok = true;
+  int n_stages = 0;
+  while (stages >> name >> n_inputs) {
+    ++n_stages;
+    const float max_diff = RunStage(client, dir, name, n_inputs);
+    if (!(max_diff < 1e-4f)) ok = false;
+  }
+  if (n_stages == 0) {
+    std::fprintf(stderr, "no stages in %s/stages.txt\n", dir.c_str());
     return 2;
   }
-  std::memcpy(in_lit.untyped_data(), input_raw.data(), input_raw.size());
-  auto in_buf_or = client->LiteralToShapedBuffer(
-      in_lit, client->default_device_ordinal());
-  if (!in_buf_or.ok()) {
-    std::fprintf(stderr, "transfer: %s\n",
-                 in_buf_or.status().ToString().c_str());
-    return 2;
-  }
-  auto in_buf = std::move(in_buf_or).value();
-
-  // --- execute
-  xla::ExecutableRunOptions run_options;
-  run_options.set_allocator(client->backend().memory_allocator());
-  run_options.set_intra_op_thread_pool(
-      client->backend().eigen_intra_op_thread_pool_device());
-  auto out_or = exes[0]->Run({&in_buf}, run_options);
-  if (!out_or.ok()) {
-    std::fprintf(stderr, "execute: %s\n", out_or.status().ToString().c_str());
-    return 2;
-  }
-  auto lit_or = client->ShapedBufferToLiteral(out_or.value());
-  if (!lit_or.ok()) {
-    std::fprintf(stderr, "fetch: %s\n", lit_or.status().ToString().c_str());
-    return 2;
-  }
-  xla::Literal out_lit = std::move(lit_or).value();
-  if (out_lit.shape().IsTuple()) {
-    out_lit = out_lit.DecomposeTuple()[0].Clone();
-  }
-
-  // --- compare against the Python-produced expectation
-  const float* out = static_cast<const float*>(out_lit.untyped_data());
-  const size_t n = out_lit.size_bytes() / sizeof(float);
-  const float* want = reinterpret_cast<const float*>(expected_raw.data());
-  const size_t n_want = expected_raw.size() / sizeof(float);
-
-  std::printf("output elements: %zu (expected %zu)\n", n, n_want);
-  if (n != n_want) {
-    std::fprintf(stderr, "shape mismatch\n");
-    return 1;
-  }
-  float max_diff = 0.0f;
-  for (size_t i = 0; i < n; ++i) {
-    float d = out[i] - want[i];
-    if (d < 0) d = -d;
-    if (d > max_diff) max_diff = d;
-  }
-  std::printf("max |out - expected| = %g\n", max_diff);
-  return max_diff < 1e-4f ? 0 : 1;
+  return ok ? 0 : 1;
 }

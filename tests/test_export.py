@@ -72,6 +72,36 @@ def test_stablehlo_export_roundtrip(tmp_path, test_files):
     np.testing.assert_allclose(y, np.asarray(fn(x)), atol=1e-5)
 
 
+def test_invert_with_phase_roundtrip(tmp_path, test_files):
+    """VERDICT r2 #7: the deployable (mag, phase) -> audio entry restores the
+    scripted reference's keep_input capability (reference stft.py:134-143).
+    Without mel, the pair is an exact inverse; exported StableHLO matches."""
+    from acids_transforms_tpu.export import invert_with_phase_fn
+
+    sig, _ = test_files
+    x = jnp.asarray(sig.mean(1)[..., :8192])  # (3, 8192) mono
+    chain = (T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=False, n_fft=512
+    )).fit(x)
+    y = chain.forward(x)
+    phase = jnp.angle(chain[0].forward(x))
+    inv = invert_with_phase_fn(chain)
+    rec = np.asarray(jax.jit(inv)(y, phase))
+    n = min(x.shape[-1], rec.shape[-1])
+    err = np.abs(rec[..., :n] - np.asarray(x)[..., :n]).max()
+    assert err < 1e-4, err  # exact keep_input round trip at the 1e-4 budget
+
+    # and it exports/loads as a standalone artifact
+    path = str(tmp_path / "inv.stablehlo")
+    export_stablehlo(inv, (y, phase), path)
+    rec2 = np.asarray(load_stablehlo(path)(y, phase))
+    np.testing.assert_allclose(rec2, rec, atol=1e-5)
+
+    # guardrail: chains without a spectral transform are rejected
+    with pytest.raises(ValueError):
+        invert_with_phase_fn(T.Mono() + T.MuLaw())
+
+
 def test_stablehlo_polymorphic_batch(tmp_path, test_files):
     """One exported artifact serves multiple batch sizes."""
     sig, _ = test_files

@@ -118,6 +118,41 @@ def test_refit_requires_refresh():
         assert np.abs(y2 - y0).max() > 1e-3  # refit now visible
 
 
+def test_window_chain_zero_postwarmup_compiles():
+    """VERDICT r2 #6: the frame ladder is chain-exact (eval_shape over the
+    actual chain), so warmup() provably covers every runtime invert shape —
+    a Window chain's T = (b - wsize)//hop + 1 differs from the STFT formula
+    and used to compile outside the warmed set."""
+    chain = T.ComposeAudioTransform([T.Window(window_size=512, hop_size=256)])
+    server = CompiledTransform(chain, buckets=(4096, 8192), batch_sizes=(2,))
+    server.warmup()
+    fwd_before = server._fwd._cache_size()
+    inv_before = server._inv._cache_size()
+    for L in (3000, 4096, 5000, 8192):
+        x = jnp.asarray(RNG.standard_normal((2, L)).astype(np.float32))
+        y = server.forward(x)
+        rec = server.invert(y)
+        assert np.isfinite(np.asarray(rec)).all()
+    assert server._fwd._cache_size() == fwd_before, "forward compiled post-warmup"
+    assert server._inv._cache_size() == inv_before, "invert compiled post-warmup"
+    # the ladder matches what the chain actually produces
+    assert server._t_ladder() == ((4096 - 512) // 256 + 1, (8192 - 512) // 256 + 1)
+
+
+def test_mfcc_chain_zero_postwarmup_compiles():
+    """Bin-major MFCC output (frames on -1): the ladder derives from the real
+    frame axis; forwards never compile outside the warmed set."""
+    chain = T.ComposeAudioTransform([T.MFCC(n_fft=512, hop_length=128, n_mels=64)])
+    server = CompiledTransform(chain, buckets=(4096, 8192), batch_sizes=(2,))
+    server.warmup()
+    before = server._fwd._cache_size()
+    for L in (3000, 4096, 6000, 8192):
+        x = jnp.asarray(RNG.standard_normal((2, L)).astype(np.float32))
+        server.forward(x)
+    assert server._fwd._cache_size() == before
+    assert server._t_ladder() == (4096 // 128 + 1, 8192 // 128 + 1)
+
+
 def test_frame_axis_protocol():
     stft_chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
         mode=None, mel=False, n_fft=512
