@@ -150,6 +150,21 @@ def _pallas_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
 
     taps = getattr(stft_t, "_window_taps", None)
 
+    # banded-block mel structure, from the transform's STATIC config (under
+    # serving's jit the bank leaf is a tracer the kernel factory can't
+    # inspect) — the square bank is bidiagonal, so the kernel skips ~2/3 of
+    # its mel GEMM blocks exactly (ops/pallas/spectral.py:_mel3)
+    mel_blocks = None
+    if mag_t.mel:
+        from .ops.mel import square_mel_banks
+        from .ops.pallas.spectral import mel_block_structure
+
+        bank_np = square_mel_banks(
+            mag_t.n_fft, mag_t.sr, keep_nyquist=mag_t.keep_nyquist,
+            inverse=getattr(mag_t, "mel_inverse", "transpose"),
+        )[0]
+        mel_blocks = mel_block_structure(bank_np)
+
     def kernel_forward(x: jnp.ndarray) -> jnp.ndarray:
         if mono is not None:
             x = mono.forward(x)
@@ -165,6 +180,7 @@ def _pallas_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
             scale,
             contrast,
             taps=taps,
+            mel_blocks=mel_blocks,
         )
         return mag_t._drop_nyquist(y.reshape(batch_shape + y.shape[1:]))
 
@@ -258,12 +274,17 @@ def _fused_mfcc(mono, mfcc, backend: str):
 def _pallas_preferred(chain: AudioTransform) -> bool:
     """True when the chunk-factored Pallas kernel is the measured winner:
     on a TPU (elsewhere the kernel runs in interpret mode), pattern-fusable
-    under the Mosaic constraints, the analysis window a cosine sum (without
-    taps the full-K kernel loses to XLA), and a shape where the
-    factorization pays — overlap >= 4 (the MXU saving is ~overlap-fold; at
-    overlap 2 the twiddle/taps VPU work eats it: measured 0.99x) and
-    n_fft >= 1024 (at 512 the 257 -> 384 lane padding wastes 50% of the MXU:
-    0.95x).  Shape sweep in BENCH_NOTES.md: 1.21-1.79x inside this region."""
+    under the Mosaic constraints, and the analysis window a cosine sum
+    (without taps the full-K kernel loses to XLA).
+
+    Since the r3 kernel rework (single stacked bf16x3 GEMM, banded-block
+    mel, single-copy padding) the kernel beats the XLA fused path at EVERY
+    swept shape — 1.13x (512/128) to 2.48x (2048/512), 1.73x at the
+    headline 1024/256 (BENCH_NOTES.md r3 sweep) — so the auto region is now
+    bounded only by accuracy: every accepted shape is validated <= ~1e-4
+    against a float64 oracle.  4096/1024 measures 9.4e-5 and is in;
+    4096 with overlap > 4 measures 1.02e-4 (just over budget) and stays on
+    the XLA path (explicit ``backend="pallas"`` remains available)."""
     import jax
 
     if jax.default_backend() != "tpu":
@@ -275,10 +296,9 @@ def _pallas_preferred(chain: AudioTransform) -> bool:
     if getattr(stft_t, "_window_taps", None) is None:
         return False
     overlap = stft_t.n_fft // stft_t.hop_length
-    # 1024-2048 is the measured winning region (BENCH_NOTES shape sweep);
-    # 4096 also compiles (raised VMEM limit) but is unmeasured — auto stays
-    # conservative, explicit backend="pallas" remains available
-    return overlap >= 4 and 1024 <= stft_t.n_fft <= 2048
+    if not (512 <= stft_t.n_fft <= 4096 and overlap >= 2):
+        return False
+    return stft_t.n_fft < 4096 or overlap <= 4
 
 
 def fuse_forward(

@@ -1,0 +1,362 @@
+"""Fused PGHI inversion kernel: magnitude -> audio in ONE Pallas pass.
+
+The XLA formulation of offline PGHI inversion (ops/pghi.py pghi_scan +
+ops/fft.py istft) is dispatch/HBM-bound, not compute-bound (r3 decomposition,
+tools/sweep_pghi.py at the bench shape, batch 8 x 690 frames):
+
+    gradients + anchor precompute     1.48 ms   (~30 elementwise HBM passes)
+    sqrt-blocked time recurrence      3.0 ms    (deep associative_scan chains,
+                                                 each stage a tiny dispatched op)
+    mag*e^{i phi} -> ISTFT            1.8 ms    (1.3 ms of it the transcendental
+                                                 + complex HBM passes alone)
+
+All three collapse into this kernel: the grid walks frame tiles
+SEQUENTIALLY ('arbitrary'), per-frame state (previous phase, previous
+time-gradient, the OLA tail) lives in VMEM scratch that persists across grid
+steps, and every intermediate — log-magnitudes, gradient fields, anchor
+masks, the segmented-scan fill, sin/cos, the windowed iDFT frames, the
+overlap-add — stays in VMEM.  The serial time dependency that forced the
+sqrt-blocked schedule in XLA (per-frame dispatch ~26 us) is free here
+(per-frame cost ~2 us of VPU work).
+
+Semantics match ops/pghi.py's serial scan (same anchors, same trapezoids,
+same onset seeding and random silent phase) followed by the least-squares
+ISTFT — the envelope division and centre trim run outside on the small audio
+tensor.  Random silent-bin phases stream in as an input (generated outside;
+tests pin them to the scan's draw for exact comparison).
+
+Reference: acids_transforms/transforms/dgt.py:156-236 (offline PGHI),
+dgt.py:85-93 (ISTFT inversion); redesigned TPU-first (no heap, no gathers).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fft import _idft_matrices
+from .spectral import LANE, _round_up, _split_bf16
+
+__all__ = ["pghi_invert_fused", "pghi_fused_available"]
+
+
+def pghi_fused_available(n_fft: int, hop_length: int) -> bool:
+    return n_fft % hop_length == 0 and n_fft // hop_length >= 2
+
+
+def _seg_scan(a, b, d, Fp, reverse):
+    """In-kernel Hillis-Steele prefix composition of affine maps along lanes.
+
+    Each lane is the map ``x -> a*x + b`` (a=0 at anchors resets the chain);
+    ``d`` rides as a second affine channel (the anchor-distance counter).
+    Returns the composed ``(a, b, d)`` — ``b`` is the propagated value from
+    the nearest anchor (applied to x0 = 0), ``a == 0`` iff an anchor exists
+    in this lane's direction.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    s = 1
+    while s < Fp:
+        if reverse:
+            edge = lane < (Fp - s)
+            sh = -s
+        else:
+            edge = lane >= s
+            sh = s
+        a_p = jnp.where(edge, pltpu.roll(a, shift=sh % Fp, axis=a.ndim - 1), 1.0)
+        b_p = jnp.where(edge, pltpu.roll(b, shift=sh % Fp, axis=a.ndim - 1), 0.0)
+        d_p = jnp.where(edge, pltpu.roll(d, shift=sh % Fp, axis=a.ndim - 1), 0.0)
+        # compose: earlier map (k -/+ s) then this one
+        b = b_p * a + b
+        d = d_p * a + d
+        a = a_p * a
+        s *= 2
+    return a, b, d
+
+
+def _pghi_invert_kernel(
+    mag_ref, abstol_ref, angles_ref, basis_ref, o_ref,
+    phi_ref, ts_ref, tail_ref, reim_ref,
+    *, tile_f, n_bins, Fp, n_fft, hop, overlap, T_real, fmul, eps,
+):
+    """One grid step: ``tile_f`` frames of fill + synthesis (see module docs).
+
+    ``mag_ref`` block rows r = 0..tile_f+1 hold padded frames
+    ``g0 - 1 .. g0 + tile_f`` (g0 = tile * tile_f): each frame's central
+    time stencil reads its neighbours directly.
+    """
+    tile = pl.program_id(0)
+    B = mag_ref.shape[0]
+    f32 = jnp.float32
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, Fp), 1)
+    in_bins = lane < n_bins
+    kf = lane.astype(f32)
+    ck = (2.0 * np.pi * hop / n_fft) * kf  # carrier time step per bin
+
+    @pl.when(tile == 0)
+    def _init():
+        phi_ref[...] = jnp.zeros((B, Fp), f32)
+        # frame -1 is all log(eps): zero freq-derivative => carrier only
+        ts_ref[...] = jnp.broadcast_to(ck, (B, Fp))
+        tail_ref[...] = jnp.zeros_like(tail_ref)
+
+    abstol = abstol_ref[...]  # (B, Fp) broadcast rows
+
+    def logmag(row):
+        return jnp.log(jnp.maximum(row, eps))
+
+    def frame_step(t, _):
+        m_prev = mag_ref[:, t, :]
+        m = mag_ref[:, t + 1, :]
+        m_next = mag_ref[:, t + 2, :]
+        Y_prev, Y, Y_next = logmag(m_prev), logmag(m), logmag(m_next)
+
+        # freq derivative of log-mag (central, replicate edges, valid lanes)
+        Y_dn = pltpu.roll(Y, shift=1, axis=1)   # lane k -> Y[k-1]
+        Y_up = pltpu.roll(Y, shift=Fp - 1, axis=1)  # lane k -> Y[k+1]
+        Y_dn = jnp.where(lane == 0, Y, Y_dn)
+        Y_up = jnp.where(lane == n_bins - 1, Y, Y_up)
+        dY_dk = (Y_up - Y_dn) / 2.0
+        ts = dY_dk / fmul + ck
+        # time derivative (central; the +1 halo row is the edge-replicate)
+        dY_dt = (Y_next - Y_prev) / 2.0
+        fs = -fmul * dY_dt + np.pi
+
+        sig = (m > abstol) & in_bins
+        prev_sig = (m_prev > abstol) & in_bins
+        # freq-ridge peaks (edges compare against -1, i.e. always pass)
+        m_dn = jnp.where(lane == 0, -1.0, pltpu.roll(m, shift=1, axis=1))
+        m_up = jnp.where(lane == n_bins - 1, -1.0,
+                         pltpu.roll(m, shift=Fp - 1, axis=1))
+        anchored = sig & prev_sig & (m >= m_dn) & (m >= m_up)
+        no_anchor = ~jnp.any(anchored, axis=-1, keepdims=True)
+        m_masked = jnp.where(in_bins, m, -1.0)
+        is_gmax = m_masked == jnp.max(m_masked, axis=-1, keepdims=True)
+        anchored = anchored | (no_anchor & sig & is_gmax)
+
+        # anchored bins: time trapezoid from the previous frame's phase
+        c_t = (ts_ref[...] + ts) / 2.0
+        phi_t = phi_ref[...] + c_t
+
+        # frequency fill: nearest-anchor trapezoid, both directions
+        trap_dn = pltpu.roll(fs, shift=1, axis=1)  # fs[k-1]
+        step_up = jnp.where(lane == 0, 0.0, (fs + trap_dn) / 2.0)
+        trap_up = pltpu.roll(fs, shift=Fp - 1, axis=1)  # fs[k+1]
+        step_dn = jnp.where(lane == n_bins - 1, 0.0, -(fs + trap_up) / 2.0)
+
+        anc_f = anchored.astype(f32)
+        a0 = 1.0 - anc_f
+        b_up = jnp.where(anchored, phi_t, step_up)
+        b_dn = jnp.where(anchored, phi_t, step_dn)
+        d0 = a0  # 0 at anchors, 1 elsewhere
+        a_u, f_up, d_up = _seg_scan(a0, b_up, d0, Fp, reverse=False)
+        a_d, f_dn, d_dn = _seg_scan(a0, b_dn, d0, Fp, reverse=True)
+        big = jnp.float32(10 * Fp)
+        du = jnp.where(a_u == 0, d_up, big)
+        dd = jnp.where(a_d == 0, d_dn, big)
+        filled = jnp.where(du <= dd, f_up, f_dn)
+        any_anchor = jnp.any(anchored, axis=-1, keepdims=True)
+        filled = jnp.where(any_anchor, filled, 0.0)
+
+        phi = jnp.where(anchored, phi_t, filled)
+        phi = jnp.where(sig, phi, angles_ref[:, t, :])
+
+        phi_ref[...] = phi
+        ts_ref[...] = ts
+        # synthesis operands for this frame (zero outside real frames/bins)
+        valid = (tile * tile_f + t) < T_real
+        mm = jnp.where(in_bins & valid, m, 0.0)
+        reim_ref[:, pl.ds(t, 1), :Fp] = (mm * jnp.cos(phi))[:, None, :]
+        reim_ref[:, pl.ds(t, 1), Fp:] = (mm * jnp.sin(phi))[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, tile_f, frame_step, 0, unroll=False)
+
+    # ---- synthesis: windowed iDFT of the tile's frames + overlap-add
+    flat = reim_ref[...].reshape(B * tile_f, 2 * Fp)
+    hi, lo = _split_bf16(flat)
+    stacked = jnp.concatenate([hi, hi, lo], axis=1)  # (B*tile_f, 6 Fp)
+    td = jnp.dot(stacked, basis_ref[...], preferred_element_type=f32)
+    td = td.reshape(B, tile_f, overlap, hop)
+
+    rows = jnp.zeros((B, tile_f + overlap - 1, hop), f32)
+    for j in range(overlap):
+        rows = rows + jnp.pad(
+            td[:, :, j, :], [(0, 0), (j, overlap - 1 - j), (0, 0)]
+        )
+    # (no scatter in Mosaic: add the carried tail via a zero-padded concat)
+    rows = rows + jnp.concatenate(
+        [tail_ref[...], jnp.zeros((B, tile_f, hop), f32)], axis=1
+    )
+    tail_ref[...] = rows[:, tile_f:, :]
+    o_ref[...] = rows[:, :tile_f, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_fft", "hop_length", "tile_f", "interpret", "T_real", "fmul",
+    ),
+)
+def _fused_call(
+    mag_p, abstol_rows, angles, basis, n_fft, hop_length, tile_f, interpret,
+    T_real, fmul,
+):
+    B, n_rows, Fp = mag_p.shape
+    overlap = n_fft // hop_length
+    n_tiles = (n_rows - 8) // tile_f
+    n_bins = n_fft // 2 + 1
+    eps = 1.19e-7
+
+    kernel = functools.partial(
+        _pghi_invert_kernel,
+        tile_f=tile_f, n_bins=n_bins, Fp=Fp, n_fft=n_fft, hop=hop_length,
+        overlap=overlap, T_real=T_real, fmul=float(fmul), eps=eps,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            # 8-row halo (2 used) keeps the Element block sublane-aligned
+            pl.BlockSpec(
+                (pl.Element(B), pl.Element(tile_f + 8), pl.Element(Fp)),
+                lambda t: (0, t * tile_f, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((B, Fp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (B, tile_f, Fp), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(basis.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, tile_f, hop_length), lambda t: (0, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_tiles * tile_f, hop_length), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, Fp), jnp.float32),                # phi carry
+            pltpu.VMEM((B, Fp), jnp.float32),                # ts carry
+            pltpu.VMEM((B, overlap - 1, hop_length), jnp.float32),  # OLA tail
+            pltpu.VMEM((B, tile_f, 2 * Fp), jnp.float32),    # re | im
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(mag_p, abstol_rows, angles, basis)
+    return out
+
+
+def pghi_invert_fused(
+    mag: jnp.ndarray,
+    gamma: float,
+    n_fft: int,
+    hop_length: int,
+    window: jnp.ndarray,
+    tolerance: float = 1e-2,
+    length: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    tile_f: int = 64,
+    interpret: Optional[bool] = None,
+    angles: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Offline PGHI inversion ``mag (..., T, F) -> audio`` in one kernel.
+
+    Equivalent to ``istft(mag * exp(1j * pghi_scan(mag, ...)), window)``
+    with torch ISTFT conventions (centre trim, least-squares envelope);
+    ``window`` is the SYNTHESIS window (the DGT's scaled dual).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # Mosaic sublane rule: tile_f a multiple of 8 (mag halo over-fetches to
+    # 8 rows, of which 2 are used)
+    tile_f = max(8, tile_f - tile_f % 8)
+    batch_shape = mag.shape[:-2]
+    T, F = mag.shape[-2], mag.shape[-1]
+    n_bins = n_fft // 2 + 1
+    overlap = n_fft // hop_length
+    Fp = _round_up(n_bins, LANE)
+    m = mag.reshape((-1, T, F)).astype(jnp.float32)
+    B = m.shape[0]
+
+    # padded frame layout: [zero frame -1 | real frames | edge-replicate
+    # frame T | zero flush frames]; flush covers the OLA tail + tile padding
+    # (+8: the sublane-aligned Element halo, 2 rows used)
+    n_tiles = -(-(T + overlap) // tile_f)
+    n_rows = n_tiles * tile_f + 8
+    pads = n_rows - (T + 2)
+    m_p = jnp.concatenate(
+        [
+            jnp.zeros((B, 1, F), jnp.float32),
+            m,
+            m[:, -1:, :],  # edge replicate: last frame's central time stencil
+            jnp.zeros((B, pads, F), jnp.float32),
+        ],
+        axis=1,
+    )
+    m_p = jnp.pad(m_p, [(0, 0), (0, 0), (0, Fp - F)])
+
+    mx = jnp.max(m, axis=(-2, -1), keepdims=True)
+    abstol = jnp.maximum(tolerance * mx, 1.19e-7)  # (B, 1, 1)
+    abstol_rows = jnp.broadcast_to(abstol[..., 0], (B, Fp))
+
+    # windowed iDFT basis, bf16x3-stacked: [re | im] (2 Fp) contract against
+    # [[Ahi; Bhi], [Alo; Blo], [Ahi; Bhi]]-style stacking of (A; B) * window
+    A, Bm = _idft_matrices(n_fft)
+    w = jnp.asarray(window, jnp.float32)[None, :]
+    AB = jnp.concatenate(
+        [
+            jnp.pad(jnp.asarray(A), [(0, Fp - n_bins), (0, 0)]) * w,
+            jnp.pad(jnp.asarray(Bm), [(0, Fp - n_bins), (0, 0)]) * w,
+        ],
+        axis=0,
+    )  # (2 Fp, n_fft) f32
+    hi, lo = _split_bf16(AB)
+    basis = jnp.concatenate([hi, lo, hi], axis=0)  # (6 Fp, n_fft) bf16
+
+    if angles is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        angles = 2.0 * jnp.pi * jax.random.uniform(
+            key, (B, n_tiles * tile_f, Fp), dtype=jnp.float32
+        )
+    else:  # explicit silent-bin phases (tests pin them to the scan's draw)
+        angles = angles.reshape((-1, T, F)).astype(jnp.float32)
+        angles = jnp.pad(
+            angles,
+            [(0, 0), (0, n_tiles * tile_f - T), (0, Fp - F)],
+        )
+
+    fmul = float(gamma) / (hop_length * n_fft)
+    rows = _fused_call(
+        m_p, abstol_rows, angles, basis, n_fft, hop_length, tile_f,
+        interpret, T, fmul,
+    )  # (B, n_tiles*tile_f, hop)
+    y = rows.reshape(B, -1)
+
+    # least-squares envelope + centre trim (cheap XLA ops on the audio)
+    env_frames = jnp.broadcast_to(w[0][None, :] ** 2, (T, n_fft))
+    from ..framing import overlap_add
+
+    env = overlap_add(env_frames, hop_length)
+    env = jnp.pad(env, (0, max(0, y.shape[-1] - env.shape[-1])))[: y.shape[-1]]
+    tiny = jnp.finfo(jnp.float32).tiny
+    y = y / jnp.where(env > tiny, env, jnp.ones_like(env))
+
+    start = n_fft // 2
+    stop = (T - 1) * hop_length + n_fft - (n_fft - n_fft // 2)
+    if length is not None:
+        stop = start + length
+    y = y[..., start:stop]
+    if length is not None and y.shape[-1] < length:
+        y = jnp.pad(y, [(0, 0), (0, length - y.shape[-1])])
+    return y.reshape(batch_shape + y.shape[-1:])

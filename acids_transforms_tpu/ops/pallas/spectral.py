@@ -60,9 +60,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fft import _chunk_dft_matrices, _dft_matrices, _twiddles
 
-__all__ = ["fused_melspec", "fused_melspec_stats"]
+__all__ = ["fused_melspec", "fused_melspec_stats", "mel_block_structure"]
 
 LANE = 128
+
+
+def mel_block_structure(bank) -> Optional[tuple]:
+    """Nonzero 128-block structure of a (concrete) mel bank, or None if dense.
+
+    Returns ``blocks[j] = tuple of nonzero row-blocks of column-block j`` on
+    the lane-padded (Fp, Mp) grid — the static argument :func:`_mel3` uses to
+    skip zero blocks of the banded square bank (exact).  Returns None when
+    skipping saves <20% (e.g. the 128-mel MFCC bank, where every row block
+    touches the single column block).
+    """
+    bank = np.asarray(bank)
+    Fp = _round_up(bank.shape[0], LANE)
+    Mp = _round_up(bank.shape[1], LANE)
+    P = np.zeros((Fp, Mp), np.float32)
+    P[: bank.shape[0], : bank.shape[1]] = bank
+    blocks = tuple(
+        tuple(
+            i
+            for i in range(Fp // LANE)
+            if np.any(P[i * LANE: (i + 1) * LANE, j * LANE: (j + 1) * LANE])
+        )
+        for j in range(Mp // LANE)
+    )
+    if sum(map(len, blocks)) >= (Fp // LANE) * (Mp // LANE) * 0.8:
+        return None
+    return blocks
 
 
 def _round_up(x: int, m: int) -> int:
@@ -95,54 +122,86 @@ def _split_bf16(m: jnp.ndarray):
 
 
 def _tile_magnitude(
-    x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, scr_ref,
-    *, overlap, hop, tile_t, power=1.0,
+    x_ref, basis_ref, scr_ref, *, overlap, hop, tile_t, power=1.0,
 ):
-    """Assemble this tile's frames in VMEM and return |DFT| (tile_t, Fp)."""
+    """Assemble this tile's frames in VMEM and return |DFT| (tile_t, Fp).
+
+    Full-K windowed DFT for non-cosine windows (the DGT gaussian): the 3
+    bf16x3 passes x 2 (re/im) run as ONE stacked GEMM exactly like the
+    factored path (see :func:`_chunk_dots`); ``basis_ref`` is the
+    (3 n_fft, 2 Fp) pre-stacked window-folded basis.
+    """
     f32 = jnp.float32
     block = x_ref[0]                      # (tile_t + halo, hop), halo rows follow
     n_block = block.shape[0]
+    n_fft = overlap * hop
+    # roll the f32 hop-chunk block (Mosaic rotate is 32-bit only), split the
+    # small rolled piece, and write the bf16 halves straight into the
+    # [hi | hi | lo] stacked layout — no f32 frame scratch, no full-width
+    # split, no concat
     for j in range(overlap):
         # frame i needs rows i..i+overlap-1: upward shift by j == roll by n-j
-        scr_ref[:, j * hop: (j + 1) * hop] = pltpu.roll(
-            block, shift=(n_block - j) % n_block, axis=0
-        )[:tile_t, :]
+        rj = pltpu.roll(block, shift=(n_block - j) % n_block, axis=0)[:tile_t, :]
+        hi_j, lo_j = _split_bf16(rj)
+        scr_ref[:, j * hop: (j + 1) * hop] = hi_j
+        scr_ref[:, n_fft + j * hop: n_fft + (j + 1) * hop] = hi_j
+        scr_ref[:, 2 * n_fft + j * hop: 2 * n_fft + (j + 1) * hop] = lo_j
 
-    frames = scr_ref[...]                 # (tile_t, n_fft) f32, window in WC/WS
-    fr_hi, fr_lo = _split_bf16(frames)
-
-    def dot3(b_hi_ref, b_lo_ref):
-        return (
-            jnp.dot(fr_hi, b_hi_ref[...], preferred_element_type=f32)
-            + jnp.dot(fr_hi, b_lo_ref[...], preferred_element_type=f32)
-            + jnp.dot(fr_lo, b_hi_ref[...], preferred_element_type=f32)
-        )
-
-    re = dot3(wc_hi_ref, wc_lo_ref)
-    im = dot3(ws_hi_ref, ws_lo_ref)
+    Fp = basis_ref.shape[1] // 2
+    Z = jnp.dot(scr_ref[...], basis_ref[...], preferred_element_type=f32)
+    re, im = Z[:, :Fp], Z[:, Fp:]
     sq = re * re + im * im
     return sq if power == 2.0 else jnp.sqrt(sq)
 
 
-def _chunk_dots(x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref):
-    """The MXU half of the factored formulation: bf16x3 chunk-DFT dots."""
+def _chunk_dots(x_ref, basis_ref, ablate=None):
+    """The MXU half of the factored formulation: bf16x3 chunk-DFT dots.
+
+    The 3 bf16x3 passes x 2 (re/im) run as ONE stacked GEMM:
+    ``[hi | hi | lo] (rows, 3 hop) @ [[Chi Shi]; [Clo Slo]; [Chi Shi]]
+    (3 hop, 2 Fp)`` — identical MACs, one MXU dispatch instead of six.
+    ``basis_ref`` is the pre-stacked (3 hop, 2 Fp) bf16 operand
+    (:func:`_stack_basis`, built once outside the kernel).
+    """
     f32 = jnp.float32
     block = x_ref[0]                      # (tile_t + halo, hop)
+    hop = block.shape[1]
+    Fp = basis_ref.shape[1] // 2
+    if ablate == "dots1":                 # timing-only: single-pass bf16
+        bh = block.astype(jnp.bfloat16)
+        CZ = jnp.dot(bh, basis_ref[:hop, :], preferred_element_type=f32)
+        return CZ[:, :Fp], CZ[:, Fp:]
     bh, bl = _split_bf16(block)
-
-    def dot3(b_hi_ref, b_lo_ref):
-        return (
-            jnp.dot(bh, b_hi_ref[...], preferred_element_type=f32)
-            + jnp.dot(bh, b_lo_ref[...], preferred_element_type=f32)
-            + jnp.dot(bl, b_hi_ref[...], preferred_element_type=f32)
-        )
-
-    return dot3(cc_hi_ref, cc_lo_ref), dot3(cs_hi_ref, cs_lo_ref)
+    stacked = jnp.concatenate([bh, bh, bl], axis=1)     # (rows, 3*hop) bf16
+    CZ = jnp.dot(stacked, basis_ref[...], preferred_element_type=f32)
+    return CZ[:, :Fp], CZ[:, Fp:]
 
 
-def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bins, power=1.0):
+def _stack_basis(cc_hi, cc_lo, cs_hi, cs_lo):
+    """Pre-stacked bf16x3 chunk basis for :func:`_chunk_dots` (3 hop, 2 Fp)."""
+    top = jnp.concatenate([cc_hi, cs_hi], axis=1)
+    mid = jnp.concatenate([cc_lo, cs_lo], axis=1)
+    return jnp.concatenate([top, mid, top], axis=0)
+
+
+def _stack_mel(mel_hi, mel_lo):
+    """[hi; lo; hi]-interleaved per 128-row-block mel operand (3 Fp, Mp), so
+    the banded :func:`_mel3` reads block (i, j) as contiguous rows."""
+    Fp, Mp = mel_hi.shape
+    hi = mel_hi.reshape(Fp // LANE, LANE, Mp)
+    lo = mel_lo.reshape(Fp // LANE, LANE, Mp)
+    return jnp.stack([hi, lo, hi], axis=1).reshape(3 * Fp, Mp)
+
+
+def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bins, power=1.0, ablate=None):
     """The VPU half: twiddle combine + P-tap window conv + magnitude."""
     Fp = Cre.shape[-1]
+    if ablate == "combine":               # timing-only: skip the twiddle sum
+        Xre, Xim = Cre[:tile_t], Cim[:tile_t]
+        sq = Xre * Xre + Xim * Xim
+        return sq if power == 2.0 else jnp.sqrt(sq)
+    if ablate == "noconv":                # timing-only: combine, no taps conv
+        taps = (taps[0],)
     Xre = Xim = None
     for j in range(overlap):
         cr = Cre[j: j + tile_t]
@@ -216,8 +275,8 @@ def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bi
 
 
 def _tile_magnitude_factored(
-    x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
-    *, taps, overlap, tile_t, n_bins, power=1.0,
+    x_ref, basis_ref, twr_ref, twi_ref,
+    *, taps, overlap, tile_t, n_bins, power=1.0, ablate=None,
 ):
     """|windowed DFT| via the chunk factorization, entirely in VMEM.
 
@@ -230,10 +289,11 @@ def _tile_magnitude_factored(
     slower than direct), the twiddle/taps intermediates here never leave
     VMEM, so the FLOP saving is realized.
     """
-    Cre, Cim = _chunk_dots(x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref)
+    Cre, Cim = _chunk_dots(x_ref, basis_ref, ablate=ablate)
     return _combine_taps_mag(
         Cre, Cim, twr_ref, twi_ref,
         taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins, power=power,
+        ablate=ablate,
     )
 
 
@@ -247,14 +307,52 @@ def _apply_contrast(mag, contrast, eps):
     return mag
 
 
-def _mel3(mag, mel_hi_ref, mel_lo_ref):
+def _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks=None):
+    """bf16x3 mel GEMM; ``mel_blocks`` dispatches the block-banded form.
+
+    The square mel bank (n_mels = n_bins) is effectively *bidiagonal* — each
+    FFT bin feeds at most its two neighbouring mel filters — so at LANE=128
+    block granularity only ~1/3 of the (Fp/128)^2 blocks are nonzero.
+    ``mel_blocks[j]`` lists the nonzero row-blocks of column-block ``j``
+    (computed exactly from the bank outside the kernel); skipping the zero
+    blocks is EXACT and cuts the mel GEMM — the kernel's largest single
+    stage, 1.14 ms of 3.75 at the headline shape — to ~32% of its FLOPs.
+    """
     f32 = jnp.float32
     mag_hi, mag_lo = _split_bf16(mag)
-    return (
-        jnp.dot(mag_hi, mel_hi_ref[...], preferred_element_type=f32)
-        + jnp.dot(mag_hi, mel_lo_ref[...], preferred_element_type=f32)
-        + jnp.dot(mag_lo, mel_hi_ref[...], preferred_element_type=f32)
-    )
+    if mel_blocks is None:
+        # one stacked GEMM for the 3 bf16x3 passes (see _chunk_dots)
+        stacked = jnp.concatenate([mag_hi, mag_hi, mag_lo], axis=1)
+        basis = jnp.concatenate(
+            [mel_hi_ref[...], mel_lo_ref[...], mel_hi_ref[...]], axis=0
+        )
+        return jnp.dot(stacked, basis, preferred_element_type=f32)
+    # banded: one K=3*LANE stacked GEMM per nonzero (row, col) block pair;
+    # mel_hi_ref holds the [hi; lo; hi]-interleaved layout (_stack_mel) so
+    # block (i, j) is the contiguous rows [3i*LANE, (3i+3)*LANE)
+    stk_mag = {}
+    for rows in mel_blocks:
+        for i in rows:
+            if i not in stk_mag:
+                ir = slice(i * LANE, (i + 1) * LANE)
+                stk_mag[i] = jnp.concatenate(
+                    [mag_hi[:, ir], mag_hi[:, ir], mag_lo[:, ir]], axis=1
+                )
+    cols = []
+    for j, rows in enumerate(mel_blocks):
+        jc = slice(j * LANE, (j + 1) * LANE)
+        acc = None
+        for i in rows:
+            part = jnp.dot(
+                stk_mag[i],
+                mel_hi_ref[3 * i * LANE: (3 * i + 3) * LANE, jc],
+                preferred_element_type=f32,
+            )
+            acc = part if acc is None else acc + part
+        if acc is None:
+            acc = jnp.zeros((mag.shape[0], LANE), f32)
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=-1)
 
 
 def _stats_update(mag, s_ref, *, tile_t, t_valid):
@@ -295,42 +393,44 @@ def _stats_update(mag, s_ref, *, tile_t, t_valid):
 
 
 def _forward_kernel(
-    x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, mel_hi_ref, mel_lo_ref,
+    x_ref, basis_ref, mel_hi_ref, mel_lo_ref,
     aff_ref, o_ref, scr_ref, *, overlap, hop, tile_t, contrast, eps, use_mel,
-    power=1.0,
+    power=1.0, mel_blocks=None,
 ):
     mag = _tile_magnitude(
-        x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, scr_ref,
+        x_ref, basis_ref, scr_ref,
         overlap=overlap, hop=hop, tile_t=tile_t, power=power,
     )
     if use_mel:
-        mag = _mel3(mag, mel_hi_ref, mel_lo_ref)
+        mag = _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks)
     mag = _apply_contrast(mag, contrast, eps)
     o_ref[0, :, :] = (mag - aff_ref[0, 0]) / aff_ref[0, 1]
 
 
 def _forward_kernel_factored(
-    x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
+    x_ref, basis_ref, twr_ref, twi_ref,
     mel_hi_ref, mel_lo_ref, aff_ref, o_ref,
     *, taps, overlap, tile_t, n_bins, contrast, eps, use_mel, power=1.0,
+    ablate=None, mel_blocks=None,
 ):
     mag = _tile_magnitude_factored(
-        x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
+        x_ref, basis_ref, twr_ref, twi_ref,
         taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins, power=power,
+        ablate=ablate,
     )
     if use_mel:
-        mag = _mel3(mag, mel_hi_ref, mel_lo_ref)
+        mag = _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks)
     mag = _apply_contrast(mag, contrast, eps)
     o_ref[0, :, :] = (mag - aff_ref[0, 0]) / aff_ref[0, 1]
 
 
 def _stats_kernel(
-    x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref,
+    x_ref, basis_ref,
     s_ref, scr_ref, *, overlap, hop, tile_t, contrast, eps, t_valid,
 ):
     """Fused-fit epilogue over the windowed full-K DFT formulation."""
     mag = _tile_magnitude(
-        x_ref, wc_hi_ref, wc_lo_ref, ws_hi_ref, ws_lo_ref, scr_ref,
+        x_ref, basis_ref, scr_ref,
         overlap=overlap, hop=hop, tile_t=tile_t,
     )
     mag = _apply_contrast(mag, contrast, eps)
@@ -338,12 +438,12 @@ def _stats_kernel(
 
 
 def _stats_kernel_factored(
-    x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
+    x_ref, basis_ref, twr_ref, twi_ref,
     s_ref, *, taps, overlap, tile_t, n_bins, contrast, eps, t_valid,
 ):
     """Fused-fit epilogue over the chunk-factored formulation."""
     mag = _tile_magnitude_factored(
-        x_ref, cc_hi_ref, cc_lo_ref, cs_hi_ref, cs_lo_ref, twr_ref, twi_ref,
+        x_ref, basis_ref, twr_ref, twi_ref,
         taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
     )
     mag = _apply_contrast(mag, contrast, eps)
@@ -378,47 +478,73 @@ def _factored_weights(n_fft: int, hop: int) -> tuple:
 
 
 def _prepare_rows(x, n_fft, hop_length, center, tile_t):
-    """Center-pad, pad to tiled row count + halo, reshape to hop rows."""
+    """Center-pad, pad to tiled row count + halo, reshape to hop rows.
+
+    ONE concatenate builds the padded signal (reflect head, body, reflect
+    tail, zero tail) — the previous two sequential ``jnp.pad`` calls each
+    copied the full array through HBM and cost 0.85 ms of the headline
+    pipeline's 4.6 ms (r3 floor sweep, tools/sweep_kernel_floor.py)."""
     B, L = x.shape
     overlap = n_fft // hop_length
+    half = n_fft // 2
     if center:
-        x = jnp.pad(x, [(0, 0), (n_fft // 2, n_fft // 2)], mode="reflect")
-    T = 1 + L // hop_length if center else (x.shape[-1] - n_fft) // hop_length + 1
+        T = 1 + L // hop_length
+        padded_len = L + 2 * half
+    else:
+        T = (L - n_fft) // hop_length + 1
+        padded_len = L
     if tile_t is None:
         tile_t = _pick_tile(T)
     halo = _round_up(overlap - 1, 8)
     n_tiles = -(-T // tile_t)
     n_rows_total = n_tiles * tile_t + halo
-    x = jnp.pad(x, [(0, 0), (0, n_rows_total * hop_length - x.shape[-1])])
+    total = n_rows_total * hop_length
+    pieces = []
+    if center:
+        pieces.append(jnp.flip(x[:, 1: half + 1], axis=-1))
+    pieces.append(x)
+    if center:
+        pieces.append(jnp.flip(x[:, -half - 1: -1], axis=-1))
+    if total > padded_len:
+        pieces.append(jnp.zeros((B, total - padded_len), x.dtype))
+    x = jnp.concatenate(pieces, axis=-1)[:, :total]
     return x.reshape(B, n_rows_total, hop_length), T, tile_t, halo, n_tiles
 
 
-def _common_specs(tile_t, halo, hop, n_fft, Fp):
+def _x_spec(tile_t, halo, hop, ablate=None):
     # Mosaic requires all dims of one spec to be Element (or none); the
     # element-indexed window overlaps tiles by `halo` rows so Mosaic can
     # pipeline the HBM fetch of tile t+1 behind tile t's MXU work.
-    x_spec = pl.BlockSpec(
+    if ablate == "fixedin":  # timing-only: constant input block (no re-DMA)
+        return pl.BlockSpec(
+            (1, tile_t + halo, hop), lambda b, t: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    return pl.BlockSpec(
         (pl.Element(1), pl.Element(tile_t + halo), pl.Element(hop)),
         lambda b, t: (b, t * tile_t, 0),
         memory_space=pltpu.VMEM,
     )
 
+
+def _common_specs(tile_t, halo, hop, n_fft, Fp, ablate=None):
     def fixed(shape):
         return pl.BlockSpec(shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
 
-    return [x_spec] + [fixed((n_fft, Fp))] * 4
+    return [_x_spec(tile_t, halo, hop, ablate)] + [fixed((n_fft, Fp))] * 4
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_fft", "hop_length", "contrast", "interpret", "tile_t", "taps",
-        "n_bins", "power",
+        "n_bins", "power", "ablate", "mel_blocks",
     ),
 )
 def _fused_call(
     x_rows, WC, WS, TWR, TWI, mel_p, aff,
     n_fft, hop_length, contrast, interpret, tile_t, taps, n_bins, power,
+    ablate=None, mel_blocks=None,
 ):
     """One pallas_call of the forward kernel.  With ``taps`` set, WC/WS are
     the chunk basis and TWR/TWI the twiddle tables (factored formulation);
@@ -436,6 +562,10 @@ def _fused_call(
     wc_hi, wc_lo = _split_bf16(WC)
     ws_hi, ws_lo = _split_bf16(WS)
     mel_hi, mel_lo = _split_bf16(mel_p)
+    if use_mel and mel_blocks is not None:
+        # interleaved stacked operand; mel_lo becomes an unused stub
+        mel_hi = _stack_mel(mel_hi, mel_lo)
+        mel_lo = jnp.zeros((8, LANE), jnp.bfloat16)
     eps = float(np.finfo(np.float32).eps)
 
     def fixed(shape):
@@ -456,8 +586,8 @@ def _fused_call(
         interpret=interpret,
     )
     mel_aff_specs = [
-        fixed((Fp, Mp)),
-        fixed((Fp, Mp)),
+        fixed(mel_hi.shape),
+        fixed(mel_lo.shape),
         pl.BlockSpec((1, 2), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
     ]
 
@@ -467,29 +597,35 @@ def _fused_call(
         # measured SLOWER (18.9 vs 20.7 M frames/s): the C scratch
         # write/read round-trip costs more than the stage overlap buys.
         # Straight-line per-tile dataflow is the winner.
+        basis = _stack_basis(wc_hi, wc_lo, ws_hi, ws_lo)
         kernel = functools.partial(
             _forward_kernel_factored,
             taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
             contrast=contrast, eps=eps, use_mel=use_mel, power=power,
+            ablate=ablate, mel_blocks=mel_blocks,
         )
         return pl.pallas_call(
             kernel,
-            in_specs=_common_specs(tile_t, halo, hop, hop, Fp)
+            in_specs=[_x_spec(tile_t, halo, hop, ablate)]
+            + [fixed((3 * hop, 2 * Fp))]
             + [fixed((TWR.shape[0], Fp))] * 2 + mel_aff_specs,
             **common,
-        )(x_rows, wc_hi, wc_lo, ws_hi, ws_lo, TWR, TWI, mel_hi, mel_lo, aff)
+        )(x_rows, basis, TWR, TWI, mel_hi, mel_lo, aff)
 
+    basis = _stack_basis(wc_hi, wc_lo, ws_hi, ws_lo)
     kernel = functools.partial(
         _forward_kernel,
         overlap=overlap, hop=hop, tile_t=tile_t,
         contrast=contrast, eps=eps, use_mel=use_mel, power=power,
+        mel_blocks=mel_blocks,
     )
     return pl.pallas_call(
         kernel,
-        in_specs=_common_specs(tile_t, halo, hop, n_fft, Fp) + mel_aff_specs,
-        scratch_shapes=[pltpu.VMEM((tile_t, n_fft), jnp.float32)],
+        in_specs=[_x_spec(tile_t, halo, hop)]
+        + [fixed((3 * n_fft, 2 * Fp))] + mel_aff_specs,
+        scratch_shapes=[pltpu.VMEM((tile_t, 3 * n_fft), jnp.bfloat16)],
         **common,
-    )(x_rows, wc_hi, wc_lo, ws_hi, ws_lo, mel_hi, mel_lo, aff)
+    )(x_rows, basis, mel_hi, mel_lo, aff)
 
 
 @functools.partial(
@@ -530,6 +666,7 @@ def _stats_call(
     )
 
     if taps is not None:
+        basis = _stack_basis(wc_hi, wc_lo, ws_hi, ws_lo)
         kernel = functools.partial(
             _stats_kernel_factored,
             taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
@@ -537,11 +674,13 @@ def _stats_call(
         )
         return pl.pallas_call(
             kernel,
-            in_specs=_common_specs(tile_t, halo, hop, hop, Fp)
+            in_specs=[_x_spec(tile_t, halo, hop)]
+            + [fixed((3 * hop, 2 * Fp))]
             + [fixed((TWR.shape[0], Fp))] * 2,
             **common,
-        )(x_rows, wc_hi, wc_lo, ws_hi, ws_lo, TWR, TWI)
+        )(x_rows, basis, TWR, TWI)
 
+    basis = _stack_basis(wc_hi, wc_lo, ws_hi, ws_lo)
     kernel = functools.partial(
         _stats_kernel,
         overlap=overlap, hop=hop, tile_t=tile_t,
@@ -549,10 +688,10 @@ def _stats_call(
     )
     return pl.pallas_call(
         kernel,
-        in_specs=_common_specs(tile_t, halo, hop, n_fft, Fp),
-        scratch_shapes=[pltpu.VMEM((tile_t, n_fft), jnp.float32)],
+        in_specs=[_x_spec(tile_t, halo, hop)] + [fixed((3 * n_fft, 2 * Fp))],
+        scratch_shapes=[pltpu.VMEM((tile_t, 3 * n_fft), jnp.bfloat16)],
         **common,
-    )(x_rows, wc_hi, wc_lo, ws_hi, ws_lo)
+    )(x_rows, basis)
 
 
 def _check_args(x, n_fft, hop_length, interpret):
@@ -577,6 +716,8 @@ def fused_melspec(
     tile_t: Optional[int] = None,
     taps: Optional[tuple] = None,
     power: float = 1.0,
+    ablate: Optional[str] = None,
+    mel_blocks: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Fused ``(B, L) -> (B, T, n_mels)`` mel-spectrogram pipeline.
 
@@ -592,7 +733,8 @@ def fused_melspec(
     if x.ndim == 1:
         return fused_melspec(
             x[None], n_fft, hop_length, window, mel_bank, offset, scale,
-            contrast, center, interpret, tile_t, taps, power,
+            contrast, center, interpret, tile_t, taps, power, ablate,
+            mel_blocks,
         )[0]
     interpret = _check_args(x, n_fft, hop_length, interpret)
     x_rows, T, tile_t, halo, _ = _prepare_rows(x, n_fft, hop_length, center, tile_t)
@@ -606,13 +748,20 @@ def fused_melspec(
         M = mel_bank.shape[1]
         Mp = _round_up(M, LANE)
         mel_p = jnp.pad(jnp.asarray(mel_bank), [(0, Fp - mel_bank.shape[0]), (0, Mp - M)])
+        if mel_blocks is None and not isinstance(mel_bank, jax.core.Tracer):
+            # banded-block dispatch (exact): see mel_block_structure.  A
+            # traced bank (serving) can't be inspected here — fuse.py passes
+            # the structure computed from the transform's static config.
+            mel_blocks = mel_block_structure(mel_bank)
     else:
         M, mel_p = F, None
+        mel_blocks = None
 
     aff = jnp.asarray([[offset, scale]], dtype=jnp.float32)
     out = _fused_call(
         x_rows, WC, WS, TWR, TWI, mel_p, aff,
         n_fft, hop_length, contrast, interpret, tile_t, taps, F, power,
+        ablate, mel_blocks,
     )
     return out[:, :T, :M]
 

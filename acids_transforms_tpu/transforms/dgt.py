@@ -21,7 +21,7 @@ TPU-native deltas (all covered in tests/test_dgt.py):
 """
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -138,6 +138,9 @@ class RealtimeDGT(RealtimeSTFT):
         batch_size: int = 2,
         impl: str = "auto",
         seed: int = 0,
+        gl_iterations: int = 16,
+        gl_context: Optional[int] = None,
+        lookahead_frames: int = 0,
     ):
         super().__init__(
             sr=sr,
@@ -148,6 +151,9 @@ class RealtimeDGT(RealtimeSTFT):
             impl=impl,
             seed=seed,
             batch_size=batch_size,
+            gl_iterations=gl_iterations,
+            gl_context=gl_context,
+            lookahead_frames=lookahead_frames,
         )
         self.tolerance = float(tolerance)
 

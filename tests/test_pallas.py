@@ -361,6 +361,45 @@ def test_griffin_lim_fused_quality_parity():
     assert s_k < max(1.15 * s_x, s_x + 0.02), (s_k, s_x)
 
 
+def test_pghi_invert_fused_matches_scan_istft():
+    """The one-kernel offline PGHI inversion (ops/pallas/pghi_kernel.py) is
+    numerically the serial scan + ISTFT with the same silent-bin phases."""
+    from acids_transforms_tpu.ops import pghi as P
+    from acids_transforms_tpu.ops.fft import istft
+    from acids_transforms_tpu.ops.pallas.pghi_kernel import (
+        pghi_fused_available,
+        pghi_invert_fused,
+    )
+
+    assert pghi_fused_available(1024, 256)
+    assert not pghi_fused_available(1024, 160)
+    assert not pghi_fused_available(512, 512)
+
+    sr = 44100
+    t = np.arange(30000) / sr
+    x = sum(np.sin(2 * np.pi * f * t) / (i + 1) for i, f in enumerate([220, 440, 880]))
+    x = (0.7 * x / np.abs(x).max()).astype(np.float32)
+    dgt = T.DGT(n_fft=1024, hop_length=256)
+    mag = jnp.abs(dgt.forward(jnp.asarray(np.stack([x, 0.5 * x]))))
+
+    key = jax.random.PRNGKey(0)
+    angles = 2.0 * jnp.pi * jax.random.uniform(key, mag.shape, dtype=mag.dtype)
+    phase = P.pghi_scan(
+        mag, dgt.gamma, 1024, 256, tolerance=dgt.tolerance,
+        parallel=False, key=key, time_stencil="central",
+    )
+    rec_ref = np.asarray(istft(mag * jnp.exp(1j * phase), 1024, 256, dgt.inv_window))
+    rec_fused = np.asarray(
+        pghi_invert_fused(
+            mag, dgt.gamma, 1024, 256, dgt.inv_window,
+            tolerance=float(dgt.tolerance), angles=angles,
+        )
+    )
+    assert rec_fused.shape == rec_ref.shape
+    rel = np.abs(rec_fused - rec_ref).max() / np.abs(rec_ref).max()
+    assert rel < 1e-4, rel
+
+
 def test_fuse_forward_fallback():
     chain = T.Stereo() + T.STFT()
     assert not fusable(chain)

@@ -39,11 +39,11 @@ def main():
     frames = TPU_BATCH * T_frames
     print(f"device={jax.devices()[0]}", flush=True)
 
-    def variant(name, use_taps, use_mel):
+    def variant(name, use_taps, use_mel, contrast="log1p", power=1.0, ablate=None):
         def f(v):
             return fused_melspec(
                 v, N_FFT, HOP, w, bank if use_mel else None,
-                0.0, 1.0, "log1p", taps=use_taps,
+                0.0, 1.0, contrast, taps=use_taps, power=power, ablate=ablate,
             )
         dt = _device_time(f, xb, N_ITER)
         print(f"{name}: {dt*1e3:.3f} ms/iter, {frames/dt/1e6:.2f} M frames/s",
@@ -51,9 +51,15 @@ def main():
         return dt
 
     variant("full", taps, True)
-    variant("taps_p0", (0.5,), True)
+    variant("taps_p0", (0.5,), True)          # no taps conv (no lane rolls)
     variant("no_mel", taps, False)
     variant("p0_no_mel", (0.5,), False)
+    variant("no_combine", taps, True, ablate="combine")   # chunk dots + mag + mel only
+    variant("no_contrast", taps, True, contrast="none")   # isolate log1p
+    variant("power2", taps, True, power=2.0)              # isolate sqrt
+    variant("dots1", taps, True, ablate="dots1")          # single-pass bf16 dots
+    variant("dots1_p0", (0.5,), True, ablate="dots1")
+    variant("bare", (0.5,), False, contrast="none", power=2.0, ablate="dots1")
 
 
 if __name__ == "__main__":
