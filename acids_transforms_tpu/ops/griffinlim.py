@@ -76,25 +76,30 @@ def griffin_lim(
         and gl_project_available(n_fft, hop_length, taps)
     )
     if use_kernel:
+        from .pallas.glstep import make_gl_momentum_step
+
         batch_shape = magnitude.shape[:-2]
         T, F = magnitude.shape[-2:]
         mag3 = magnitude.reshape((-1, T, F))
-        are = jnp.real(angles).reshape((-1, T, F))
-        aim = jnp.imag(angles).reshape((-1, T, F))
+        # whole-iteration kernel: projection + momentum + renormalization in
+        # one invocation — no per-iteration XLA elementwise passes over the
+        # spectrogram (r3, ops/pallas/glstep.py:make_gl_momentum_step)
+        step, to_rows, from_rows = make_gl_momentum_step(
+            mag3, n_fft, hop_length, taps, window, mom
+        )
+        are_r = to_rows(jnp.real(angles).reshape((-1, T, F)))
+        aim_r = to_rows(jnp.imag(angles).reshape((-1, T, F)))
 
         def kbody(_, carry):
-            are, aim, tre, tim = carry
-            rre, rim = gl_project(
-                mag3, are, aim, n_fft, hop_length, taps, window
-            )
-            ure = rre - mom * tre
-            uim = rim - mom * tim
-            n = jnp.maximum(jnp.sqrt(ure * ure + uim * uim), 1e-16)
-            return ure / n, uim / n, rre, rim
+            return step(*carry)
 
-        z = jnp.zeros_like(mag3)
-        are, aim, _, _ = jax.lax.fori_loop(0, n_iter, kbody, (are, aim, z, z))
-        angles = jax.lax.complex(are, aim).reshape(batch_shape + (T, F))
+        z = jnp.zeros_like(are_r)
+        are_r, aim_r, _, _ = jax.lax.fori_loop(
+            0, n_iter, kbody, (are_r, aim_r, z, z)
+        )
+        angles = jax.lax.complex(from_rows(are_r), from_rows(aim_r)).reshape(
+            batch_shape + (T, F)
+        )
         return istft(
             magnitude * angles, n_fft, hop_length, window, length=length,
             impl=impl,

@@ -114,21 +114,20 @@ def _twiddle_combine(Cre, Cim, twr_ref, twi_ref, overlap, out_rows, offset, conj
 
 def _gl_kernel(
     mag_ref, are_ref, aim_ref, env_ref,
-    cc_hi, cc_lo, cs_hi, cs_lo, ict_hi, ict_lo, ist_hi, ist_lo,
-    twr_ref, twi_ref, wgt_ref,
+    syn_basis_ref, ana_basis_ref,
+    twr_ref, twi_ref,
     ore_ref, oim_ref,
     *, taps, overlap, tile_t, n_bins,
 ):
     f32 = jnp.float32
     W = tile_t + 2 * HALO  # input row window
+    Fp = mag_ref.shape[-1]
 
     # synthesis: window the candidate spectrogram in the spectral domain
+    # (the hermitian inverse-DFT weights are folded into syn_basis rows)
     Yre = mag_ref[0] * are_ref[0]
     Yim = mag_ref[0] * aim_ref[0]
     Yre, Yim = _taps_conv_pair(Yre, Yim, taps, n_bins)
-    wgt = wgt_ref[0, :][None, :]  # hermitian inverse-DFT weights / n_fft
-    Yre = Yre * wgt
-    Yim = Yim * wgt
 
     # conj-twiddled accumulation into chunk rows wc in [HALO-? ..]:
     # D[wc] = sum_j conj(tw_j) Y[wc - j]; computed for wc in
@@ -138,23 +137,27 @@ def _gl_kernel(
         Yre, Yim, twr_ref, twi_ref, overlap, n_chunks, overlap - 1, conj=True
     )
 
-    def dot3(v, b_hi_ref, b_lo_ref):
+    def stacked_dot(re, im, basis_ref):
+        """bf16x3 of [re | im] against a pre-stacked basis — ONE GEMM for
+        what used to be six dots (r3 stacked-GEMM rework, see _chunk_dots)."""
+        v = jnp.concatenate([re, im], axis=1)
         vh, vl = _split_bf16(v)
-        return (
-            jnp.dot(vh, b_hi_ref[...], preferred_element_type=f32)
-            + jnp.dot(vh, b_lo_ref[...], preferred_element_type=f32)
-            + jnp.dot(vl, b_hi_ref[...], preferred_element_type=f32)
-        )
+        stacked = jnp.concatenate([vh, vh, vl], axis=1)
+        return jnp.dot(stacked, basis_ref[...], preferred_element_type=f32)
 
-    # inverse chunk basis: samples = D_re @ Ch^T + D_im @ Sh^T, / envelope.
-    # D row r is global chunk (tile_start + r + overlap-1 - HALO); the env
-    # window rows share the frame-window offset, so env row = r + overlap-1.
-    samples = dot3(Dre, ict_hi, ict_lo) + dot3(Dim, ist_hi, ist_lo)
+    # inverse chunk basis: samples = [D_re | D_im] @ [Ch^T ; Sh^T] (weights
+    # folded in), / envelope.  D row r is global chunk
+    # (tile_start + r + overlap-1 - HALO); env row = r + overlap-1.
+    samples = stacked_dot(Dre, Dim, syn_basis_ref)
     samples = samples / env_ref[0][overlap - 1: overlap - 1 + n_chunks]
 
     # analysis: chunk DFT -> twiddle combine -> taps conv
-    Cre = dot3(samples, cc_hi, cc_lo)
-    Cim = dot3(samples, cs_hi, cs_lo)
+    sh, sl = _split_bf16(samples)
+    Z = jnp.dot(
+        jnp.concatenate([sh, sh, sl], axis=1), ana_basis_ref[...],
+        preferred_element_type=f32,
+    )
+    Cre, Cim = Z[:, :Fp], Z[:, Fp:]
     # frame t (output row i, global frame t*tile+i) needs chunks t..t+3;
     # chunk row r of C is global chunk (window row r + overlap-1) - HALO
     # relative to the tile start, so output row i reads C rows
@@ -168,12 +171,38 @@ def _gl_kernel(
     oim_ref[0, :, :] = Rim
 
 
+def _gl_kernel_momentum(
+    mag_ref, are_ref, aim_ref, tre_ref, tim_ref, env_ref,
+    syn_basis_ref, ana_basis_ref, twr_ref, twi_ref, mom_ref,
+    nare_ref, naim_ref, rre_ref, rim_ref,
+    *, taps, overlap, tile_t, n_bins,
+):
+    """One full momentum-GL iteration in-kernel: the consistency projection
+    (_gl_kernel) PLUS the momentum extrapolation and phase renormalization
+    ``u = R - mom * tprev; angles = u / max(|u|, eps)`` — the elementwise
+    update that otherwise costs ~6 XLA HBM passes over the (B, T, F)
+    spectrogram per iteration (r3 measurement: ~35% of the loop)."""
+    _gl_kernel(
+        mag_ref, are_ref, aim_ref, env_ref,
+        syn_basis_ref, ana_basis_ref, twr_ref, twi_ref,
+        rre_ref, rim_ref,
+        taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
+    )
+    mom = mom_ref[0, 0]
+    ure = rre_ref[0, :, :] - mom * tre_ref[0]
+    uim = rim_ref[0, :, :] - mom * tim_ref[0]
+    n = jnp.maximum(jnp.sqrt(ure * ure + uim * uim), 1e-16)
+    nare_ref[0, :, :] = ure / n
+    naim_ref[0, :, :] = uim / n
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_fft", "hop_length", "taps", "interpret", "tile_t"),
 )
 def _gl_call(
-    magp, arep, aimp, envp, n_fft, hop_length, taps, interpret, tile_t
+    magp, arep, aimp, envp, n_fft, hop_length, taps, interpret, tile_t,
+    trep=None, timp=None, mom=None,
 ):
     B, rows_p, Fp = magp.shape
     overlap = n_fft // hop_length
@@ -184,28 +213,34 @@ def _gl_call(
     Cc, Cs = _chunk_dft_matrices(n_fft, hop)
     CC = np.pad(Cc, [(0, 0), (0, Fp - F)])
     CS = np.pad(Cs, [(0, 0), (0, Fp - F)])
-    # restricted inverse bases (hermitian weights live in wgt): Ch^T / Sh^T
-    ICT = np.pad(Cc.T, [(0, Fp - F), (0, 0)])
-    IST = np.pad(Cs.T, [(0, Fp - F), (0, 0)])
-    twr, twi = _twiddles(n_fft, hop)
-    rows_tw = max(8, _round_up(overlap, 8))
-    TWR = np.pad(twr, [(0, rows_tw - overlap), (0, Fp - F)])
-    TWI = np.pad(twi, [(0, rows_tw - overlap), (0, Fp - F)])
+    # restricted inverse bases with the hermitian weights / n_fft folded
+    # into their rows: Ch^T / Sh^T
     wgt = np.full(F, 2.0, np.float32)
     wgt[0] = 1.0
     if n_fft % 2 == 0:
         wgt[-1] = 1.0
-    WGT = np.pad(wgt / n_fft, (0, Fp - F))[None, :].repeat(8, 0)
+    wgt = (wgt / n_fft)[:, None]
+    ICT = np.pad(Cc.T * wgt, [(0, Fp - F), (0, 0)])
+    IST = np.pad(Cs.T * wgt, [(0, Fp - F), (0, 0)])
+    twr, twi = _twiddles(n_fft, hop)
+    rows_tw = max(8, _round_up(overlap, 8))
+    TWR = np.pad(twr, [(0, rows_tw - overlap), (0, Fp - F)])
+    TWI = np.pad(twi, [(0, rows_tw - overlap), (0, Fp - F)])
 
-    consts = [jnp.asarray(a) for a in (CC, CS, ICT, IST)]
-    splits = []
-    for a in consts:
-        hi, lo = _split_bf16(a)
-        splits += [hi, lo]
+    # pre-stacked bf16x3 operands (r3): synthesis contracts [Dre | Dim]
+    # against [ICT; IST], analysis produces [Cre | Cim] from [CC | CS]
+    ict_hi, ict_lo = _split_bf16(jnp.asarray(ICT))
+    ist_hi, ist_lo = _split_bf16(jnp.asarray(IST))
+    syn_top = jnp.concatenate([ict_hi, ist_hi], axis=0)
+    syn_mid = jnp.concatenate([ict_lo, ist_lo], axis=0)
+    syn_basis = jnp.concatenate([syn_top, syn_mid, syn_top], axis=0)
+    cc_hi, cc_lo = _split_bf16(jnp.asarray(CC))
+    cs_hi, cs_lo = _split_bf16(jnp.asarray(CS))
+    ana_top = jnp.concatenate([cc_hi, cs_hi], axis=1)
+    ana_mid = jnp.concatenate([cc_lo, cs_lo], axis=1)
+    ana_basis = jnp.concatenate([ana_top, ana_mid, ana_top], axis=0)
 
-    kernel = functools.partial(
-        _gl_kernel, taps=taps, overlap=overlap, tile_t=tile_t, n_bins=F,
-    )
+    momentum = trep is not None
 
     def win3(last_dim):
         return pl.BlockSpec(
@@ -217,31 +252,120 @@ def _gl_call(
     def fixed(m):
         return pl.BlockSpec(m.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
 
-    in_specs = (
-        [win3(Fp), win3(Fp), win3(Fp), win3(hop)]
-        + [fixed(m) for m in splits]
-        + [fixed(jnp.asarray(TWR)), fixed(jnp.asarray(TWI)), fixed(jnp.asarray(WGT))]
-    )
     out_spec = pl.BlockSpec(
         (1, tile_t, Fp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
     )
     out_sd = jax.ShapeDtypeStruct((B, n_tiles * tile_t, Fp), jnp.float32)
-
-    return pl.pallas_call(
-        kernel,
+    common = dict(
         grid=(B, n_tiles),
-        in_specs=in_specs,
-        out_specs=(out_spec, out_spec),
-        out_shape=(out_sd, out_sd),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
+    )
+
+    if momentum:
+        kernel = functools.partial(
+            _gl_kernel_momentum, taps=taps, overlap=overlap, tile_t=tile_t,
+            n_bins=F,
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=[win3(Fp), win3(Fp), win3(Fp), out_spec, out_spec,
+                      win3(hop), fixed(syn_basis), fixed(ana_basis),
+                      fixed(jnp.asarray(TWR)), fixed(jnp.asarray(TWI)),
+                      pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                                   memory_space=pltpu.SMEM)],
+            out_specs=(out_spec,) * 4,
+            out_shape=(out_sd,) * 4,
+            **common,
+        )(
+            magp, arep, aimp, trep, timp, envp,
+            syn_basis, ana_basis, jnp.asarray(TWR), jnp.asarray(TWI),
+            jnp.asarray(mom, jnp.float32).reshape(1, 1),
+        )
+
+    kernel = functools.partial(
+        _gl_kernel, taps=taps, overlap=overlap, tile_t=tile_t, n_bins=F,
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[win3(Fp), win3(Fp), win3(Fp), win3(hop)]
+        + [fixed(syn_basis), fixed(ana_basis)]
+        + [fixed(jnp.asarray(TWR)), fixed(jnp.asarray(TWI))],
+        out_specs=(out_spec, out_spec),
+        out_shape=(out_sd, out_sd),
+        **common,
     )(
         magp, arep, aimp, envp,
-        *splits, jnp.asarray(TWR), jnp.asarray(TWI), jnp.asarray(WGT),
+        syn_basis, ana_basis, jnp.asarray(TWR), jnp.asarray(TWI),
     )
+
+
+def make_gl_momentum_step(
+    mag: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    taps: Tuple[float, ...],
+    window: jnp.ndarray,
+    momentum: float,
+    interpret: Optional[bool] = None,
+    tile_t: Optional[int] = None,
+):
+    """Whole-iteration momentum-GL step factory (r3).
+
+    Returns ``(step, to_rows, from_rows)``: ``step(are, aim, tre, tim) ->
+    (nare, naim, rre, rim)`` runs one full GL iteration — consistency
+    projection + momentum extrapolation + renormalization — in ONE kernel
+    invocation, with all four arrays in the padded row layout
+    ``(B, n_tiles*tile_t, Fp)`` (``to_rows``/``from_rows`` convert).  The
+    magnitude and envelope operands are baked in here, outside the loop.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, F = mag.shape
+    Fp = _round_up(F, LANE)
+    if tile_t is None:
+        tile_t = _pick_tile(T)
+    n_tiles = -(-T // tile_t)
+    rows_p = n_tiles * tile_t + 2 * HALO
+    rows_out = n_tiles * tile_t
+
+    magp = jnp.pad(mag, [(0, 0), (HALO, rows_p - HALO - T), (0, Fp - F)])
+    envp = _env_rows(mag, n_fft, hop_length, window, rows_p, B)
+
+    def to_rows(a):
+        return jnp.pad(a, [(0, 0), (0, rows_out - T), (0, Fp - F)])
+
+    def from_rows(a):
+        return a[:, :T, :F]
+
+    def step(are_r, aim_r, tre_r, tim_r):
+        pads = [(0, 0), (HALO, rows_p - HALO - rows_out), (0, 0)]
+        return _gl_call(
+            magp, jnp.pad(are_r, pads), jnp.pad(aim_r, pads), envp,
+            n_fft, hop_length, taps, interpret, tile_t,
+            trep=tre_r, timp=tim_r, mom=float(momentum),
+        )
+
+    return step, to_rows, from_rows
+
+
+def _env_rows(mag, n_fft, hop_length, window, rows_p, B):
+    """Chunk-major OLA envelope rows shared by both kernel entries."""
+    T = mag.shape[1]
+    w2 = jnp.broadcast_to(
+        jnp.asarray(window, jnp.float32)[None, :] ** 2, (T, n_fft)
+    )
+    env = overlap_add(w2, hop_length)
+    tiny = jnp.finfo(jnp.float32).tiny
+    env = jnp.where(env > tiny, env, jnp.ones_like(env))
+    n_chunks_sig = (T - 1) + n_fft // hop_length
+    env_rows = env.reshape(n_chunks_sig, hop_length)
+    envp = jnp.ones((rows_p, hop_length), jnp.float32)
+    envp = jax.lax.dynamic_update_slice(envp, env_rows, (HALO, 0))
+    return jnp.broadcast_to(envp[None], (B, rows_p, hop_length))
 
 
 def gl_project_available(n_fft: int, hop_length: int, taps) -> bool:
@@ -287,20 +411,10 @@ def gl_project(
     magp, arep, aimp = padspec(mag), padspec(ang_re), padspec(ang_im)
 
     # exact OLA envelope of the squared synthesis window over the true T
-    # frames, chunk-major, ones outside the signal (those rows are unused)
+    # frames, chunk-major, ones outside the signal (those rows are unused);
     # jnp (not numpy): `window` may be a traced pytree leaf (serving jits
     # invert with the transform as an argument)
-    w2 = jnp.broadcast_to(
-        jnp.asarray(window, jnp.float32)[None, :] ** 2, (T, n_fft)
-    )
-    env = overlap_add(w2, hop_length)  # ((T-1) hop + n_fft,)
-    tiny = jnp.finfo(jnp.float32).tiny
-    env = jnp.where(env > tiny, env, jnp.ones_like(env))
-    n_chunks_sig = (T - 1) + n_fft // hop_length
-    env_rows = env.reshape(n_chunks_sig, hop_length)
-    envp = jnp.ones((rows_p, hop_length), jnp.float32)
-    envp = jax.lax.dynamic_update_slice(envp, env_rows, (HALO, 0))
-    envp = jnp.broadcast_to(envp[None], (B, rows_p, hop_length))
+    envp = _env_rows(mag, n_fft, hop_length, window, rows_p, B)
 
     ore, oim = _gl_call(
         magp, arep, aimp, envp, n_fft, hop_length, taps, interpret, tile_t
