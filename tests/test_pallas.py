@@ -400,6 +400,46 @@ def test_pghi_invert_fused_matches_scan_istft():
     assert rel < 1e-4, rel
 
 
+@pytest.mark.parametrize(
+    "n_fft,hop,n_samples,batch",
+    [
+        (512, 256, 6000, 1),    # overlap 2, tiny T, single batch
+        (512, 64, 9000, 2),     # overlap 8
+        (1024, 256, 4000, 3),   # T < tile_f
+    ],
+)
+def test_pghi_invert_fused_edge_shapes(n_fft, hop, n_samples, batch):
+    """The fused PGHI kernel matches scan+ISTFT at overlap 2/8, tiny frame
+    counts, and odd batch sizes (tile/OLA-tail boundary coverage)."""
+    from acids_transforms_tpu.ops import pghi as P
+    from acids_transforms_tpu.ops.fft import istft
+    from acids_transforms_tpu.ops.pallas.pghi_kernel import pghi_invert_fused
+
+    t = np.arange(n_samples) / 44100
+    x = np.stack(
+        [np.sin(2 * np.pi * (220 * (b + 1)) * t) for b in range(batch)]
+    ).astype(np.float32)
+    dgt = T.DGT(n_fft=n_fft, hop_length=hop)
+    mag = jnp.abs(dgt.forward(jnp.asarray(x)))
+
+    key = jax.random.PRNGKey(3)
+    angles = 2.0 * jnp.pi * jax.random.uniform(key, mag.shape, dtype=mag.dtype)
+    phase = P.pghi_scan(
+        mag, dgt.gamma, n_fft, hop, tolerance=dgt.tolerance,
+        parallel=False, key=key, time_stencil="central",
+    )
+    rec_ref = np.asarray(istft(mag * jnp.exp(1j * phase), n_fft, hop, dgt.inv_window))
+    rec = np.asarray(
+        pghi_invert_fused(
+            mag, dgt.gamma, n_fft, hop, dgt.inv_window,
+            tolerance=float(dgt.tolerance), angles=angles,
+        )
+    )
+    assert rec.shape == rec_ref.shape
+    rel = np.abs(rec - rec_ref).max() / (np.abs(rec_ref).max() + 1e-9)
+    assert rel < 1e-4, (n_fft, hop, rel)
+
+
 def test_fuse_forward_fallback():
     chain = T.Stereo() + T.STFT()
     assert not fusable(chain)
