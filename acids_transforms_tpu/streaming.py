@@ -62,19 +62,43 @@ def scan_forward(
     return ys, state
 
 
-@partial(jax.jit, static_argnames=("chunk_size", "inversion_mode"))
+@partial(jax.jit, static_argnames=("chunk_size", "inversion_mode", "backend"))
 def scan_roundtrip(
     chain: AudioTransform,
     x: jnp.ndarray,
     chunk_size: int,
     inversion_mode: Optional[str] = None,
     key: Optional[jax.Array] = None,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Full streaming round-trip (forward then invert per chunk) in one scan.
 
     The canonical realtime loop (reference stft.py:324-352) as a single
     compiled program; returns the resynthesized signal ``(..., L_out)``.
+
+    With ``inversion_mode`` set, the roundtrip is *phaseless*: the spectrum's
+    magnitude is taken before inversion (the reference loop's
+    ``invert(spec.abs(), mode)``); ``None`` keeps the complex spectrum
+    (direct inversion).
+
+    ``backend="auto"`` dispatches recognized ``[OverlapAdd, RealtimeSTFT]``
+    direct roundtrips to the fused per-chunk kernel
+    (ops/pallas/stream_step.py) — one pallas_call instead of ~20 tiny XLA
+    ops per chunk, identical math; ``"generic"`` forces the plain chain
+    scan.
     """
+    from .ops.pallas.stream_step import (
+        fused_roundtrip_available,
+        make_fused_roundtrip,
+    )
+
+    if (
+        backend in ("auto", "fused")
+        and inversion_mode is None
+        and fused_roundtrip_available(chain, chunk_size)
+    ):
+        return make_fused_roundtrip(chain, chunk_size)(x)
+
     chunks = chunk_signal(x, chunk_size)
     # states are mode-minimal: thread the session's inversion mode so each
     # stateful child allocates exactly the carry this mode needs
@@ -86,7 +110,11 @@ def scan_roundtrip(
     def body(st, inp):
         chunk, k = inp
         st, y = chain.step(st, chunk)
-        st, rec = chain.step_invert(st, y, inversion_mode=inversion_mode, key=k)
+        if inversion_mode is not None and jnp.iscomplexobj(y):
+            y = jnp.abs(y)  # phaseless roundtrip (reference test loop)
+        st, rec = chain.step_invert(
+            st, y, inversion_mode=inversion_mode, key=k
+        )
         return st, rec
 
     _, recs = jax.lax.scan(body, state, (chunks, keys))
