@@ -127,9 +127,10 @@ def _tile_magnitude(
     """Assemble this tile's frames in VMEM and return |DFT| (tile_t, Fp).
 
     Full-K windowed DFT for non-cosine windows (the DGT gaussian): the 3
-    bf16x3 passes x 2 (re/im) run as ONE stacked GEMM exactly like the
-    factored path (see :func:`_chunk_dots`); ``basis_ref`` is the
-    (3 n_fft, 2 Fp) pre-stacked window-folded basis.
+    bf16x3 passes x 2 (re/im) run as TWO GEMMs against the pre-stacked
+    (3 n_fft, 2 Fp) window-folded basis ``[B_hi; B_lo; B_hi]`` —
+    ``hi @ B_hi`` plus ``[hi | lo] @ [B_lo; B_hi]`` — so the hi operand is
+    never duplicated in scratch.
     """
     f32 = jnp.float32
     block = x_ref[0]                      # (tile_t + halo, hop), halo rows follow
@@ -137,18 +138,22 @@ def _tile_magnitude(
     n_fft = overlap * hop
     # roll the f32 hop-chunk block (Mosaic rotate is 32-bit only), split the
     # small rolled piece, and write the bf16 halves straight into the
-    # [hi | hi | lo] stacked layout — no f32 frame scratch, no full-width
-    # split, no concat
+    # [hi | lo] layout — no f32 frame scratch, no full-width split, no
+    # concat, and no duplicated hi operand: the bf16x3 product runs as
+    # hi @ B_hi + [hi | lo] @ [B_lo; B_hi] (basis_ref stacked accordingly)
     for j in range(overlap):
         # frame i needs rows i..i+overlap-1: upward shift by j == roll by n-j
         rj = pltpu.roll(block, shift=(n_block - j) % n_block, axis=0)[:tile_t, :]
         hi_j, lo_j = _split_bf16(rj)
         scr_ref[:, j * hop: (j + 1) * hop] = hi_j
-        scr_ref[:, n_fft + j * hop: n_fft + (j + 1) * hop] = hi_j
-        scr_ref[:, 2 * n_fft + j * hop: 2 * n_fft + (j + 1) * hop] = lo_j
+        scr_ref[:, n_fft + j * hop: n_fft + (j + 1) * hop] = lo_j
 
     Fp = basis_ref.shape[1] // 2
-    Z = jnp.dot(scr_ref[...], basis_ref[...], preferred_element_type=f32)
+    Z = jnp.dot(
+        scr_ref[:, :n_fft], basis_ref[:n_fft, :], preferred_element_type=f32
+    ) + jnp.dot(
+        scr_ref[...], basis_ref[n_fft:, :], preferred_element_type=f32
+    )
     re, im = Z[:, :Fp], Z[:, Fp:]
     sq = re * re + im * im
     return sq if power == 2.0 else jnp.sqrt(sq)
@@ -623,7 +628,7 @@ def _fused_call(
         kernel,
         in_specs=[_x_spec(tile_t, halo, hop)]
         + [fixed((3 * n_fft, 2 * Fp))] + mel_aff_specs,
-        scratch_shapes=[pltpu.VMEM((tile_t, 3 * n_fft), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((tile_t, 2 * n_fft), jnp.bfloat16)],
         **common,
     )(x_rows, basis, mel_hi, mel_lo, aff)
 
@@ -689,7 +694,7 @@ def _stats_call(
     return pl.pallas_call(
         kernel,
         in_specs=[_x_spec(tile_t, halo, hop)] + [fixed((3 * n_fft, 2 * Fp))],
-        scratch_shapes=[pltpu.VMEM((tile_t, 3 * n_fft), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((tile_t, 2 * n_fft), jnp.bfloat16)],
         **common,
     )(x_rows, basis)
 

@@ -2,7 +2,12 @@
 
 The OverlapAdd + RealtimeSTFT chain processes 4096-sample chunks with
 explicit ring-buffer state; the whole session (framing, FFT, inverse,
-overlap-add, state threading) is a single on-device scan.
+overlap-add, state threading) is a single on-device scan.  On TPU,
+``scan_roundtrip`` auto-dispatches recognized direct roundtrips to ONE
+Pallas kernel for the whole session (ops/pallas/stream_step.py, ~1.8x the
+generic scan); pass ``backend="generic"`` to force the plain chain scan,
+or ``inversion_mode="pghi_gl"`` etc. for phaseless streaming (the
+magnitude is taken before inversion, as in the reference loop).
 """
 import numpy as np
 import jax.numpy as jnp
