@@ -81,8 +81,57 @@ def main(out_dir: str) -> None:
     inv = invert_with_phase_fn(chain)
     rec = _write_stage(out_dir, "invert_keep_input", inv, [jnp.asarray(y), phase])
 
+    # realtime streaming step: the reference's TorchScript-in-C++ realtime
+    # loop (reference stft.py:324-352) with the hidden ring buffers made
+    # explicit state arguments — the C++ host threads them chunk to chunk
+    rt_chain = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop
+    )
+    chunk_size = 4 * n_fft
+    carry = (n_fft // hop - 1) * hop
+
+    def stream_step(in_buf, out_buf, chunk):
+        state = [
+            {"input_buffer": in_buf, "output_buffer": out_buf},
+            {},  # RealtimeSTFT direct roundtrip: mode-minimal empty state
+        ]
+        state, spec = rt_chain.step(state, chunk)
+        state, rec = rt_chain.step_invert(state, spec)
+        return rec, state[0]["input_buffer"], state[0]["output_buffer"]
+
+    s0 = jnp.zeros((carry,), jnp.float32)
+    s1 = jnp.zeros((carry,), jnp.float32)
+    chunk0 = jnp.asarray(x[0, :chunk_size])
+    mlir_text = jax.jit(stream_step).lower(s0, s1, chunk0).as_text()
+    with open(os.path.join(out_dir, "stream_step.stablehlo.mlir"), "w") as f:
+        f.write(mlir_text)
+    n_chunks = x.shape[-1] // chunk_size
+    chunks = np.asarray(x[0, : n_chunks * chunk_size], np.float32)
+    chunks.tofile(os.path.join(out_dir, "stream_step.stream.bin"))
+    np.zeros(carry, np.float32).tofile(
+        os.path.join(out_dir, "stream_step.input0.bin")
+    )
+    np.zeros(carry, np.float32).tofile(
+        os.path.join(out_dir, "stream_step.input1.bin")
+    )
+    with open(os.path.join(out_dir, "stream_step.stream_meta.txt"), "w") as f:
+        f.write(f"{n_chunks} {chunk_size} {carry} {carry}")
+    # expected: the same loop in Python
+    st = (s0, s1)
+    recs = []
+    step_j = jax.jit(stream_step)
+    for c in range(n_chunks):
+        rec_c, a, b = step_j(
+            st[0], st[1], jnp.asarray(chunks[c * chunk_size: (c + 1) * chunk_size])
+        )
+        st = (a, b)
+        recs.append(np.asarray(rec_c, np.float32))
+    np.concatenate(recs).tofile(
+        os.path.join(out_dir, "stream_step.expected.bin")
+    )
+
     with open(os.path.join(out_dir, "stages.txt"), "w") as f:
-        f.write("melspec 1\ninvert_keep_input 2\n")
+        f.write("melspec 1\ninvert_keep_input 2\nstream_step 3\n")
 
     # round-trip quality of the exported pair (mel pseudo-inverse + exact
     # phase): report it so the artifact's contract is visible at export time

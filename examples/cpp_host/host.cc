@@ -191,6 +191,119 @@ float RunStage(xla::LocalClient* client, const std::string& dir,
   return max_diff;
 }
 
+// Streaming stage: the module is a per-chunk step
+//   (state0, state1, chunk) -> (rec_chunk, new_state0, new_state1)
+// and the host threads the states through a realtime-style loop — the
+// reference's TorchScript-in-C++ streaming story with the hidden buffers
+// made explicit.  <name>.stream_meta.txt: "n_chunks chunk_len s0_len s1_len";
+// <name>.stream.bin: all chunks concatenated; expected: all rec chunks.
+float RunStreamStage(xla::LocalClient* client, const std::string& dir,
+                     const std::string& name) {
+  std::istringstream meta(ReadFile(dir + "/" + name + ".stream_meta.txt"));
+  int64_t n_chunks, chunk_len, s0_len, s1_len;
+  meta >> n_chunks >> chunk_len >> s0_len >> s1_len;
+
+  const std::string mlir = ReadFile(dir + "/" + name + ".stablehlo.mlir");
+  xla::XlaComputation computation;
+  absl::Status st = xla::ParseMlirModuleStringAndConvertToXlaComputation(
+      mlir, computation, /*use_tuple_args=*/false, /*return_tuple=*/true);
+  if (!st.ok()) {
+    std::fprintf(stderr, "%s parse: %s\n", name.c_str(), st.ToString().c_str());
+    std::exit(2);
+  }
+
+  const xla::Shape s0_shape =
+      xla::ShapeUtil::MakeShape(xla::PrimitiveType::F32, {s0_len});
+  const xla::Shape s1_shape =
+      xla::ShapeUtil::MakeShape(xla::PrimitiveType::F32, {s1_len});
+  const xla::Shape chunk_shape =
+      xla::ShapeUtil::MakeShape(xla::PrimitiveType::F32, {chunk_len});
+  std::vector<const xla::Shape*> arg_shapes = {&s0_shape, &s1_shape,
+                                               &chunk_shape};
+  auto exes_or = client->Compile(computation, arg_shapes,
+                                 xla::ExecutableBuildOptions());
+  if (!exes_or.ok()) {
+    std::fprintf(stderr, "%s compile: %s\n", name.c_str(),
+                 exes_or.status().ToString().c_str());
+    std::exit(2);
+  }
+  auto exes = std::move(exes_or).value();
+
+  const std::string stream_raw = ReadFile(dir + "/" + name + ".stream.bin");
+  const std::string expected_raw = ReadFile(dir + "/" + name + ".expected.bin");
+  std::vector<float> s0(ReadFile(dir + "/" + name + ".input0.bin").size() /
+                        sizeof(float));
+  std::vector<float> s1(s1_len);
+  std::memcpy(s0.data(), ReadFile(dir + "/" + name + ".input0.bin").data(),
+              s0_len * sizeof(float));
+  std::memcpy(s1.data(), ReadFile(dir + "/" + name + ".input1.bin").data(),
+              s1_len * sizeof(float));
+
+  xla::ExecutableRunOptions run_options;
+  run_options.set_allocator(client->backend().memory_allocator());
+  run_options.set_intra_op_thread_pool(
+      client->backend().eigen_intra_op_thread_pool_device());
+
+  std::vector<float> rec;
+  rec.reserve(n_chunks * chunk_len);
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    xla::Literal l0(s0_shape), l1(s1_shape), lc(chunk_shape);
+    std::memcpy(l0.untyped_data(), s0.data(), s0_len * sizeof(float));
+    std::memcpy(l1.untyped_data(), s1.data(), s1_len * sizeof(float));
+    std::memcpy(lc.untyped_data(),
+                stream_raw.data() + c * chunk_len * sizeof(float),
+                chunk_len * sizeof(float));
+    std::vector<xla::ScopedShapedBuffer> bufs;
+    bufs.reserve(3);
+    for (const xla::Literal* lit : {&l0, &l1, &lc}) {
+      auto b = client->LiteralToShapedBuffer(
+          *lit, client->default_device_ordinal());
+      if (!b.ok()) {
+        std::fprintf(stderr, "%s transfer: %s\n", name.c_str(),
+                     b.status().ToString().c_str());
+        std::exit(2);
+      }
+      bufs.push_back(std::move(b).value());
+    }
+    std::vector<const xla::ShapedBuffer*> ptrs = {&bufs[0], &bufs[1], &bufs[2]};
+    auto out_or = exes[0]->Run(ptrs, run_options);
+    if (!out_or.ok()) {
+      std::fprintf(stderr, "%s execute: %s\n", name.c_str(),
+                   out_or.status().ToString().c_str());
+      std::exit(2);
+    }
+    auto lit_or = client->ShapedBufferToLiteral(out_or.value());
+    if (!lit_or.ok()) {
+      std::fprintf(stderr, "%s fetch: %s\n", name.c_str(),
+                   lit_or.status().ToString().c_str());
+      std::exit(2);
+    }
+    std::vector<xla::Literal> outs = std::move(lit_or).value().DecomposeTuple();
+    const float* r = static_cast<const float*>(outs[0].untyped_data());
+    rec.insert(rec.end(), r, r + chunk_len);
+    std::memcpy(s0.data(), outs[1].untyped_data(), s0_len * sizeof(float));
+    std::memcpy(s1.data(), outs[2].untyped_data(), s1_len * sizeof(float));
+  }
+
+  const float* want = reinterpret_cast<const float*>(expected_raw.data());
+  const size_t n_want = expected_raw.size() / sizeof(float);
+  std::printf("%s: output elements %zu (expected %zu), %lld chunks streamed\n",
+              name.c_str(), rec.size(), n_want,
+              static_cast<long long>(n_chunks));
+  if (rec.size() != n_want) {
+    std::fprintf(stderr, "%s: shape mismatch\n", name.c_str());
+    std::exit(1);
+  }
+  float max_diff = 0.0f;
+  for (size_t i = 0; i < rec.size(); ++i) {
+    float d = rec[i] - want[i];
+    if (d < 0) d = -d;
+    if (d > max_diff) max_diff = d;
+  }
+  std::printf("%s: max |out - expected| = %g\n", name.c_str(), max_diff);
+  return max_diff;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -221,7 +334,10 @@ int main(int argc, char** argv) {
   int n_stages = 0;
   while (stages >> name >> n_inputs) {
     ++n_stages;
-    const float max_diff = RunStage(client, dir, name, n_inputs);
+    std::ifstream probe(dir + "/" + name + ".stream_meta.txt");
+    const float max_diff = probe.good()
+                               ? RunStreamStage(client, dir, name)
+                               : RunStage(client, dir, name, n_inputs);
     if (!(max_diff < 1e-4f)) ok = false;
   }
   if (n_stages == 0) {
