@@ -104,6 +104,14 @@ def _pick_tile(T: int, target: int = 256) -> int:
     return _round_up(-(-T // n_tiles), 8)
 
 
+def _forward_tile_target(n_fft: int) -> int:
+    """Frames-per-grid-step target for the forward kernels: bigger tiles
+    amortize per-step overhead (r3 sweep: 696 rows -> +1.7% over 232 at the
+    headline shape), scaled down with n_fft so the in-flight C/output blocks
+    respect the VMEM budget at 2048/4096."""
+    return max(128, 704 * 1024 // n_fft)
+
+
 def _split_bf16(m: jnp.ndarray):
     """Split f32 into an exactly-representable bf16 high part + bf16 residual.
 
@@ -499,7 +507,7 @@ def _prepare_rows(x, n_fft, hop_length, center, tile_t):
         T = (L - n_fft) // hop_length + 1
         padded_len = L
     if tile_t is None:
-        tile_t = _pick_tile(T)
+        tile_t = _pick_tile(T, target=_forward_tile_target(n_fft))
     halo = _round_up(overlap - 1, 8)
     n_tiles = -(-T // tile_t)
     n_rows_total = n_tiles * tile_t + halo
