@@ -320,12 +320,14 @@ def fuse_forward(
         if be == "auto":
             import jax
 
+            # r3 sweep: the kernel wins at every measured MFCC shape
+            # (1.24x at overlap 2 to 2.32x at 2048/512); 4096 unmeasured
             overlap = mfcc.n_fft // mfcc.hop_length
             be = (
                 "pallas"
                 if jax.default_backend() == "tpu"
-                and overlap >= 4
-                and mfcc.n_fft >= 1024
+                and overlap >= 2
+                and 512 <= mfcc.n_fft <= 2048
                 else "xla"
             )
         return _fused_mfcc(mono, mfcc, be)
