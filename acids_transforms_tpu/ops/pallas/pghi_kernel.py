@@ -287,6 +287,23 @@ def pghi_invert_fused(
     Fp = _round_up(n_bins, LANE)
     m = mag.reshape((-1, T, F)).astype(jnp.float32)
     B = m.shape[0]
+    if B > 64:
+        # the batch rides whole in every block; split large batches so the
+        # per-step VMEM footprint stays bounded (kernel state is per-row,
+        # so slicing the batch is exact)
+        parts = [
+            pghi_invert_fused(
+                m[i: i + 64], gamma, n_fft, hop_length, window,
+                tolerance=tolerance, length=length,
+                key=None if key is None else jax.random.fold_in(key, i),
+                tile_f=tile_f, interpret=interpret,
+                angles=None if angles is None else angles.reshape((-1, T, F))[i: i + 64],
+            )
+            for i in range(0, B, 64)
+        ]
+        return jnp.concatenate(parts, axis=0).reshape(
+            batch_shape + parts[0].shape[-1:]
+        )
 
     # padded frame layout: [zero frame -1 | real frames | edge-replicate
     # frame T | zero flush frames]; flush covers the OLA tail + tile padding

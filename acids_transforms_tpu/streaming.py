@@ -92,9 +92,13 @@ def scan_roundtrip(
         make_fused_roundtrip,
     )
 
+    batch_elems = 1
+    for d in x.shape[:-1]:
+        batch_elems *= d
     if (
         backend in ("auto", "fused")
         and inversion_mode is None
+        and batch_elems <= 64  # the fused kernel carries the batch whole
         and fused_roundtrip_available(chain, chunk_size)
     ):
         return make_fused_roundtrip(chain, chunk_size)(x)
