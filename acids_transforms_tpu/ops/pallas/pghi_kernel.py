@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fft import _idft_matrices
 from .spectral import LANE, _round_up, _split_bf16
 
-__all__ = ["pghi_invert_fused", "pghi_fused_available"]
+__all__ = ["pghi_invert_fused", "pghi_phases_fused", "pghi_fused_available"]
 
 
 def pghi_fused_available(n_fft: int, hop_length: int) -> bool:
@@ -82,6 +82,7 @@ def _pghi_invert_kernel(
     mag_ref, abstol_ref, angles_ref, basis_ref, o_ref,
     phi_ref, ts_ref, tail_ref, reim_ref,
     *, tile_f, n_bins, Fp, n_fft, hop, overlap, T_real, fmul, eps,
+    emit_phases=False,
 ):
     """One grid step: ``tile_f`` frames of fill + synthesis (see module docs).
 
@@ -168,6 +169,9 @@ def _pghi_invert_kernel(
 
         phi_ref[...] = phi
         ts_ref[...] = ts
+        if emit_phases:
+            o_ref[:, pl.ds(t, 1), :] = phi[:, None, :]
+            return 0
         # synthesis operands for this frame (zero outside real frames/bins)
         valid = (tile * tile_f + t) < T_real
         mm = jnp.where(in_bins & valid, m, 0.0)
@@ -176,6 +180,8 @@ def _pghi_invert_kernel(
         return 0
 
     jax.lax.fori_loop(0, tile_f, frame_step, 0, unroll=False)
+    if emit_phases:
+        return
 
     # ---- synthesis: windowed iDFT of the tile's frames + overlap-add
     flat = reim_ref[...].reshape(B * tile_f, 2 * Fp)
@@ -201,22 +207,25 @@ def _pghi_invert_kernel(
     jax.jit,
     static_argnames=(
         "n_fft", "hop_length", "tile_f", "interpret", "T_real", "fmul",
+        "emit_phases",
     ),
 )
 def _fused_call(
     mag_p, abstol_rows, angles, basis, n_fft, hop_length, tile_f, interpret,
-    T_real, fmul,
+    T_real, fmul, emit_phases=False,
 ):
     B, n_rows, Fp = mag_p.shape
     overlap = n_fft // hop_length
     n_tiles = (n_rows - 8) // tile_f
     n_bins = n_fft // 2 + 1
     eps = 1.19e-7
+    out_w = Fp if emit_phases else hop_length
 
     kernel = functools.partial(
         _pghi_invert_kernel,
         tile_f=tile_f, n_bins=n_bins, Fp=Fp, n_fft=n_fft, hop=hop_length,
         overlap=overlap, T_real=T_real, fmul=float(fmul), eps=eps,
+        emit_phases=emit_phases,
     )
     out = pl.pallas_call(
         kernel,
@@ -235,11 +244,11 @@ def _fused_call(
             pl.BlockSpec(basis.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (B, tile_f, hop_length), lambda t: (0, t, 0),
+            (B, tile_f, out_w), lambda t: (0, t, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (B, n_tiles * tile_f, hop_length), jnp.float32
+            (B, n_tiles * tile_f, out_w), jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM((B, Fp), jnp.float32),                # phi carry
@@ -254,6 +263,93 @@ def _fused_call(
         interpret=interpret,
     )(mag_p, abstol_rows, angles, basis)
     return out
+
+
+def _prep_mag(mag, n_fft, hop_length, tolerance, tile_f, key, angles):
+    """Shared padded-frame layout + abstol rows + silent-bin angles."""
+    T, F = mag.shape[-2], mag.shape[-1]
+    overlap = n_fft // hop_length
+    Fp = _round_up(n_fft // 2 + 1, LANE)
+    m = mag.reshape((-1, T, F)).astype(jnp.float32)
+    B = m.shape[0]
+    n_tiles = -(-(T + overlap) // tile_f)
+    n_rows = n_tiles * tile_f + 8
+    pads = n_rows - (T + 2)
+    m_p = jnp.concatenate(
+        [
+            jnp.zeros((B, 1, F), jnp.float32),
+            m,
+            m[:, -1:, :],  # edge replicate: last frame's central time stencil
+            jnp.zeros((B, pads, F), jnp.float32),
+        ],
+        axis=1,
+    )
+    m_p = jnp.pad(m_p, [(0, 0), (0, 0), (0, Fp - F)])
+    mx = jnp.max(m, axis=(-2, -1), keepdims=True)
+    abstol = jnp.maximum(tolerance * mx, 1.19e-7)
+    abstol_rows = jnp.broadcast_to(abstol[..., 0], (B, Fp))
+    if angles is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        angles = 2.0 * jnp.pi * jax.random.uniform(
+            key, (B, n_tiles * tile_f, Fp), dtype=jnp.float32
+        )
+    else:
+        angles = angles.reshape((-1, T, F)).astype(jnp.float32)
+        angles = jnp.pad(
+            angles, [(0, 0), (0, n_tiles * tile_f - T), (0, Fp - F)]
+        )
+    return m_p, abstol_rows, angles, B, T, F, Fp
+
+
+def pghi_phases_fused(
+    mag: jnp.ndarray,
+    gamma: float,
+    n_fft: int,
+    hop_length: int,
+    tolerance: float = 1e-2,
+    key: Optional[jax.Array] = None,
+    tile_f: int = 64,
+    interpret: Optional[bool] = None,
+    angles: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Offline PGHI *phases* ``mag (..., T, F) -> (..., T, F)`` in one kernel.
+
+    The same in-kernel recurrence as :func:`pghi_invert_fused` with the
+    synthesis stage skipped — equivalent to
+    ``pghi_scan(mag, ..., time_stencil="central", parallel=False)``; serves
+    the phase API (``STFT.pghi``) and the ``pghi_gl`` seed on TPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tile_f = max(8, tile_f - tile_f % 8)
+    batch_shape = mag.shape[:-2]
+    T, F = mag.shape[-2], mag.shape[-1]
+    B_total = 1
+    for d in batch_shape:
+        B_total *= d
+    if B_total > 64:  # bound the per-step VMEM footprint (batch rides whole)
+        parts = [
+            pghi_phases_fused(
+                mag.reshape((-1, T, F))[i: i + 64], gamma, n_fft, hop_length,
+                tolerance=tolerance,
+                key=None if key is None else jax.random.fold_in(key, i),
+                tile_f=tile_f, interpret=interpret,
+                angles=None if angles is None else angles.reshape((-1, T, F))[i: i + 64],
+            )
+            for i in range(0, B_total, 64)
+        ]
+        return jnp.concatenate(parts, axis=0).reshape(batch_shape + (T, F))
+    m_p, abstol_rows, angles_p, B, T, F, Fp = _prep_mag(
+        mag, n_fft, hop_length, tolerance, tile_f, key, angles
+    )
+    stub = jnp.zeros((8, LANE), jnp.bfloat16)  # synthesis basis unused
+    fmul = float(gamma) / (hop_length * n_fft)
+    rows = _fused_call(
+        m_p, abstol_rows, angles_p, stub, n_fft, hop_length, tile_f,
+        interpret, T, fmul, emit_phases=True,
+    )
+    return rows[:, :T, :F].reshape(batch_shape + (T, F))
 
 
 def pghi_invert_fused(

@@ -253,7 +253,24 @@ class STFT(AudioTransform):
     # -------------------------------------------------------------- pghi
     def pghi(self, mag: jnp.ndarray, tolerance: Optional[float] = None) -> jnp.ndarray:
         """Batched peak-anchored PGHI phase for ``mag (..., T, F)``
-        (offline variant: central time stencil, no carried state)."""
+        (offline variant: central time stencil, no carried state).
+
+        On TPU the serial recurrence runs inside one Pallas kernel
+        (ops/pallas/pghi_kernel.py, phases-only mode — also the ``pghi_gl``
+        seed); elsewhere the sqrt-blocked XLA schedule serves.
+        """
+        tol = float(tolerance if tolerance is not None else self.tolerance)
+        from ..ops.pallas.pghi_kernel import (
+            pghi_fused_available,
+            pghi_phases_fused,
+        )
+
+        if jax.default_backend() == "tpu" and pghi_fused_available(
+            self.n_fft, self.hop_length
+        ):
+            return pghi_phases_fused(
+                mag, self.gamma, self.n_fft, self.hop_length, tolerance=tol
+            )
         from ..ops.pghi import pghi_scan
 
         return pghi_scan(
@@ -261,7 +278,7 @@ class STFT(AudioTransform):
             self.gamma,
             self.n_fft,
             self.hop_length,
-            tolerance=float(tolerance if tolerance is not None else self.tolerance),
+            tolerance=tol,
             time_stencil="central",
         )
 
