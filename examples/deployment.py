@@ -51,6 +51,16 @@ def main():
     print("stablehlo artifact:", len(blob), "bytes; restored output", y2.shape)
     print("artifact matches fused:", bool(jnp.allclose(y2[: xb.shape[0]], y, atol=1e-4)))
 
+    # 4. phase-faithful invert for the artifact: the reference's scripted
+    #    keep_input capability (hidden phase_buffer, reference
+    #    stft.py:134-143) as an explicit (y, phase) -> audio entry —
+    #    exportable alongside the forward (see examples/cpp_host for the
+    #    C++ host executing both, plus a realtime streaming stage)
+    inv = att.export.invert_with_phase_fn(chain)
+    phase = jnp.angle(chain[0].forward(xb))
+    rec = inv(y, phase)
+    print("phase-faithful invert:", rec.shape)
+
 
 if __name__ == "__main__":
     main()
