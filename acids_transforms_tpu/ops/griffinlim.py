@@ -67,7 +67,11 @@ def griffin_lim(
     # with the chunk factorization both ways — measured 1.6x on TPU at the
     # 1024/256 shape.  Edge frames use the OLA-tail boundary (module docs);
     # quality (spectral convergence) is equivalent, enforced by tests.
-    from .pallas.glstep import gl_project, gl_project_available
+    from .pallas.glstep import (
+        gl_fullk_available,
+        gl_project,
+        gl_project_available,
+    )
 
     want = jax.default_backend() == "tpu" if fused is None else fused
     use_kernel = (
@@ -75,8 +79,21 @@ def griffin_lim(
         and taps is not None
         and gl_project_available(n_fft, hop_length, taps)
     )
-    if use_kernel:
-        from .pallas.glstep import make_gl_momentum_step
+    # windows without cosine taps (the DGT gaussian/dual) CAN ride a full-K
+    # variant of the whole-iteration kernel, but it is explicit-opt-in only
+    # (``fused=True``): full-K GEMMs both directions are FLOP-bound and the
+    # kernel measured SLOWER than the XLA loop at the headline DGT shape
+    # (0.223 vs 0.257 M frames/s, r3) — kept for shapes where the trade-off
+    # may flip and as the factored kernel's reference semantics
+    use_fullk = (
+        fused is True and not use_kernel
+        and gl_fullk_available(n_fft, hop_length)
+    )
+    if use_kernel or use_fullk:
+        from .pallas.glstep import (
+            make_gl_momentum_step,
+            make_gl_momentum_step_fullk,
+        )
 
         batch_shape = magnitude.shape[:-2]
         T, F = magnitude.shape[-2:]
@@ -84,9 +101,14 @@ def griffin_lim(
         # whole-iteration kernel: projection + momentum + renormalization in
         # one invocation — no per-iteration XLA elementwise passes over the
         # spectrogram (r3, ops/pallas/glstep.py:make_gl_momentum_step)
-        step, to_rows, from_rows = make_gl_momentum_step(
-            mag3, n_fft, hop_length, taps, window, mom
-        )
+        if use_kernel:
+            step, to_rows, from_rows = make_gl_momentum_step(
+                mag3, n_fft, hop_length, taps, window, mom
+            )
+        else:
+            step, to_rows, from_rows = make_gl_momentum_step_fullk(
+                mag3, n_fft, hop_length, window, mom
+            )
         are_r = to_rows(jnp.real(angles).reshape((-1, T, F)))
         aim_r = to_rows(jnp.imag(angles).reshape((-1, T, F)))
 

@@ -303,6 +303,196 @@ def _gl_call(
     )
 
 
+def _gl_kernel_fullk_momentum(
+    mag_ref, are_ref, aim_ref, tre_ref, tim_ref, env_ref,
+    syn_basis_ref, ana_basis_ref, mom_ref,
+    nare_ref, naim_ref, rre_ref, rim_ref,
+    *, overlap, tile_t, hop,
+):
+    """Full-K momentum-GL iteration for ARBITRARY windows (the DGT gaussian).
+
+    Same structure as the factored `_gl_kernel_momentum` but with the
+    window folded into full-K iDFT/DFT bases and the OLA done on explicit
+    synthesis frames: spec -> frames (one stacked GEMM) -> overlap-add ->
+    envelope divide -> re-frame -> DFT (one stacked GEMM) -> momentum +
+    renormalize.  Boundary contract identical to the factored kernel
+    (OLA-tail edges; GL parity is spectral convergence).
+    """
+    f32 = jnp.float32
+    W = tile_t + 2 * HALO
+    Fp = mag_ref.shape[-1]
+    n_fft = overlap * hop
+
+    Yre = mag_ref[0] * are_ref[0]
+    Yim = mag_ref[0] * aim_ref[0]
+    flat = jnp.concatenate([Yre, Yim], axis=1)          # (W, 2 Fp)
+    h, l = _split_bf16(flat)
+    stk = jnp.concatenate([h, h, l], axis=1)
+    td = jnp.dot(stk, syn_basis_ref[...], preferred_element_type=f32)
+    td = td.reshape(W, overlap, hop)
+
+    # OLA rows: chunk row r = sum_j td[r - j, j]; rows [ov-1, W) are fully
+    # summed (their frames all lie inside the halo window)
+    acc = jnp.zeros((W + overlap - 1, hop), f32)
+    for j in range(overlap):
+        acc = acc + jnp.pad(td[:, j, :], [(j, overlap - 1 - j), (0, 0)])
+    n_chunks = W - (overlap - 1)
+    samples = acc[overlap - 1: overlap - 1 + n_chunks]
+    samples = samples / env_ref[0][overlap - 1: overlap - 1 + n_chunks]
+
+    # re-frame: output frame i (window row H + i) covers sample rows
+    # (i + HALO - (overlap - 1)) + j.  Roll-then-slice on an 8-aligned pad
+    # (Mosaic cannot concat operands with different sublane offsets).
+    base = HALO - (overlap - 1)
+    pad_rows = -(-n_chunks // 8) * 8 - n_chunks
+    sp = jnp.pad(samples, [(0, pad_rows), (0, 0)])
+    n_sp = sp.shape[0]
+    parts = [
+        pltpu.roll(sp, shift=(n_sp - (base + j)) % n_sp, axis=0)[:tile_t, :]
+        for j in range(overlap)
+    ]
+    frames = jnp.concatenate(parts, axis=1)             # (tile_t, n_fft)
+    fh, fl = _split_bf16(frames)
+    fstk = jnp.concatenate([fh, fh, fl], axis=1)
+    Z = jnp.dot(fstk, ana_basis_ref[...], preferred_element_type=f32)
+    Rre, Rim = Z[:, :Fp], Z[:, Fp:]
+    rre_ref[0, :, :] = Rre
+    rim_ref[0, :, :] = Rim
+
+    mom = mom_ref[0, 0]
+    ure = Rre - mom * tre_ref[0]
+    uim = Rim - mom * tim_ref[0]
+    n = jnp.maximum(jnp.sqrt(ure * ure + uim * uim), 1e-16)
+    nare_ref[0, :, :] = ure / n
+    naim_ref[0, :, :] = uim / n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "interpret", "tile_t"),
+)
+def _gl_fullk_call(
+    magp, arep, aimp, trep, timp, envp, syn_basis, ana_basis, mom,
+    n_fft, hop_length, interpret, tile_t,
+):
+    B, rows_p, Fp = magp.shape
+    overlap = n_fft // hop_length
+    n_tiles = (rows_p - 2 * HALO) // tile_t
+
+    kernel = functools.partial(
+        _gl_kernel_fullk_momentum,
+        overlap=overlap, tile_t=tile_t, hop=hop_length,
+    )
+
+    def win3(last_dim):
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(tile_t + 2 * HALO), pl.Element(last_dim)),
+            lambda b, t: (b, t * tile_t, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def fixed(m):
+        return pl.BlockSpec(m.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+
+    out_spec = pl.BlockSpec(
+        (1, tile_t, Fp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+    )
+    out_sd = jax.ShapeDtypeStruct((B, n_tiles * tile_t, Fp), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[win3(Fp), win3(Fp), win3(Fp), out_spec, out_spec,
+                  win3(hop_length), fixed(syn_basis), fixed(ana_basis),
+                  pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=(out_spec,) * 4,
+        out_shape=(out_sd,) * 4,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(magp, arep, aimp, trep, timp, envp, syn_basis, ana_basis,
+      jnp.asarray(mom, jnp.float32).reshape(1, 1))
+
+
+def gl_fullk_available(n_fft: int, hop_length: int) -> bool:
+    return (
+        n_fft % hop_length == 0
+        and 2 <= n_fft // hop_length <= HALO - 1
+        and hop_length % LANE == 0
+    )
+
+
+def make_gl_momentum_step_fullk(
+    mag: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    window: jnp.ndarray,
+    momentum: float,
+    interpret: Optional[bool] = None,
+    tile_t: Optional[int] = None,
+):
+    """Full-K variant of :func:`make_gl_momentum_step` for windows without
+    cosine-sum taps (the DGT gaussian / its scaled dual).  Same contract."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, F = mag.shape
+    Fp = _round_up(F, LANE)
+    if tile_t is None:
+        tile_t = _pick_tile(T)
+    n_tiles = -(-T // tile_t)
+    rows_p = n_tiles * tile_t + 2 * HALO
+    rows_out = n_tiles * tile_t
+
+    magp = jnp.pad(mag, [(0, 0), (HALO, rows_p - HALO - T), (0, Fp - F)])
+    envp = _env_rows(mag, n_fft, hop_length, window, rows_p, B)
+
+    import numpy as np
+
+    from ..fft import _dft_matrices, _idft_matrices
+
+    w_col = jnp.asarray(window, jnp.float32)
+    # synthesis: [re | im] (2 Fp) -> samples, hermitian weights + window in
+    A, Bm = _idft_matrices(n_fft)
+    AB = jnp.concatenate(
+        [
+            jnp.pad(jnp.asarray(A), [(0, Fp - F), (0, 0)]),
+            jnp.pad(jnp.asarray(Bm), [(0, Fp - F), (0, 0)]),
+        ],
+        axis=0,
+    ) * w_col[None, :]
+    hi, lo = _split_bf16(AB)
+    syn_basis = jnp.concatenate([hi, lo, hi], axis=0)   # (6 Fp, n_fft)
+    # analysis: frames -> [re | im], window folded into rows
+    C_np, S_np = _dft_matrices(n_fft)
+    WCS = jnp.concatenate(
+        [
+            jnp.pad(jnp.asarray(C_np), [(0, 0), (0, Fp - F)]),
+            jnp.pad(jnp.asarray(S_np), [(0, 0), (0, Fp - F)]),
+        ],
+        axis=1,
+    ) * w_col[:, None]
+    ah, al = _split_bf16(WCS)
+    ana_basis = jnp.concatenate([ah, al, ah], axis=0)   # (3 n_fft, 2 Fp)
+
+    def to_rows(a):
+        return jnp.pad(a, [(0, 0), (0, rows_out - T), (0, Fp - F)])
+
+    def from_rows(a):
+        return a[:, :T, :F]
+
+    def step(are_r, aim_r, tre_r, tim_r):
+        pads = [(0, 0), (HALO, rows_p - HALO - rows_out), (0, 0)]
+        return _gl_fullk_call(
+            magp, jnp.pad(are_r, pads), jnp.pad(aim_r, pads), tre_r, tim_r,
+            envp, syn_basis, ana_basis, float(momentum),
+            n_fft, hop_length, interpret, tile_t,
+        )
+
+    return step, to_rows, from_rows
+
+
 def make_gl_momentum_step(
     mag: jnp.ndarray,
     n_fft: int,

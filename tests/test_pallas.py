@@ -467,6 +467,29 @@ def test_pghi_invert_fused_edge_shapes(n_fft, hop, n_samples, batch):
     assert rel < 1e-4, (n_fft, hop, rel)
 
 
+def test_griffin_lim_fullk_quality_parity():
+    """The full-K momentum-GL kernel (no cosine taps: the DGT gaussian/dual
+    window) converges like the XLA loop — spectral convergence within a few
+    percent."""
+    from acids_transforms_tpu.ops.griffinlim import griffin_lim
+
+    t = np.arange(30000) / 44100
+    x = sum(np.sin(2 * np.pi * f * t) / (i + 1) for i, f in enumerate([220, 440, 880]))
+    x = (0.7 * x / np.abs(x).max()).astype(np.float32)
+    dgt = T.DGT(n_fft=1024, hop_length=256)
+    mag = jnp.abs(dgt.forward(jnp.asarray(x)))[None]
+    w = dgt.inv_window
+
+    def sc(rec):
+        R = jnp.abs(stft(rec, 1024, 256, w))
+        n = min(R.shape[-2], mag.shape[-2])
+        return float(jnp.linalg.norm(R[:, :n] - mag[:, :n]) / jnp.linalg.norm(mag))
+
+    s_x = sc(griffin_lim(mag, 1024, 256, w, n_iter=8, fused=False))
+    s_k = sc(griffin_lim(mag, 1024, 256, w, n_iter=8, fused=True))
+    assert s_k < max(1.15 * s_x, s_x + 0.02), (s_k, s_x)
+
+
 def test_fuse_forward_fallback():
     chain = T.Stereo() + T.STFT()
     assert not fusable(chain)
