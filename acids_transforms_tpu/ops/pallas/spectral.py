@@ -185,8 +185,12 @@ def _chunk_dots(x_ref, basis_ref, ablate=None):
         CZ = jnp.dot(bh, basis_ref[:hop, :], preferred_element_type=f32)
         return CZ[:, :Fp], CZ[:, Fp:]
     bh, bl = _split_bf16(block)
-    stacked = jnp.concatenate([bh, bh, bl], axis=1)     # (rows, 3*hop) bf16
-    CZ = jnp.dot(stacked, basis_ref[...], preferred_element_type=f32)
+    # 2-dot no-dup split: hi @ [top] + [hi | lo] @ [mid; top] — same MACs as
+    # the 3-stack, without duplicating the hi operand
+    stacked = jnp.concatenate([bh, bl], axis=1)         # (rows, 2*hop) bf16
+    CZ = jnp.dot(
+        bh, basis_ref[:hop, :], preferred_element_type=f32
+    ) + jnp.dot(stacked, basis_ref[hop:, :], preferred_element_type=f32)
     return CZ[:, :Fp], CZ[:, Fp:]
 
 
