@@ -46,7 +46,15 @@ __all__ = ["pghi_invert_fused", "pghi_phases_fused", "pghi_fused_available"]
 
 
 def pghi_fused_available(n_fft: int, hop_length: int) -> bool:
-    return n_fft % hop_length == 0 and n_fft // hop_length >= 2
+    # hop % 128: the synthesis reshape (B*tile_f, overlap*hop) ->
+    # (B, tile_f, overlap, hop) needs lane-aligned hop on TPU (Mosaic
+    # "unsupported shape cast" otherwise); smaller hops fall back to the
+    # sqrt-blocked XLA path
+    return (
+        n_fft % hop_length == 0
+        and n_fft // hop_length >= 2
+        and hop_length % LANE == 0
+    )
 
 
 def _seg_scan(a, b, d, Fp, reverse):
@@ -80,7 +88,7 @@ def _seg_scan(a, b, d, Fp, reverse):
 
 def _pghi_invert_kernel(
     mag_ref, abstol_ref, angles_ref, basis_ref, o_ref,
-    phi_ref, ts_ref, tail_ref, reim_ref,
+    phi_ref, tail_ref, reim_ref, ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref,
     *, tile_f, n_bins, Fp, n_fft, hop, overlap, T_real, fmul, eps,
     emit_phases=False,
 ):
@@ -94,66 +102,79 @@ def _pghi_invert_kernel(
     B = mag_ref.shape[0]
     f32 = jnp.float32
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, Fp), 1)
-    in_bins = lane < n_bins
-    kf = lane.astype(f32)
-    ck = (2.0 * np.pi * hop / n_fft) * kf  # carrier time step per bin
-
     @pl.when(tile == 0)
     def _init():
         phi_ref[...] = jnp.zeros((B, Fp), f32)
-        # frame -1 is all log(eps): zero freq-derivative => carrier only
-        ts_ref[...] = jnp.broadcast_to(ck, (B, Fp))
         tail_ref[...] = jnp.zeros_like(tail_ref)
 
     abstol = abstol_ref[...]  # (B, Fp) broadcast rows
 
-    def logmag(row):
-        return jnp.log(jnp.maximum(row, eps))
+    # ---- tile-level precompute (r3.5): everything except the serial phase
+    # carry vectorizes over the tile's frames — the loop below keeps only the
+    # trapezoid add, the two segmented scans and the selects.  The previous
+    # per-frame formulation recomputed log-magnitudes 3x per frame and ran
+    # the derivative/anchor/trig work one (B, Fp) row at a time; this block
+    # is ~2/3 of what made each serial step expensive.  The ts carry is gone
+    # entirely: block row 0 is the previous tile's last frame (frame -1 is
+    # all-zero => log(eps), dY_dk = 0, carrier-only — the old _init value).
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (B, tile_f + 2, Fp), 2)
+    ck3 = (2.0 * np.pi * hop / n_fft) * lane3.astype(f32)
+    M = mag_ref[...][:, : tile_f + 2, :]           # frames g0-1 .. g0+tile_f
+    Y = jnp.log(jnp.maximum(M, eps))               # ONE log per frame row
+    # freq derivative of log-mag (central, replicate edges, valid lanes)
+    Y_dn = jnp.where(lane3 == 0, Y, pltpu.roll(Y, shift=1, axis=2))
+    Y_up = jnp.where(
+        lane3 == n_bins - 1, Y, pltpu.roll(Y, shift=Fp - 1, axis=2)
+    )
+    ts_all = ((Y_up - Y_dn) / 2.0) / fmul + ck3    # (B, tile_f+2, Fp)
+    # time trapezoid: mean of the previous and current frame's ts
+    ct_ref[...] = (ts_all[:, :tile_f, :] + ts_all[:, 1: tile_f + 1, :]) / 2.0
+    # time derivative (central; the +1 halo row is the edge-replicate)
+    fs = -fmul * ((Y[:, 2:, :] - Y[:, :-2, :]) / 2.0) + np.pi
+    # NEVER slice a broadcasted_iota: Mosaic keeps iotas replicated (one
+    # sublane) and slicing the sublane dim hits a layout CHECK; build them
+    # at the exact shape instead
+    lanec = jax.lax.broadcasted_iota(jnp.int32, (B, tile_f, Fp), 2)
+    in_binsc = lanec < n_bins
+    # frequency-fill trapezoid steps, both directions
+    sup_ref[...] = jnp.where(
+        lanec == 0, 0.0, (fs + pltpu.roll(fs, shift=1, axis=2)) / 2.0
+    )
+    sdn_ref[...] = jnp.where(
+        lanec == n_bins - 1, 0.0,
+        -(fs + pltpu.roll(fs, shift=Fp - 1, axis=2)) / 2.0,
+    )
+    Mc = M[:, 1: tile_f + 1, :]
+    # sublane-dim broadcasts must be explicit for Mosaic (lane-dim keepdims
+    # broadcasts below are fine)
+    absb = jnp.broadcast_to(abstol[:, None, :], (B, tile_f, Fp))
+    sig = (Mc > absb) & in_binsc
+    prev_sig = (M[:, :tile_f, :] > absb) & in_binsc
+    # freq-ridge peaks (edges compare against -1, i.e. always pass)
+    m_dn = jnp.where(lanec == 0, -1.0, pltpu.roll(Mc, shift=1, axis=2))
+    m_up = jnp.where(
+        lanec == n_bins - 1, -1.0, pltpu.roll(Mc, shift=Fp - 1, axis=2)
+    )
+    anchored = sig & prev_sig & (Mc >= m_dn) & (Mc >= m_up)
+    no_anchor = ~jnp.any(anchored, axis=-1, keepdims=True)
+    m_masked = jnp.where(in_binsc, Mc, -1.0)
+    is_gmax = m_masked == jnp.max(m_masked, axis=-1, keepdims=True)
+    anchored = anchored | (no_anchor & sig & is_gmax)
+    anc_ref[...] = anchored.astype(f32)
+    # fold the silent-bin fallback into one field: sig bins keep a sentinel
+    # (resolved in-loop), silent bins carry their random phase
+    sig_ref[...] = sig.astype(f32)
 
     def frame_step(t, _):
-        m_prev = mag_ref[:, t, :]
-        m = mag_ref[:, t + 1, :]
-        m_next = mag_ref[:, t + 2, :]
-        Y_prev, Y, Y_next = logmag(m_prev), logmag(m), logmag(m_next)
-
-        # freq derivative of log-mag (central, replicate edges, valid lanes)
-        Y_dn = pltpu.roll(Y, shift=1, axis=1)   # lane k -> Y[k-1]
-        Y_up = pltpu.roll(Y, shift=Fp - 1, axis=1)  # lane k -> Y[k+1]
-        Y_dn = jnp.where(lane == 0, Y, Y_dn)
-        Y_up = jnp.where(lane == n_bins - 1, Y, Y_up)
-        dY_dk = (Y_up - Y_dn) / 2.0
-        ts = dY_dk / fmul + ck
-        # time derivative (central; the +1 halo row is the edge-replicate)
-        dY_dt = (Y_next - Y_prev) / 2.0
-        fs = -fmul * dY_dt + np.pi
-
-        sig = (m > abstol) & in_bins
-        prev_sig = (m_prev > abstol) & in_bins
-        # freq-ridge peaks (edges compare against -1, i.e. always pass)
-        m_dn = jnp.where(lane == 0, -1.0, pltpu.roll(m, shift=1, axis=1))
-        m_up = jnp.where(lane == n_bins - 1, -1.0,
-                         pltpu.roll(m, shift=Fp - 1, axis=1))
-        anchored = sig & prev_sig & (m >= m_dn) & (m >= m_up)
-        no_anchor = ~jnp.any(anchored, axis=-1, keepdims=True)
-        m_masked = jnp.where(in_bins, m, -1.0)
-        is_gmax = m_masked == jnp.max(m_masked, axis=-1, keepdims=True)
-        anchored = anchored | (no_anchor & sig & is_gmax)
+        anc_f = anc_ref[:, t, :]
+        anchored = anc_f > 0.5
 
         # anchored bins: time trapezoid from the previous frame's phase
-        c_t = (ts_ref[...] + ts) / 2.0
-        phi_t = phi_ref[...] + c_t
+        phi_t = phi_ref[...] + ct_ref[:, t, :]
 
-        # frequency fill: nearest-anchor trapezoid, both directions
-        trap_dn = pltpu.roll(fs, shift=1, axis=1)  # fs[k-1]
-        step_up = jnp.where(lane == 0, 0.0, (fs + trap_dn) / 2.0)
-        trap_up = pltpu.roll(fs, shift=Fp - 1, axis=1)  # fs[k+1]
-        step_dn = jnp.where(lane == n_bins - 1, 0.0, -(fs + trap_up) / 2.0)
-
-        anc_f = anchored.astype(f32)
         a0 = 1.0 - anc_f
-        b_up = jnp.where(anchored, phi_t, step_up)
-        b_dn = jnp.where(anchored, phi_t, step_dn)
+        b_up = jnp.where(anchored, phi_t, sup_ref[:, t, :])
+        b_dn = jnp.where(anchored, phi_t, sdn_ref[:, t, :])
         d0 = a0  # 0 at anchors, 1 elsewhere
         a_u, f_up, d_up = _seg_scan(a0, b_up, d0, Fp, reverse=False)
         a_d, f_dn, d_dn = _seg_scan(a0, b_dn, d0, Fp, reverse=True)
@@ -165,23 +186,26 @@ def _pghi_invert_kernel(
         filled = jnp.where(any_anchor, filled, 0.0)
 
         phi = jnp.where(anchored, phi_t, filled)
-        phi = jnp.where(sig, phi, angles_ref[:, t, :])
+        phi = jnp.where(sig_ref[:, t, :] > 0.5, phi, angles_ref[:, t, :])
 
         phi_ref[...] = phi
-        ts_ref[...] = ts
-        if emit_phases:
-            o_ref[:, pl.ds(t, 1), :] = phi[:, None, :]
-            return 0
-        # synthesis operands for this frame (zero outside real frames/bins)
-        valid = (tile * tile_f + t) < T_real
-        mm = jnp.where(in_bins & valid, m, 0.0)
-        reim_ref[:, pl.ds(t, 1), :Fp] = (mm * jnp.cos(phi))[:, None, :]
-        reim_ref[:, pl.ds(t, 1), Fp:] = (mm * jnp.sin(phi))[:, None, :]
+        # trig + magnitude application vectorize after the loop
+        reim_ref[:, pl.ds(t, 1), :Fp] = phi[:, None, :]
         return 0
 
     jax.lax.fori_loop(0, tile_f, frame_step, 0, unroll=False)
     if emit_phases:
+        o_ref[...] = reim_ref[...][:, :, :Fp]
         return
+
+    # synthesis operands (zero outside real frames/bins), whole-tile trig
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (B, tile_f, Fp), 1)
+    valid = (tile * tile_f + row3) < T_real
+    mm = jnp.where(in_binsc & valid, Mc, 0.0)
+    phis = reim_ref[...][:, :, :Fp]
+    reim_ref[...] = jnp.concatenate(
+        [mm * jnp.cos(phis), mm * jnp.sin(phis)], axis=2
+    )
 
     # ---- synthesis: windowed iDFT of the tile's frames + overlap-add
     flat = reim_ref[...].reshape(B * tile_f, 2 * Fp)
@@ -252,9 +276,13 @@ def _fused_call(
         ),
         scratch_shapes=[
             pltpu.VMEM((B, Fp), jnp.float32),                # phi carry
-            pltpu.VMEM((B, Fp), jnp.float32),                # ts carry
             pltpu.VMEM((B, overlap - 1, hop_length), jnp.float32),  # OLA tail
             pltpu.VMEM((B, tile_f, 2 * Fp), jnp.float32),    # re | im
+            pltpu.VMEM((B, tile_f, Fp), jnp.float32),        # c_t (trapezoid)
+            pltpu.VMEM((B, tile_f, Fp), jnp.float32),        # step_up
+            pltpu.VMEM((B, tile_f, Fp), jnp.float32),        # step_dn
+            pltpu.VMEM((B, tile_f, Fp), jnp.float32),        # anchored mask
+            pltpu.VMEM((B, tile_f, Fp), jnp.float32),        # significant mask
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
