@@ -23,6 +23,28 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _drop_compiled_executables():
+    """Release jit executables between modules.
+
+    Every XLA:CPU LoadedExecutable holds ~6 mmap'd regions (LLVM JIT code +
+    data); a full single-process suite run compiles >10k executables and
+    crosses the kernel's vm.max_map_count (65530), at which point a failed
+    mmap inside LLVM segfaults the compiler mid-suite (observed in
+    ops/pghi's scan compile ~390 tests in; /proc/<pid>/maps confirmed the
+    growth and that jax.clear_caches() returns the count to baseline).
+    Modules don't share compiled shapes, so per-module clearing only costs
+    the session fixtures' lazy recompiles.
+    """
+    yield
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _build_native():
     """Best-effort build of the native C++ layer so its tests run on fresh
