@@ -181,6 +181,11 @@ def _pallas_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
             contrast,
             taps=taps,
             mel_blocks=mel_blocks,
+            # 4th bf16 product in both GEMM stages at 4096: the bf16x3
+            # residuals are what pushed 4096/overlap>4 past the 1e-4
+            # budget after the norm-shrinking log contrast; +1/3 GEMM MACs
+            # buys the accuracy back (BENCH_NOTES.md 4096 note)
+            x4=stft_t.n_fft >= 4096,
         )
         return mag_t._drop_nyquist(y.reshape(batch_shape + y.shape[1:]))
 
@@ -282,9 +287,10 @@ def _pallas_preferred(chain: AudioTransform) -> bool:
     swept shape — 1.13x (512/128) to 2.48x (2048/512), 1.73x at the
     headline 1024/256 (BENCH_NOTES.md r3 sweep) — so the auto region is now
     bounded only by accuracy: every accepted shape is validated <= ~1e-4
-    against a float64 oracle.  4096/1024 measures 9.4e-5 and is in;
-    4096 with overlap > 4 measures 1.02e-4 (just over budget) and stays on
-    the XLA path (explicit ``backend="pallas"`` remains available)."""
+    against a float64 oracle.  At 4096 the mel GEMM rides the 4-product
+    bf16 split (``_mel3(x4=True)``, +1/3 mel MACs), which brings the
+    overlap > 4 region from 1.02e-4 to well under budget — the whole
+    512..4096, overlap >= 2 family is auto-accepted."""
     import jax
 
     if jax.default_backend() != "tpu":
@@ -296,9 +302,7 @@ def _pallas_preferred(chain: AudioTransform) -> bool:
     if getattr(stft_t, "_window_taps", None) is None:
         return False
     overlap = stft_t.n_fft // stft_t.hop_length
-    if not (512 <= stft_t.n_fft <= 4096 and overlap >= 2):
-        return False
-    return stft_t.n_fft < 4096 or overlap <= 4
+    return 512 <= stft_t.n_fft <= 4096 and overlap >= 2
 
 
 def fuse_forward(

@@ -167,7 +167,7 @@ def _tile_magnitude(
     return sq if power == 2.0 else jnp.sqrt(sq)
 
 
-def _chunk_dots(x_ref, basis_ref, ablate=None):
+def _chunk_dots(x_ref, basis_ref, ablate=None, x4=False):
     """The MXU half of the factored formulation: bf16x3 chunk-DFT dots.
 
     The 3 bf16x3 passes x 2 (re/im) run as ONE stacked GEMM:
@@ -175,6 +175,12 @@ def _chunk_dots(x_ref, basis_ref, ablate=None):
     (3 hop, 2 Fp)`` — identical MACs, one MXU dispatch instead of six.
     ``basis_ref`` is the pre-stacked (3 hop, 2 Fp) bf16 operand
     (:func:`_stack_basis`, built once outside the kernel).
+
+    ``x4`` adds the fourth product (``lo @ B_lo``) for the large-n_fft
+    accuracy region: the SAME [top; mid; top] basis stack contains both
+    operand orders as contiguous row windows, so it is two dots against
+    the same ``[hi | lo]`` operand — ``rows[:2 hop]`` gives
+    ``hi@top + lo@mid`` and ``rows[hop:]`` gives ``hi@mid + lo@top``.
     """
     f32 = jnp.float32
     block = x_ref[0]                      # (tile_t + halo, hop)
@@ -185,9 +191,14 @@ def _chunk_dots(x_ref, basis_ref, ablate=None):
         CZ = jnp.dot(bh, basis_ref[:hop, :], preferred_element_type=f32)
         return CZ[:, :Fp], CZ[:, Fp:]
     bh, bl = _split_bf16(block)
+    stacked = jnp.concatenate([bh, bl], axis=1)         # (rows, 2*hop) bf16
+    if x4:
+        CZ = jnp.dot(
+            stacked, basis_ref[: 2 * hop, :], preferred_element_type=f32
+        ) + jnp.dot(stacked, basis_ref[hop:, :], preferred_element_type=f32)
+        return CZ[:, :Fp], CZ[:, Fp:]
     # 2-dot no-dup split: hi @ [top] + [hi | lo] @ [mid; top] — same MACs as
     # the 3-stack, without duplicating the hi operand
-    stacked = jnp.concatenate([bh, bl], axis=1)         # (rows, 2*hop) bf16
     CZ = jnp.dot(
         bh, basis_ref[:hop, :], preferred_element_type=f32
     ) + jnp.dot(stacked, basis_ref[hop:, :], preferred_element_type=f32)
@@ -293,7 +304,7 @@ def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bi
 
 def _tile_magnitude_factored(
     x_ref, basis_ref, twr_ref, twi_ref,
-    *, taps, overlap, tile_t, n_bins, power=1.0, ablate=None,
+    *, taps, overlap, tile_t, n_bins, power=1.0, ablate=None, x4=False,
 ):
     """|windowed DFT| via the chunk factorization, entirely in VMEM.
 
@@ -306,7 +317,7 @@ def _tile_magnitude_factored(
     slower than direct), the twiddle/taps intermediates here never leave
     VMEM, so the FLOP saving is realized.
     """
-    Cre, Cim = _chunk_dots(x_ref, basis_ref, ablate=ablate)
+    Cre, Cim = _chunk_dots(x_ref, basis_ref, ablate=ablate, x4=x4)
     return _combine_taps_mag(
         Cre, Cim, twr_ref, twi_ref,
         taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins, power=power,
@@ -324,7 +335,7 @@ def _apply_contrast(mag, contrast, eps):
     return mag
 
 
-def _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks=None):
+def _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks=None, x4=False):
     """bf16x3 mel GEMM; ``mel_blocks`` dispatches the block-banded form.
 
     The square mel bank (n_mels = n_bins) is effectively *bidiagonal* — each
@@ -334,15 +345,30 @@ def _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks=None):
     (computed exactly from the bank outside the kernel); skipping the zero
     blocks is EXACT and cuts the mel GEMM — the kernel's largest single
     stage, 1.14 ms of 3.75 at the headline shape — to ~32% of its FLOPs.
+
+    ``x4`` adds the fourth bf16 product (``lo @ B_lo``, the term bf16x3
+    drops) at +1/3 the mel MACs; the [hi; lo; hi] basis layout already
+    contains both operand orders as contiguous row windows, so it is two
+    dots against the SAME stacked ``[mag_hi | mag_lo]`` operand:
+    ``rows[:2L]`` gives ``hi@B_hi + lo@B_lo`` and ``rows[L:3L]`` gives
+    ``hi@B_lo + lo@B_hi``.  Used for n_fft >= 4096, where the mel stage's
+    ~2e-5 bf16x3 residual is what pushes the pipeline past the 1e-4
+    budget after the norm-shrinking log contrast (BENCH_NOTES.md).
     """
     f32 = jnp.float32
     mag_hi, mag_lo = _split_bf16(mag)
     if mel_blocks is None:
-        # one stacked GEMM for the 3 bf16x3 passes (see _chunk_dots)
-        stacked = jnp.concatenate([mag_hi, mag_hi, mag_lo], axis=1)
         basis = jnp.concatenate(
             [mel_hi_ref[...], mel_lo_ref[...], mel_hi_ref[...]], axis=0
         )
+        Fp = mel_hi_ref.shape[0]
+        if x4:
+            stacked = jnp.concatenate([mag_hi, mag_lo], axis=1)
+            return jnp.dot(
+                stacked, basis[: 2 * Fp], preferred_element_type=f32
+            ) + jnp.dot(stacked, basis[Fp:], preferred_element_type=f32)
+        # one stacked GEMM for the 3 bf16x3 passes (see _chunk_dots)
+        stacked = jnp.concatenate([mag_hi, mag_hi, mag_lo], axis=1)
         return jnp.dot(stacked, basis, preferred_element_type=f32)
     # banded: one K=3*LANE stacked GEMM per nonzero (row, col) block pair;
     # mel_hi_ref holds the [hi; lo; hi]-interleaved layout (_stack_mel) so
@@ -352,19 +378,35 @@ def _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks=None):
         for i in rows:
             if i not in stk_mag:
                 ir = slice(i * LANE, (i + 1) * LANE)
-                stk_mag[i] = jnp.concatenate(
-                    [mag_hi[:, ir], mag_hi[:, ir], mag_lo[:, ir]], axis=1
-                )
+                if x4:
+                    stk_mag[i] = jnp.concatenate(
+                        [mag_hi[:, ir], mag_lo[:, ir]], axis=1
+                    )
+                else:
+                    stk_mag[i] = jnp.concatenate(
+                        [mag_hi[:, ir], mag_hi[:, ir], mag_lo[:, ir]], axis=1
+                    )
     cols = []
     for j, rows in enumerate(mel_blocks):
         jc = slice(j * LANE, (j + 1) * LANE)
         acc = None
         for i in rows:
-            part = jnp.dot(
-                stk_mag[i],
-                mel_hi_ref[3 * i * LANE: (3 * i + 3) * LANE, jc],
-                preferred_element_type=f32,
-            )
+            if x4:
+                part = jnp.dot(
+                    stk_mag[i],
+                    mel_hi_ref[3 * i * LANE: (3 * i + 2) * LANE, jc],
+                    preferred_element_type=f32,
+                ) + jnp.dot(
+                    stk_mag[i],
+                    mel_hi_ref[(3 * i + 1) * LANE: (3 * i + 3) * LANE, jc],
+                    preferred_element_type=f32,
+                )
+            else:
+                part = jnp.dot(
+                    stk_mag[i],
+                    mel_hi_ref[3 * i * LANE: (3 * i + 3) * LANE, jc],
+                    preferred_element_type=f32,
+                )
             acc = part if acc is None else acc + part
         if acc is None:
             acc = jnp.zeros((mag.shape[0], LANE), f32)
@@ -412,14 +454,14 @@ def _stats_update(mag, s_ref, *, tile_t, t_valid):
 def _forward_kernel(
     x_ref, basis_ref, mel_hi_ref, mel_lo_ref,
     aff_ref, o_ref, scr_ref, *, overlap, hop, tile_t, contrast, eps, use_mel,
-    power=1.0, mel_blocks=None,
+    power=1.0, mel_blocks=None, x4=False,
 ):
     mag = _tile_magnitude(
         x_ref, basis_ref, scr_ref,
         overlap=overlap, hop=hop, tile_t=tile_t, power=power,
     )
     if use_mel:
-        mag = _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks)
+        mag = _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks, x4=x4)
     mag = _apply_contrast(mag, contrast, eps)
     o_ref[0, :, :] = (mag - aff_ref[0, 0]) / aff_ref[0, 1]
 
@@ -428,15 +470,15 @@ def _forward_kernel_factored(
     x_ref, basis_ref, twr_ref, twi_ref,
     mel_hi_ref, mel_lo_ref, aff_ref, o_ref,
     *, taps, overlap, tile_t, n_bins, contrast, eps, use_mel, power=1.0,
-    ablate=None, mel_blocks=None,
+    ablate=None, mel_blocks=None, x4=False,
 ):
     mag = _tile_magnitude_factored(
         x_ref, basis_ref, twr_ref, twi_ref,
         taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins, power=power,
-        ablate=ablate,
+        ablate=ablate, x4=x4,
     )
     if use_mel:
-        mag = _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks)
+        mag = _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks, x4=x4)
     mag = _apply_contrast(mag, contrast, eps)
     o_ref[0, :, :] = (mag - aff_ref[0, 0]) / aff_ref[0, 1]
 
@@ -555,13 +597,13 @@ def _common_specs(tile_t, halo, hop, n_fft, Fp, ablate=None):
     jax.jit,
     static_argnames=(
         "n_fft", "hop_length", "contrast", "interpret", "tile_t", "taps",
-        "n_bins", "power", "ablate", "mel_blocks",
+        "n_bins", "power", "ablate", "mel_blocks", "x4",
     ),
 )
 def _fused_call(
     x_rows, WC, WS, TWR, TWI, mel_p, aff,
     n_fft, hop_length, contrast, interpret, tile_t, taps, n_bins, power,
-    ablate=None, mel_blocks=None,
+    ablate=None, mel_blocks=None, x4=False,
 ):
     """One pallas_call of the forward kernel.  With ``taps`` set, WC/WS are
     the chunk basis and TWR/TWI the twiddle tables (factored formulation);
@@ -619,7 +661,7 @@ def _fused_call(
             _forward_kernel_factored,
             taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
             contrast=contrast, eps=eps, use_mel=use_mel, power=power,
-            ablate=ablate, mel_blocks=mel_blocks,
+            ablate=ablate, mel_blocks=mel_blocks, x4=x4,
         )
         return pl.pallas_call(
             kernel,
@@ -634,7 +676,7 @@ def _fused_call(
         _forward_kernel,
         overlap=overlap, hop=hop, tile_t=tile_t,
         contrast=contrast, eps=eps, use_mel=use_mel, power=power,
-        mel_blocks=mel_blocks,
+        mel_blocks=mel_blocks, x4=x4,
     )
     return pl.pallas_call(
         kernel,
@@ -735,6 +777,7 @@ def fused_melspec(
     power: float = 1.0,
     ablate: Optional[str] = None,
     mel_blocks: Optional[tuple] = None,
+    x4: bool = False,
 ) -> jnp.ndarray:
     """Fused ``(B, L) -> (B, T, n_mels)`` mel-spectrogram pipeline.
 
@@ -751,7 +794,7 @@ def fused_melspec(
         return fused_melspec(
             x[None], n_fft, hop_length, window, mel_bank, offset, scale,
             contrast, center, interpret, tile_t, taps, power, ablate,
-            mel_blocks,
+            mel_blocks, x4,
         )[0]
     interpret = _check_args(x, n_fft, hop_length, interpret)
     x_rows, T, tile_t, halo, _ = _prepare_rows(x, n_fft, hop_length, center, tile_t)
@@ -778,7 +821,7 @@ def fused_melspec(
     out = _fused_call(
         x_rows, WC, WS, TWR, TWI, mel_p, aff,
         n_fft, hop_length, contrast, interpret, tile_t, taps, F, power,
-        ablate, mel_blocks,
+        ablate, mel_blocks, x4,
     )
     return out[:, :T, :M]
 

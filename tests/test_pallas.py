@@ -124,6 +124,48 @@ def test_fused_melspec_factored_matches_direct_kernel():
         assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-4, name
 
 
+def test_fused_melspec_x4_more_accurate():
+    # the 4-product bf16 split (x4=True, the n_fft>=4096 accuracy region,
+    # fuse.py:_pallas_fused) matches the 3-product default and sits at
+    # least as close to a float64 oracle, in both the dense and the
+    # banded-block mel dispatch
+    from acids_transforms_tpu.ops.fft import taps_for_window
+    from acids_transforms_tpu.ops.pallas.spectral import mel_block_structure
+
+    x = RNG.standard_normal((2, 8192)).astype(np.float32) * 0.3
+    n_fft, hop = 512, 128
+    w = hann_window(n_fft)
+    taps = taps_for_window(np.asarray(w))
+    fwd, _ = square_mel_banks(n_fft, 44100)
+    blocks = mel_block_structure(fwd)
+    assert blocks is not None
+
+    half = n_fft // 2
+    xp = np.pad(x.astype(np.float64), [(0, 0), (half, half)], mode="reflect")
+    Tn = 1 + x.shape[-1] // hop
+    frames = np.stack([xp[:, i * hop: i * hop + n_fft] for i in range(Tn)], axis=1)
+    mel64 = np.abs(
+        np.fft.rfft(frames * np.asarray(w, np.float64), axis=-1)
+    ) @ np.asarray(fwd, np.float64)
+
+    errs = {}
+    for x4 in (False, True):
+        for blk in (None, blocks):
+            y = np.asarray(
+                fused_melspec(
+                    jnp.asarray(x), n_fft, hop, w, jnp.asarray(fwd),
+                    contrast="none", taps=taps, mel_blocks=blk, x4=x4,
+                )
+            )[:, :Tn, : mel64.shape[-1]]
+            errs[(x4, blk is not None)] = np.linalg.norm(y - mel64) / np.linalg.norm(mel64)
+    # banded == dense for each split
+    assert abs(errs[(False, True)] - errs[(False, False)]) < 1e-7
+    assert abs(errs[(True, True)] - errs[(True, False)]) < 1e-7
+    # the 4th product can only help, and everything stays inside the budget
+    assert errs[(True, False)] <= errs[(False, False)] + 1e-7
+    assert errs[(True, False)] < 1e-4
+
+
 def test_fused_melspec_stats_factored():
     from acids_transforms_tpu.ops.fft import taps_for_window
     from acids_transforms_tpu.ops.windows import get_window
