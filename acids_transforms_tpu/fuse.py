@@ -325,13 +325,15 @@ def fuse_forward(
             import jax
 
             # r3 sweep: the kernel wins at every measured MFCC shape
-            # (1.24x at overlap 2 to 2.32x at 2048/512); 4096 unmeasured
+            # (1.24x at overlap 2 to 2.32x at 2048/512; r3.5: 2.41x at
+            # 4096/512 at 1.4e-5 vs the chain — the 128-mel power-2 path
+            # stays far inside the budget, no x4 needed)
             overlap = mfcc.n_fft // mfcc.hop_length
             be = (
                 "pallas"
                 if jax.default_backend() == "tpu"
                 and overlap >= 2
-                and 512 <= mfcc.n_fft <= 2048
+                and 512 <= mfcc.n_fft <= 4096
                 else "xla"
             )
         return _fused_mfcc(mono, mfcc, be)
