@@ -163,3 +163,27 @@ def test_frame_axis_protocol():
     assert (T.STFT() + T.Unsqueeze(dim=-1)).output_frame_axis(None) == -3
     assert (T.STFT() + T.Polar(stack=-2)).output_frame_axis(None) == -3
     assert (T.Mono()).output_frame_axis(None) is None
+
+
+def test_serving_4096_region_matches_chain():
+    """The r3.5 x4 accuracy region (n_fft=4096) through the serving path:
+    the fused forward (pallas on TPU, interpret here) with the transform as
+    a traced pytree argument must match the chain inside the 1e-4 budget —
+    exercises the x4 static-flag plumbing under serving's jit
+    (fuse.py:_pallas_fused x4=n_fft>=4096)."""
+    chain = T.Mono() + T.STFT(n_fft=4096, hop_length=512) + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=True, n_fft=4096
+    )
+    fit_x = jnp.asarray(RNG.standard_normal((2, 32768)).astype(np.float32))
+    chain = chain.fit(fit_x)
+    server = CompiledTransform(chain, buckets=(32768,), batch_sizes=(2,))
+    x = jnp.asarray(RNG.standard_normal((2, 30000)).astype(np.float32))
+    y = np.asarray(server.forward(x))
+    ref = np.asarray(chain.forward(x))
+    assert y.shape == ref.shape
+    # interior frames only: the last window of frames sees the bucket
+    # zero-padding instead of reflect padding (documented, matches
+    # test_forward_matches_unpadded)
+    t_interior = (30000 - 4096 // 2) // 512
+    d = np.abs(y - ref)[..., :t_interior, :]
+    assert d.max() / np.abs(ref).max() < 1e-4
