@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -378,12 +380,42 @@ def _delta_check(result: dict) -> dict:
     }
 
 
+def _device_watchdog(timeout_s: float) -> threading.Event:
+    """Fail fast if the TPU backend never initializes.
+
+    When the axon tunnel's local relay (``/root/.tpu_init.py``) is dead,
+    ``jax.devices()`` blocks forever — a bench invocation would silently eat
+    the caller's whole time budget.  A daemon thread exits the process with
+    a clear diagnostic (status 3) unless the returned event is set within
+    ``timeout_s``.  Override with ``ACIDS_BENCH_DEVICE_TIMEOUT`` (seconds).
+    """
+    done = threading.Event()
+
+    def trip():
+        if not done.wait(timeout_s):
+            sys.stderr.write(
+                "bench.py: TPU backend failed to initialize within "
+                f"{timeout_s:.0f}s — the axon tunnel is likely down "
+                "(check `ps aux` for /root/.tpu_init.py). Exiting.\n"
+            )
+            sys.stderr.flush()
+            os._exit(3)
+
+    threading.Thread(target=trip, daemon=True).start()
+    return done
+
+
 def main():
     # persistent compile cache: repeated bench runs skip the slow remote
     # compiles (the cache dir is gitignored)
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__) or ".", ".jax_cache")
     )
+    ready = _device_watchdog(float(os.environ.get("ACIDS_BENCH_DEVICE_TIMEOUT", "600")))
+    import jax
+
+    jax.devices()  # blocks on backend init; watchdog bounds the wait
+    ready.set()
     x = _load_audio()
     (fps_tpu, fps_xla, fps_fused, fps_pallas, fps_fit, fps_mfcc, backend,
      rel_err, device) = bench_tpu(x)
