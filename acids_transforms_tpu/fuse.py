@@ -13,19 +13,25 @@ Backends (all <1e-4 vs the chain, enforced by bench.py's honesty guard;
 v5e figures at the headline shape n_fft=1024, hop=256, batch=128):
 
 - ``"auto"`` (default): the measured winner — the chunk-factored Pallas
-  kernel inside its winning region (TPU, cosine-sum window, overlap >= 4,
-  n_fft >= 1024, bounded-amplification contrast), else the XLA fused GEMM.
+  kernel inside its winning region (TPU, cosine-sum window, overlap >= 2,
+  512 <= n_fft <= 4096, bounded-amplification contrast), the full-K kernel
+  for non-cosine windows in the nyquist-depadded region (see below), else
+  the XLA fused GEMM.
 - ``"pallas"``: one Mosaic kernel (ops/pallas/spectral.py).  For cosine-sum
   windows (hann/hamming/blackman) it runs the chunk-DFT factorization —
   K=hop chunk GEMMs reused across overlapping frames + exact twiddle
   combine + P-tap spectral window conv, all intermediates in VMEM —
-  **21.3M frames/s vs 15.7-17.1M** for the XLA paths (+21-24%, up to 1.79x
-  at 2048/512), 6.5e-5 vs the HIGH-precision chain.  The same factorization
-  as an XLA graph is HBM-bound and *loses* 1.8x (``impl="factored"``,
-  ops/fft.py) — the kernel is what makes the FLOP saving real.  Non-cosine
-  windows use the full-K windowed kernel (13.2M, loses to XLA — auto never
-  picks it).  Requires ``hop | n_fft``; declines ``log``/``log10``
-  contrasts (unbounded error amplification near silent bins).
+  **29.4M frames/s vs 15.6M** for the XLA fused path (1.88x at the headline
+  shape, r3.6 depadded), 6.5e-5 vs the HIGH-precision chain.  The same
+  factorization as an XLA graph is HBM-bound and *loses* 1.8x
+  (``impl="factored"``, ops/fft.py) — the kernel is what makes the FLOP
+  saving real.  Non-cosine windows (the DGT gaussian) use the full-K
+  windowed kernel: since the r3.6 nyquist-depadded lane layout
+  (ops/pallas/spectral.py:_nyq_depad) it beats XLA too — 17.8M vs 15.6M
+  (1.14x) at 1024/256, 1.32x at 2048/512 — so auto picks it for
+  256-multiple n_fft up to 2048.  Requires ``hop | n_fft``; declines
+  ``log``/``log10`` contrasts (unbounded error amplification near silent
+  bins).
 - ``"xla"``: the fused-GEMM formulation — analysis frames feed the cos/sin
   DFT GEMMs; magnitude, mel GEMM, contrast and normalizer epilogue fuse
   onto the real/imaginary parts (15.7M frames/s; the composable
@@ -299,9 +305,21 @@ def _pallas_preferred(chain: AudioTransform) -> bool:
     if match is None:
         return False
     stft_t = match[1]
-    if getattr(stft_t, "_window_taps", None) is None:
-        return False
     overlap = stft_t.n_fft // stft_t.hop_length
+    if getattr(stft_t, "_window_taps", None) is None:
+        # non-cosine windows (the DGT gaussian) ride the full-K kernel.
+        # It beats the XLA fused path only with the nyquist-depadded lane
+        # layout (r3.6): measured 1.14x at 1024/256 b128 and 1.32x at
+        # 2048/512 b64 (tools/sweep_depad.py; pre-depad it LOST by 1.7%,
+        # BENCH_NOTES.md).  4096 full-K is unmeasured for accuracy (no x4
+        # on the spectral stage) — left on XLA.
+        from .ops.pallas.spectral import _nyq_depad
+
+        return (
+            _nyq_depad(stft_t.n_fft, stft_t.hop_length)
+            and 512 <= stft_t.n_fft <= 2048
+            and overlap >= 2
+        )
     return 512 <= stft_t.n_fft <= 4096 and overlap >= 2
 
 

@@ -46,6 +46,17 @@ Kernel design (v3, round 2):
 
 Bin/mel dimensions are zero-padded to lane multiples (128); callers slice the
 valid region (handled by :func:`fused_melspec`).
+
+**Nyquist-depadded lane layout (r3.6, :func:`_nyq_depad`).**  The rFFT bin
+count ``F = n_fft//2 + 1`` is one past a lane multiple at every 256-multiple
+n_fft, so padding 513 -> 640 lanes wasted 25% of every GEMM's N dim at the
+headline shape (50% at n_fft=512).  The GEMMs now run at exactly ``F - 1``
+lanes; the nyquist bin — real, basis column ``(-1)^n`` — is computed as an
+exact f32 VPU reduce (more accurate than the bf16x3 GEMM it replaces) and
+re-appended as one extra 128-lane block, so mel/contrast/output keep the
+old layout.  Measured: factored headline 27.7 -> 29.4M frames/s, full-K
+gaussian (DGT) 15.6 -> 17.8M — the full-K kernel now beats the XLA fused
+path, so DGT chains ride the kernel too (fuse.py:_pallas_preferred).
 """
 from __future__ import annotations
 
@@ -131,6 +142,7 @@ def _split_bf16(m: jnp.ndarray):
 
 def _tile_magnitude(
     x_ref, basis_ref, scr_ref, *, overlap, hop, tile_t, power=1.0,
+    wnyq_ref=None, n_bins=None,
 ):
     """Assemble this tile's frames in VMEM and return |DFT| (tile_t, Fp).
 
@@ -139,6 +151,12 @@ def _tile_magnitude(
     (3 n_fft, 2 Fp) window-folded basis ``[B_hi; B_lo; B_hi]`` —
     ``hi @ B_hi`` plus ``[hi | lo] @ [B_lo; B_hi]`` — so the hi operand is
     never duplicated in scratch.
+
+    With the :func:`_nyq_depad` layout (``Fp == n_bins - 1``) the basis
+    holds bins ``0..N-1`` only; the nyquist bin is an exact f32 reduce of
+    the assembled frame against ``wnyq_ref`` (the windowed ``(-1)^n`` row)
+    and is re-appended by :func:`_append_nyq` — 20% fewer MACs on the
+    dominant GEMM at n_fft=1024 (33% at 512).
     """
     f32 = jnp.float32
     block = x_ref[0]                      # (tile_t + halo, hop), halo rows follow
@@ -164,10 +182,20 @@ def _tile_magnitude(
     )
     re, im = Z[:, :Fp], Z[:, Fp:]
     sq = re * re + im * im
-    return sq if power == 2.0 else jnp.sqrt(sq)
+    sq = sq if power == 2.0 else jnp.sqrt(sq)
+    if n_bins is None or Fp != n_bins - 1:
+        return sq
+    # depadded layout: nyquist = exact f32 reduce of the frame (hi + lo
+    # reconstructs it exactly) against the windowed (-1)^n row
+    w = wnyq_ref[0, :][None, :]
+    nyq = jnp.sum(
+        scr_ref[:, :n_fft].astype(f32) * w, axis=1, keepdims=True
+    ) + jnp.sum(scr_ref[:, n_fft:].astype(f32) * w, axis=1, keepdims=True)
+    nyval = nyq * nyq if power == 2.0 else jnp.abs(nyq)
+    return _append_nyq(sq, nyval)
 
 
-def _chunk_dots(x_ref, basis_ref, ablate=None, x4=False):
+def _chunk_dots(x_ref, basis_ref, ablate=None, x4=False, nyq=False):
     """The MXU half of the factored formulation: bf16x3 chunk-DFT dots.
 
     The 3 bf16x3 passes x 2 (re/im) run as ONE stacked GEMM:
@@ -181,28 +209,37 @@ def _chunk_dots(x_ref, basis_ref, ablate=None, x4=False):
     operand orders as contiguous row windows, so it is two dots against
     the same ``[hi | lo]`` operand — ``rows[:2 hop]`` gives
     ``hi@top + lo@mid`` and ``rows[hop:]`` gives ``hi@mid + lo@top``.
+
+    ``nyq`` (the :func:`_nyq_depad` layout) additionally returns the
+    nyquist chunk column ``C[c, N] = sum_r x[c*hop + r] * (-1)^r`` as an
+    exact f32 VPU reduce — the basis holds only bins ``0..F-2``.
     """
     f32 = jnp.float32
     block = x_ref[0]                      # (tile_t + halo, hop)
     hop = block.shape[1]
     Fp = basis_ref.shape[1] // 2
+    cnyq = None
+    if nyq:
+        r = jax.lax.broadcasted_iota(jnp.int32, (1, hop), 1)
+        alt = (1 - 2 * (r & 1)).astype(f32)
+        cnyq = jnp.sum(block * alt, axis=1, keepdims=True)  # (rows, 1) f32
     if ablate == "dots1":                 # timing-only: single-pass bf16
         bh = block.astype(jnp.bfloat16)
         CZ = jnp.dot(bh, basis_ref[:hop, :], preferred_element_type=f32)
-        return CZ[:, :Fp], CZ[:, Fp:]
+        return CZ[:, :Fp], CZ[:, Fp:], cnyq
     bh, bl = _split_bf16(block)
     stacked = jnp.concatenate([bh, bl], axis=1)         # (rows, 2*hop) bf16
     if x4:
         CZ = jnp.dot(
             stacked, basis_ref[: 2 * hop, :], preferred_element_type=f32
         ) + jnp.dot(stacked, basis_ref[hop:, :], preferred_element_type=f32)
-        return CZ[:, :Fp], CZ[:, Fp:]
+        return CZ[:, :Fp], CZ[:, Fp:], cnyq
     # 2-dot no-dup split: hi @ [top] + [hi | lo] @ [mid; top] — same MACs as
     # the 3-stack, without duplicating the hi operand
     CZ = jnp.dot(
         bh, basis_ref[:hop, :], preferred_element_type=f32
     ) + jnp.dot(stacked, basis_ref[hop:, :], preferred_element_type=f32)
-    return CZ[:, :Fp], CZ[:, Fp:]
+    return CZ[:, :Fp], CZ[:, Fp:], cnyq
 
 
 def _stack_basis(cc_hi, cc_lo, cs_hi, cs_lo):
@@ -221,19 +258,42 @@ def _stack_mel(mel_hi, mel_lo):
     return jnp.stack([hi, lo, hi], axis=1).reshape(3 * Fp, Mp)
 
 
-def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bins, power=1.0, ablate=None):
-    """The VPU half: twiddle combine + P-tap window conv + magnitude."""
+def _append_nyq(sq, nyval):
+    """Re-append the nyquist bin (depadded layout) as lane 0 of one extra
+    128-lane block, restoring the padded ``(tile_t, Fd + LANE)`` layout the
+    downstream mel/contrast/output stages expect."""
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (sq.shape[0], LANE), 1)
+    blk = jnp.where(lane0 == 0, nyval, 0.0)
+    return jnp.concatenate([sq, blk], axis=1)
+
+
+def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bins, power=1.0, ablate=None, cnyq=None):
+    """The VPU half: twiddle combine + P-tap window conv + magnitude.
+
+    ``cnyq`` (set iff the :func:`_nyq_depad` layout is active) carries the
+    per-chunk nyquist column; the lanes then hold bins ``0..N-1`` only
+    (``N = n_bins - 1 == Fp``), the nyquist output is computed from
+    ``cnyq`` + the top in-array lanes, and re-appended by
+    :func:`_append_nyq`.  The twiddle at the nyquist bin is
+    ``(-1)**(j*hop) = +1`` (hop even, gated by ``_nyq_depad``), so its
+    combine is a plain sum over the covering chunks.
+    """
     Fp = Cre.shape[-1]
+    depad = cnyq is not None
     if ablate == "combine":               # timing-only: skip the twiddle sum
         Xre, Xim = Cre[:tile_t], Cim[:tile_t]
         sq = Xre * Xre + Xim * Xim
-        return sq if power == 2.0 else jnp.sqrt(sq)
+        sq = sq if power == 2.0 else jnp.sqrt(sq)
+        return _append_nyq(sq, 0.0) if depad else sq
     if ablate == "noconv":                # timing-only: combine, no taps conv
         taps = (taps[0],)
-    Xre = Xim = None
+    Xre = Xim = Xnyq = None
     for j in range(overlap):
         cr = Cre[j: j + tile_t]
         ci = Cim[j: j + tile_t]
+        if depad:
+            nj = cnyq[j: j + tile_t]
+            Xnyq = nj if Xnyq is None else Xnyq + nj
         if overlap in (2, 4):
             # the twiddles e^{-2 pi i j k / overlap} are exactly {1,-i,-1,i}
             # (jk mod 4 selects which): the combine is sign/swap lane selects
@@ -291,15 +351,33 @@ def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bi
             rp_re = jnp.where(lane == k, sre, rp_re)
             rp_im = jnp.where(lane == k, -sim, rp_im)
         lp_re, lp_im = at(-p)             # X[k+p]
-        for i in range(p):                # lanes N-i: conj(X[N-p+i])
+        # lanes N-i need conj(X[N-p+i]); in the depadded layout lane N
+        # itself is out of the array (i starts at 1) and lane N-p needs
+        # the nyquist value X[N] = Xnyq (real) instead of a roll
+        for i in range(0 if not depad else 1, p):
             sre, sim = at(p - 2 * i)
             lp_re = jnp.where(lane == N - i, sre, lp_re)
             lp_im = jnp.where(lane == N - i, -sim, lp_im)
+        if depad:
+            lp_re = jnp.where(lane == N - p, Xnyq, lp_re)
+            lp_im = jnp.where(lane == N - p, 0.0, lp_im)
         Yre = Yre + taps[p] * (rp_re + lp_re)
         Yim = Yim + taps[p] * (rp_im + lp_im)
 
     sq = Yre * Yre + Yim * Yim
-    return sq if power == 2.0 else jnp.sqrt(sq)
+    sq = sq if power == 2.0 else jnp.sqrt(sq)
+    if not depad:
+        return sq
+    # nyquist output: Y[N] = c0 X[N] + sum_p c_p (X[N-p] + X[N+p]) with
+    # X[N+p] = conj(X[N-p]) -> 2 Re X[N-p]; each Re is one masked reduce
+    Ynyq = taps[0] * Xnyq
+    for p in range(1, P + 1):
+        re_np = jnp.sum(
+            jnp.where(lane == N - p, Xre, 0.0), axis=1, keepdims=True
+        )
+        Ynyq = Ynyq + (2.0 * taps[p]) * re_np
+    nyval = Ynyq * Ynyq if power == 2.0 else jnp.abs(Ynyq)
+    return _append_nyq(sq, nyval)
 
 
 def _tile_magnitude_factored(
@@ -317,11 +395,14 @@ def _tile_magnitude_factored(
     slower than direct), the twiddle/taps intermediates here never leave
     VMEM, so the FLOP saving is realized.
     """
-    Cre, Cim = _chunk_dots(x_ref, basis_ref, ablate=ablate, x4=x4)
+    depad = basis_ref.shape[1] // 2 == n_bins - 1
+    Cre, Cim, cnyq = _chunk_dots(
+        x_ref, basis_ref, ablate=ablate, x4=x4, nyq=depad
+    )
     return _combine_taps_mag(
         Cre, Cim, twr_ref, twi_ref,
         taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins, power=power,
-        ablate=ablate,
+        ablate=ablate, cnyq=cnyq,
     )
 
 
@@ -452,13 +533,14 @@ def _stats_update(mag, s_ref, *, tile_t, t_valid):
 
 
 def _forward_kernel(
-    x_ref, basis_ref, mel_hi_ref, mel_lo_ref,
+    x_ref, basis_ref, wnyq_ref, mel_hi_ref, mel_lo_ref,
     aff_ref, o_ref, scr_ref, *, overlap, hop, tile_t, contrast, eps, use_mel,
-    power=1.0, mel_blocks=None, x4=False,
+    power=1.0, mel_blocks=None, x4=False, n_bins=None,
 ):
     mag = _tile_magnitude(
         x_ref, basis_ref, scr_ref,
         overlap=overlap, hop=hop, tile_t=tile_t, power=power,
+        wnyq_ref=wnyq_ref, n_bins=n_bins,
     )
     if use_mel:
         mag = _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks, x4=x4)
@@ -484,13 +566,15 @@ def _forward_kernel_factored(
 
 
 def _stats_kernel(
-    x_ref, basis_ref,
+    x_ref, basis_ref, wnyq_ref,
     s_ref, scr_ref, *, overlap, hop, tile_t, contrast, eps, t_valid,
+    n_bins=None,
 ):
     """Fused-fit epilogue over the windowed full-K DFT formulation."""
     mag = _tile_magnitude(
         x_ref, basis_ref, scr_ref,
         overlap=overlap, hop=hop, tile_t=tile_t,
+        wnyq_ref=wnyq_ref, n_bins=n_bins,
     )
     mag = _apply_contrast(mag, contrast, eps)
     _stats_update(mag, s_ref, tile_t=tile_t, t_valid=t_valid)
@@ -509,30 +593,63 @@ def _stats_kernel_factored(
     _stats_update(mag, s_ref, tile_t=tile_t, t_valid=t_valid)
 
 
+def _nyq_depad(n_fft: int, hop: int = 2) -> bool:
+    """Whether the nyquist-depadded lane layout applies (see module note).
+
+    The rFFT bin count ``F = n_fft//2 + 1`` is one past a lane multiple
+    whenever ``n_fft % 256 == 0`` (512/1024/2048/4096 — every bench shape):
+    padding 513 -> 640 lanes wastes 25% of every GEMM's N dim (50% at
+    n_fft=512).  Instead the GEMMs run at exactly ``F - 1`` lanes and the
+    nyquist bin is computed as an exact f32 VPU reduce, then re-appended as
+    one extra 128-lane block so downstream stages (mel / contrast / output
+    slicing) keep today's layout.  The factored path additionally needs an
+    even hop so the nyquist twiddle ``(-1)**(j*hop)`` collapses to +1.
+    """
+    return (n_fft // 2) % LANE == 0 and hop % 2 == 0
+
+
 def _weights(n_fft: int, window) -> tuple:
     F = n_fft // 2 + 1
-    Fp = _round_up(F, LANE)
+    Fp = F - 1 if _nyq_depad(n_fft) else _round_up(F, LANE)
     C_np, S_np = _dft_matrices(n_fft)
     # fold the window in jnp: `window` may be a traced pytree leaf (e.g.
     # serving jits fuse_forward with the transform as an argument)
     w = jnp.asarray(window, dtype=jnp.float32)[:, None]
-    WC = w * jnp.asarray(np.pad(C_np, [(0, 0), (0, Fp - F)]))
-    WS = w * jnp.asarray(np.pad(S_np, [(0, 0), (0, Fp - F)]))
-    return F, Fp, WC, WS
+    if Fp < F:
+        WC = w * jnp.asarray(C_np[:, :Fp])
+        WS = w * jnp.asarray(S_np[:, :Fp])
+        # windowed nyquist basis row w[n] * (-1)^n, padded to 8 sublanes
+        alt = np.zeros((8, n_fft), np.float32)
+        alt[0] = ((-1.0) ** np.arange(n_fft)).astype(np.float32)
+        WNYQ = jnp.asarray(alt) * jnp.asarray(window, dtype=jnp.float32)[None, :]
+    else:
+        WC = w * jnp.asarray(np.pad(C_np, [(0, 0), (0, Fp - F)]))
+        WS = w * jnp.asarray(np.pad(S_np, [(0, 0), (0, Fp - F)]))
+        WNYQ = jnp.zeros((8, 8), jnp.float32)  # unused placeholder
+    return F, Fp, WC, WS, WNYQ
 
 
 def _factored_weights(n_fft: int, hop: int) -> tuple:
-    """Chunk DFT basis (hop, Fp) + twiddle tables (8, Fp), lane-padded."""
+    """Chunk DFT basis (hop, Fp) + twiddle tables (8, Fp), lane-padded.
+
+    With :func:`_nyq_depad`, ``Fp = F - 1`` exactly (no padding) and the
+    kernel computes the nyquist bin from the chunk block directly."""
     F = n_fft // 2 + 1
-    Fp = _round_up(F, LANE)
+    Fp = F - 1 if _nyq_depad(n_fft, hop) else _round_up(F, LANE)
     Cc, Cs = _chunk_dft_matrices(n_fft, hop)
-    CC = jnp.asarray(np.pad(Cc, [(0, 0), (0, Fp - F)]))
-    CS = jnp.asarray(np.pad(Cs, [(0, 0), (0, Fp - F)]))
     twr, twi = _twiddles(n_fft, hop)
     overlap = n_fft // hop
     rows = max(8, _round_up(overlap, 8))
-    TWR = jnp.asarray(np.pad(twr, [(0, rows - overlap), (0, Fp - F)]))
-    TWI = jnp.asarray(np.pad(twi, [(0, rows - overlap), (0, Fp - F)]))
+    if Fp < F:
+        CC = jnp.asarray(Cc[:, :Fp])
+        CS = jnp.asarray(Cs[:, :Fp])
+        TWR = jnp.asarray(np.pad(twr[:, :Fp], [(0, rows - overlap), (0, 0)]))
+        TWI = jnp.asarray(np.pad(twi[:, :Fp], [(0, rows - overlap), (0, 0)]))
+    else:
+        CC = jnp.asarray(np.pad(Cc, [(0, 0), (0, Fp - F)]))
+        CS = jnp.asarray(np.pad(Cs, [(0, 0), (0, Fp - F)]))
+        TWR = jnp.asarray(np.pad(twr, [(0, rows - overlap), (0, Fp - F)]))
+        TWI = jnp.asarray(np.pad(twi, [(0, rows - overlap), (0, Fp - F)]))
     return F, Fp, CC, CS, TWR, TWI
 
 
@@ -601,22 +718,25 @@ def _common_specs(tile_t, halo, hop, n_fft, Fp, ablate=None):
     ),
 )
 def _fused_call(
-    x_rows, WC, WS, TWR, TWI, mel_p, aff,
+    x_rows, WC, WS, TWR, TWI, WNYQ, mel_p, aff,
     n_fft, hop_length, contrast, interpret, tile_t, taps, n_bins, power,
     ablate=None, mel_blocks=None, x4=False,
 ):
     """One pallas_call of the forward kernel.  With ``taps`` set, WC/WS are
     the chunk basis and TWR/TWI the twiddle tables (factored formulation);
-    otherwise WC/WS are the window-folded full-K basis."""
+    otherwise WC/WS are the window-folded full-K basis and WNYQ the
+    windowed nyquist row (depadded layout, :func:`_nyq_depad`)."""
     B, n_rows_total, hop = x_rows.shape
     overlap = n_fft // hop_length
     halo = _round_up(overlap - 1, 8)
     n_tiles = (n_rows_total - halo) // tile_t
     Fp = WC.shape[1]
+    depad = Fp == n_bins - 1
+    Fp_mag = Fp + LANE if depad else Fp   # lanes after nyquist re-append
     use_mel = mel_p is not None
-    Mp = mel_p.shape[1] if use_mel else Fp
+    Mp = mel_p.shape[1] if use_mel else Fp_mag
     if mel_p is None:
-        mel_p = jnp.zeros((Fp, Fp), jnp.float32)  # unused placeholder
+        mel_p = jnp.zeros((Fp_mag, Fp_mag), jnp.float32)  # unused placeholder
 
     wc_hi, wc_lo = _split_bf16(WC)
     ws_hi, ws_lo = _split_bf16(WS)
@@ -676,15 +796,15 @@ def _fused_call(
         _forward_kernel,
         overlap=overlap, hop=hop, tile_t=tile_t,
         contrast=contrast, eps=eps, use_mel=use_mel, power=power,
-        mel_blocks=mel_blocks, x4=x4,
+        mel_blocks=mel_blocks, x4=x4, n_bins=n_bins,
     )
     return pl.pallas_call(
         kernel,
         in_specs=[_x_spec(tile_t, halo, hop)]
-        + [fixed((3 * n_fft, 2 * Fp))] + mel_aff_specs,
+        + [fixed((3 * n_fft, 2 * Fp)), fixed(WNYQ.shape)] + mel_aff_specs,
         scratch_shapes=[pltpu.VMEM((tile_t, 2 * n_fft), jnp.bfloat16)],
         **common,
-    )(x_rows, basis, mel_hi, mel_lo, aff)
+    )(x_rows, basis, WNYQ, mel_hi, mel_lo, aff)
 
 
 @functools.partial(
@@ -695,7 +815,7 @@ def _fused_call(
     ),
 )
 def _stats_call(
-    x_rows, WC, WS, TWR, TWI,
+    x_rows, WC, WS, TWR, TWI, WNYQ,
     n_fft, hop_length, contrast, interpret, tile_t, t_valid, taps, n_bins,
 ):
     B, n_rows_total, hop = x_rows.shape
@@ -703,6 +823,7 @@ def _stats_call(
     halo = _round_up(overlap - 1, 8)
     n_tiles = (n_rows_total - halo) // tile_t
     Fp = WC.shape[1]
+    Fp_mag = Fp + LANE if Fp == n_bins - 1 else Fp
 
     wc_hi, wc_lo = _split_bf16(WC)
     ws_hi, ws_lo = _split_bf16(WS)
@@ -714,9 +835,9 @@ def _stats_call(
     common = dict(
         grid=(B, n_tiles),
         out_specs=pl.BlockSpec(
-            (8, Fp), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            (8, Fp_mag), lambda b, t: (0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((8, Fp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, Fp_mag), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=96 * 1024 * 1024,
@@ -743,14 +864,15 @@ def _stats_call(
     kernel = functools.partial(
         _stats_kernel,
         overlap=overlap, hop=hop, tile_t=tile_t,
-        contrast=contrast, eps=eps, t_valid=t_valid,
+        contrast=contrast, eps=eps, t_valid=t_valid, n_bins=n_bins,
     )
     return pl.pallas_call(
         kernel,
-        in_specs=[_x_spec(tile_t, halo, hop)] + [fixed((3 * n_fft, 2 * Fp))],
+        in_specs=[_x_spec(tile_t, halo, hop)]
+        + [fixed((3 * n_fft, 2 * Fp)), fixed(WNYQ.shape)],
         scratch_shapes=[pltpu.VMEM((tile_t, 2 * n_fft), jnp.bfloat16)],
         **common,
-    )(x_rows, basis)
+    )(x_rows, basis, WNYQ)
 
 
 def _check_args(x, n_fft, hop_length, interpret):
@@ -801,13 +923,15 @@ def fused_melspec(
 
     if taps is not None:
         F, Fp, WC, WS, TWR, TWI = _factored_weights(n_fft, hop_length)
+        WNYQ = jnp.zeros((8, 8), jnp.float32)  # unused placeholder
     else:
-        F, Fp, WC, WS = _weights(n_fft, window)
+        F, Fp, WC, WS, WNYQ = _weights(n_fft, window)
         TWR = TWI = jnp.zeros((8, Fp), jnp.float32)  # unused placeholders
+    Fp_mag = Fp + LANE if Fp == F - 1 else Fp
     if mel_bank is not None:
         M = mel_bank.shape[1]
         Mp = _round_up(M, LANE)
-        mel_p = jnp.pad(jnp.asarray(mel_bank), [(0, Fp - mel_bank.shape[0]), (0, Mp - M)])
+        mel_p = jnp.pad(jnp.asarray(mel_bank), [(0, Fp_mag - mel_bank.shape[0]), (0, Mp - M)])
         if mel_blocks is None and not isinstance(mel_bank, jax.core.Tracer):
             # banded-block dispatch (exact): see mel_block_structure.  A
             # traced bank (serving) can't be inspected here — fuse.py passes
@@ -819,7 +943,7 @@ def fused_melspec(
 
     aff = jnp.asarray([[offset, scale]], dtype=jnp.float32)
     out = _fused_call(
-        x_rows, WC, WS, TWR, TWI, mel_p, aff,
+        x_rows, WC, WS, TWR, TWI, WNYQ, mel_p, aff,
         n_fft, hop_length, contrast, interpret, tile_t, taps, F, power,
         ablate, mel_blocks, x4,
     )
@@ -853,12 +977,13 @@ def fused_melspec_stats(
     x_rows, T, tile_t, halo, _ = _prepare_rows(x, n_fft, hop_length, center, tile_t)
     if taps is not None:
         F, Fp, WC, WS, TWR, TWI = _factored_weights(n_fft, hop_length)
+        WNYQ = jnp.zeros((8, 8), jnp.float32)
     else:
-        F, Fp, WC, WS = _weights(n_fft, window)
+        F, Fp, WC, WS, WNYQ = _weights(n_fft, window)
         TWR = TWI = jnp.zeros((8, Fp), jnp.float32)
 
     s = _stats_call(
-        x_rows, WC, WS, TWR, TWI,
+        x_rows, WC, WS, TWR, TWI, WNYQ,
         n_fft, hop_length, contrast, interpret, tile_t, T, taps, F,
     )
     B = x.shape[0]

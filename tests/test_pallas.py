@@ -539,3 +539,37 @@ def test_fuse_forward_fallback():
     assert fn == chain.jforward
     with pytest.raises(ValueError):
         fuse_forward(chain, backend="nope")
+
+
+def test_nyq_depad_parity_adversarial():
+    """The nyquist-depadded lane layout (r3.6): GEMMs at exactly F-1 lanes,
+    nyquist as an exact f32 VPU reduce.  Checked on a nyquist-heavy signal
+    (strong alternating component) against the exact DFT path, for both
+    formulations and a multi-tap window, plus a shape where depad does not
+    apply (non-256-multiple n_fft keeps the padded layout)."""
+    from acids_transforms_tpu.ops.fft import taps_for_window
+    from acids_transforms_tpu.ops.pallas.spectral import _nyq_depad
+    from acids_transforms_tpu.ops.windows import get_window
+
+    x = RNG.standard_normal((2, 6000)).astype(np.float32)
+    x[0] += 0.7 * ((-1.0) ** np.arange(x.shape[-1])).astype(np.float32)
+    for n_fft, hop, wname, expect_depad in [
+        (512, 128, "hann", True),
+        (512, 128, "blackman", True),   # P=2 exercises the patch loops
+        (1024, 256, "hann", True),
+        (640, 160, "hann", False),
+    ]:
+        assert _nyq_depad(n_fft, hop) == expect_depad
+        w = get_window(wname, n_fft)
+        taps = taps_for_window(np.asarray(w))
+        spec = stft(jnp.asarray(x), n_fft, hop, w)
+        ref = np.log1p(np.abs(np.asarray(spec)))
+        for kw in (dict(taps=taps), dict()):
+            y = np.asarray(
+                fused_melspec(jnp.asarray(x), n_fft, hop, w, None, 0.0, 1.0, "log1p", **kw)
+            )
+            rel = np.abs(y - ref).max() / np.abs(ref).max()
+            assert rel < 1.5e-4, (n_fft, wname, bool(kw), rel)
+        st = fused_melspec_stats(jnp.asarray(x), n_fft, hop, w, "log1p", taps=taps)
+        assert abs(float(st["max"]) - ref.max()) / ref.max() < 1e-4
+        assert abs(float(st["sum"]) - ref.sum()) / abs(ref.sum()) < 1e-4

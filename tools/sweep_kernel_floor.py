@@ -51,8 +51,10 @@ def main():
     x_rows, T, tile_t, halo, n_tiles = S._prepare_rows(xb, N_FFT, HOP, True, None)
     B = x_rows.shape[0]
     F, Fp, CC, CS, TWR, TWI = S._factored_weights(N_FFT, HOP)
+    depad = Fp == F - 1
+    Fp_mag = Fp + S.LANE if depad else Fp
     Mp = S._round_up(bank.shape[1], S.LANE)
-    mel_p = jnp.pad(bank, [(0, Fp - bank.shape[0]), (0, Mp - bank.shape[1])])
+    mel_p = jnp.pad(bank, [(0, Fp_mag - bank.shape[0]), (0, Mp - bank.shape[1])])
     cc_hi, cc_lo = S._split_bf16(CC)
     cs_hi, cs_lo = S._split_bf16(CS)
     basis = S._stack_basis(cc_hi, cc_lo, cs_hi, cs_lo)
@@ -67,17 +69,19 @@ def main():
                 o_ref[0, :, :] = jnp.zeros_like(o_ref[0]) + x_ref[0][0, 0]
                 return
             if stage == 1:
-                Cre, Cim = S._chunk_dots(x_ref, basis_r, ablate="dots1")
+                Cre, Cim, cnyq = S._chunk_dots(x_ref, basis_r, ablate="dots1", nyq=depad)
             else:
-                Cre, Cim = S._chunk_dots(x_ref, basis_r)
+                Cre, Cim, cnyq = S._chunk_dots(x_ref, basis_r, nyq=depad)
             if stage <= 2:
-                o_ref[0, :, :] = Cre[:tile_t] + Cim[:tile_t]
+                o_ref[0, :, :Fp] = Cre[:tile_t] + Cim[:tile_t]
+                if depad:
+                    o_ref[0, :, Fp:] = jnp.zeros_like(o_ref[0, :, Fp:])
                 return
             use_taps = taps if stage >= 4 else (taps[0],)
             mag = S._combine_taps_mag(
                 Cre, Cim, twr, twi, taps=use_taps, overlap=overlap,
                 tile_t=tile_t, n_bins=F,
-                power=2.0 if stage <= 4 else 1.0,
+                power=2.0 if stage <= 4 else 1.0, cnyq=cnyq,
             )
             if stage <= 5:
                 o_ref[0, :, :] = mag
@@ -88,7 +92,7 @@ def main():
                 return
             o_ref[0, :, :] = (jnp.log1p(mel) - aff_ref[0, 0]) / aff_ref[0, 1]
 
-        out_w = Mp if stage >= 6 else Fp
+        out_w = Mp if stage >= 6 else Fp_mag
 
         def fixed(shape):
             return pl.BlockSpec(shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
@@ -99,7 +103,7 @@ def main():
             in_specs=[S._x_spec(tile_t, halo, HOP)]
             + [fixed(basis.shape)]
             + [fixed((TWR.shape[0], Fp))] * 2
-            + [fixed((Fp, Mp)), fixed((Fp, Mp)),
+            + [fixed((Fp_mag, Mp)), fixed((Fp_mag, Mp)),
                pl.BlockSpec((1, 2), lambda b, t: (0, 0), memory_space=pltpu.SMEM)],
             out_specs=pl.BlockSpec((1, tile_t, out_w), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_t, out_w), jnp.float32),
