@@ -85,6 +85,58 @@ def _taps_conv_pair(Xre, Xim, taps, n_bins):
     return Yre, Yim
 
 
+def _taps_conv_pair_nyq(Xre, Xim, xnyq, taps, N):
+    """Depadded-lane variant of :func:`_taps_conv_pair`: ``Xre``/``Xim``
+    hold lanes ``0..N-1`` only, the (real) nyquist channel rides in the
+    ``xnyq`` column.  Returns ``(Yre, Yim, ynyq)`` in the same layout.
+
+    Same hermitian-extension convention as the padded conv (``X[N+q] =
+    conj(X[N-q])``); the only structural change is the padded conv's
+    ``i = 0`` top-edge patch (the in-array nyquist lane) becoming the
+    separate ``ynyq`` output, mirroring the forward kernel's
+    ``_combine_taps_mag`` depad path (ops/pallas/spectral.py).
+    """
+    P = len(taps) - 1
+    Fp = Xre.shape[-1]
+    shifts = sorted({s % Fp for p in range(1, P + 1)
+                     for s in (p, -p, *[2 * k - p for k in range(p)],
+                               *[p - 2 * i for i in range(p)])})
+    rolls = {
+        s: (pltpu.roll(Xre, shift=s, axis=1), pltpu.roll(Xim, shift=s, axis=1))
+        for s in shifts
+    }
+
+    def at(s):
+        s = s % Fp
+        return (Xre, Xim) if s == 0 else rolls[s]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, Xre.shape, 1)
+    Yre = taps[0] * Xre
+    Yim = taps[0] * Xim
+    for p in range(1, P + 1):
+        rp_re, rp_im = at(p)
+        for k in range(p):
+            sre, sim = at(2 * k - p)
+            rp_re = jnp.where(lane == k, sre, rp_re)
+            rp_im = jnp.where(lane == k, -sim, rp_im)
+        lp_re, lp_im = at(-p)
+        for i in range(1, p):
+            sre, sim = at(p - 2 * i)
+            lp_re = jnp.where(lane == N - i, sre, lp_re)
+            lp_im = jnp.where(lane == N - i, -sim, lp_im)
+        lp_re = jnp.where(lane == N - p, xnyq, lp_re)
+        lp_im = jnp.where(lane == N - p, 0.0, lp_im)
+        Yre = Yre + taps[p] * (rp_re + lp_re)
+        Yim = Yim + taps[p] * (rp_im + lp_im)
+    ynyq = taps[0] * xnyq
+    for p in range(1, P + 1):
+        re_np = jnp.sum(
+            jnp.where(lane == N - p, Xre, 0.0), axis=1, keepdims=True
+        )
+        ynyq = ynyq + (2.0 * taps[p]) * re_np
+    return Yre, Yim, ynyq
+
+
 def _twiddle_combine(Cre, Cim, twr_ref, twi_ref, overlap, out_rows, offset, conj):
     """``X[r] = sum_j tw_j . C[r + offset - j]`` (conj=True uses conj(tw)).
 
@@ -122,12 +174,34 @@ def _gl_kernel(
     f32 = jnp.float32
     W = tile_t + 2 * HALO  # input row window
     Fp = mag_ref.shape[-1]
+    # nyquist-depadded GEMM lanes (see ops/pallas/spectral.py module note):
+    # the HBM state keeps the padded Fp layout (nyquist at lane N, zeros
+    # above); only the two GEMMs and the twiddle combines run at Fd = N
+    # lanes, with the nyquist channel threaded as an exact f32 column
+    Fd = twr_ref.shape[-1]
+    N = n_bins - 1
+    depad = Fd == N and Fd < Fp
 
     # synthesis: window the candidate spectrogram in the spectral domain
     # (the hermitian inverse-DFT weights are folded into syn_basis rows)
-    Yre = mag_ref[0] * are_ref[0]
-    Yim = mag_ref[0] * aim_ref[0]
-    Yre, Yim = _taps_conv_pair(Yre, Yim, taps, n_bins)
+    if depad:
+        # ref slices (lane-aligned), not value slices — Mosaic rejects the
+        # latter with an offset-mismatch error when the sliced value feeds
+        # later rolls/concats.  The nyquist channel (lane 0 of the tail
+        # block) becomes a column BEFORE the conv; its im only ever meets
+        # the zero sin column and is dropped (irfft semantics).
+        Yre = mag_ref[0, :, :Fd] * are_ref[0, :, :Fd]
+        Yim = mag_ref[0, :, :Fd] * aim_ref[0, :, :Fd]
+        tail = mag_ref[0, :, Fd:] * are_ref[0, :, Fd:]
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, tail.shape, 1)
+        ynyq_in = jnp.sum(
+            jnp.where(lane0 == 0, tail, 0.0), axis=1, keepdims=True
+        )
+        Yre, Yim, ynyq = _taps_conv_pair_nyq(Yre, Yim, ynyq_in, taps, N)
+    else:
+        Yre = mag_ref[0] * are_ref[0]
+        Yim = mag_ref[0] * aim_ref[0]
+        Yre, Yim = _taps_conv_pair(Yre, Yim, taps, n_bins)
 
     # conj-twiddled accumulation into chunk rows wc in [HALO-? ..]:
     # D[wc] = sum_j conj(tw_j) Y[wc - j]; computed for wc in
@@ -149,6 +223,17 @@ def _gl_kernel(
     # folded in), / envelope.  D row r is global chunk
     # (tile_start + r + overlap-1 - HALO); env row = r + overlap-1.
     samples = stacked_dot(Dre, Dim, syn_basis_ref)
+    if depad:
+        # nyquist's synthesis row is (-1)^r / n_fft (tw = +1, even hop):
+        # combine + rank-1 add on the VPU, exact f32
+        dnyq = None
+        for j in range(overlap):
+            start = overlap - 1 - j
+            part = ynyq[start: start + n_chunks]
+            dnyq = part if dnyq is None else dnyq + part
+        r_i = jax.lax.broadcasted_iota(jnp.int32, samples.shape, 1)
+        inv_alt = (1 - 2 * (r_i & 1)).astype(f32) * (1.0 / (overlap * samples.shape[1]))
+        samples = samples + jnp.broadcast_to(dnyq, samples.shape) * inv_alt
     samples = samples / env_ref[0][overlap - 1: overlap - 1 + n_chunks]
 
     # analysis: chunk DFT -> twiddle combine -> taps conv
@@ -157,7 +242,7 @@ def _gl_kernel(
         jnp.concatenate([sh, sh, sl], axis=1), ana_basis_ref[...],
         preferred_element_type=f32,
     )
-    Cre, Cim = Z[:, :Fp], Z[:, Fp:]
+    Cre, Cim = Z[:, :Fd], Z[:, Fd:]
     # frame t (output row i, global frame t*tile+i) needs chunks t..t+3;
     # chunk row r of C is global chunk (window row r + overlap-1) - HALO
     # relative to the tile start, so output row i reads C rows
@@ -166,6 +251,21 @@ def _gl_kernel(
         Cre, Cim, twr_ref, twi_ref, overlap, tile_t,
         HALO - (overlap - 1), conj=False,
     )
+    if depad:
+        alt = (1 - 2 * (jax.lax.broadcasted_iota(
+            jnp.int32, (1, samples.shape[1]), 1) & 1)).astype(f32)
+        cnyq = jnp.sum(samples * alt, axis=1, keepdims=True)
+        xnyq = None
+        for j in range(overlap):
+            start = HALO - (overlap - 1) + j
+            part = cnyq[start: start + tile_t]
+            xnyq = part if xnyq is None else xnyq + part
+        Rre, Rim, rnyq = _taps_conv_pair_nyq(Xre, Xim, xnyq, taps, N)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (tile_t, Fp - Fd), 1)
+        rblk = jnp.where(lane0 == 0, jnp.broadcast_to(rnyq, lane0.shape), 0.0)
+        ore_ref[0, :, :] = jnp.concatenate([Rre, rblk], axis=1)
+        oim_ref[0, :, :] = jnp.concatenate([Rim, rblk * 0.0], axis=1)
+        return
     Rre, Rim = _taps_conv_pair(Xre, Xim, taps, n_bins)
     ore_ref[0, :, :] = Rre
     oim_ref[0, :, :] = Rim
@@ -210,9 +310,9 @@ def _gl_call(
     n_tiles = (rows_p - 2 * HALO) // tile_t
     F = n_fft // 2 + 1
 
+    from .spectral import _nyq_depad
+
     Cc, Cs = _chunk_dft_matrices(n_fft, hop)
-    CC = np.pad(Cc, [(0, 0), (0, Fp - F)])
-    CS = np.pad(Cs, [(0, 0), (0, Fp - F)])
     # restricted inverse bases with the hermitian weights / n_fft folded
     # into their rows: Ch^T / Sh^T
     wgt = np.full(F, 2.0, np.float32)
@@ -220,12 +320,24 @@ def _gl_call(
     if n_fft % 2 == 0:
         wgt[-1] = 1.0
     wgt = (wgt / n_fft)[:, None]
-    ICT = np.pad(Cc.T * wgt, [(0, Fp - F), (0, 0)])
-    IST = np.pad(Cs.T * wgt, [(0, Fp - F), (0, 0)])
     twr, twi = _twiddles(n_fft, hop)
     rows_tw = max(8, _round_up(overlap, 8))
-    TWR = np.pad(twr, [(0, rows_tw - overlap), (0, Fp - F)])
-    TWI = np.pad(twi, [(0, rows_tw - overlap), (0, Fp - F)])
+    if _nyq_depad(n_fft, hop):
+        # GEMMs/combines at exactly F-1 lanes; the nyquist channel rides
+        # as an exact f32 column inside the kernel (HBM layout unchanged)
+        Fd = F - 1
+        CC, CS = Cc[:, :Fd], Cs[:, :Fd]
+        ICT = (Cc.T * wgt)[:Fd]
+        IST = (Cs.T * wgt)[:Fd]
+        TWR = np.pad(twr[:, :Fd], [(0, rows_tw - overlap), (0, 0)])
+        TWI = np.pad(twi[:, :Fd], [(0, rows_tw - overlap), (0, 0)])
+    else:
+        CC = np.pad(Cc, [(0, 0), (0, Fp - F)])
+        CS = np.pad(Cs, [(0, 0), (0, Fp - F)])
+        ICT = np.pad(Cc.T * wgt, [(0, Fp - F), (0, 0)])
+        IST = np.pad(Cs.T * wgt, [(0, Fp - F), (0, 0)])
+        TWR = np.pad(twr, [(0, rows_tw - overlap), (0, Fp - F)])
+        TWI = np.pad(twi, [(0, rows_tw - overlap), (0, Fp - F)])
 
     # pre-stacked bf16x3 operands (r3): synthesis contracts [Dre | Dim]
     # against [ICT; IST], analysis produces [Cre | Cim] from [CC | CS]

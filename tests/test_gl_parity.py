@@ -165,3 +165,29 @@ def test_gl_fused_sc_parity_across_frame_counts(n_samples):
     rec_ker = griffin_lim(mag, n_fft, hop, w, n_iter=6, taps=taps, fused=True)
     s_x, s_k = sc(rec_xla), sc(rec_ker)
     assert s_k < max(1.15 * s_x, s_x + 0.02), (n_samples, s_k, s_x)
+
+
+def test_gl_fused_sc_parity_padded_layout():
+    """Non-256-multiple n_fft keeps the padded lane layout in the GL kernel
+    (the r3.6 nyquist depad gates on `_nyq_depad`); its SC must still track
+    the XLA loop."""
+    from acids_transforms_tpu.ops.pallas.spectral import _nyq_depad
+
+    n_fft, hop = 384, 128
+    assert not _nyq_depad(n_fft, hop)
+    w = get_window("hann", n_fft)
+    taps = taps_for_window(np.asarray(w))
+    x = _harmonic(12000)
+    mag = jnp.abs(stft(jnp.asarray(x)[None], n_fft, hop, w))
+
+    def sc(rec):
+        R = jnp.abs(stft(rec, n_fft, hop, w))
+        n = min(R.shape[-2], mag.shape[-2])
+        return float(
+            jnp.linalg.norm(R[:, :n] - mag[:, :n]) / jnp.linalg.norm(mag)
+        )
+
+    rec_xla = griffin_lim(mag, n_fft, hop, w, n_iter=6, fused=False)
+    rec_ker = griffin_lim(mag, n_fft, hop, w, n_iter=6, taps=taps, fused=True)
+    s_x, s_k = sc(rec_xla), sc(rec_ker)
+    assert s_k < max(1.15 * s_x, s_x + 0.02), (s_k, s_x)
