@@ -190,8 +190,11 @@ def _pallas_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
             # 4th bf16 product in both GEMM stages at 4096: the bf16x3
             # residuals are what pushed 4096/overlap>4 past the 1e-4
             # budget after the norm-shrinking log contrast; +1/3 GEMM MACs
-            # buys the accuracy back (BENCH_NOTES.md 4096 note)
-            x4=stft_t.n_fft >= 4096,
+            # buys the accuracy back (BENCH_NOTES.md 4096 note).  Factored
+            # path only: the full-K single-GEMM path has no twiddle-combine
+            # error accumulation and measures 7.8e-5 at 4096 without x4
+            # (gaussian, f64 oracle) — x4 would only cost MACs there.
+            x4=stft_t.n_fft >= 4096 and taps is not None,
         )
         return mag_t._drop_nyquist(y.reshape(batch_shape + y.shape[1:]))
 
@@ -311,8 +314,11 @@ def _pallas_preferred(chain: AudioTransform) -> bool:
         # It beats the XLA fused path only with the nyquist-depadded lane
         # layout (r3.6): measured 1.14x at 1024/256 b128 and 1.32x at
         # 2048/512 b64 (tools/sweep_depad.py; pre-depad it LOST by 1.7%,
-        # BENCH_NOTES.md).  4096 full-K is unmeasured for accuracy (no x4
-        # on the spectral stage) — left on XLA.
+        # BENCH_NOTES.md).  4096 runs (the r3.6c no-dup [B_hi; B_lo]
+        # operand layout brings the basis under the VMEM roof) but
+        # measures only 1.07x over XLA at 1.34e-4 vs the chain — over
+        # the mutual 1e-4 budget and inside run noise — so auto keeps
+        # 4096 gaussian on XLA (measured negative, BENCH_NOTES.md).
         from .ops.pallas.spectral import _nyq_depad
 
         return (
@@ -385,6 +391,12 @@ def _match_fit(chain: AudioTransform):
     # min statistic is dominated by exactly those bins — mirror the forward
     # matcher's contrast gate (ADVICE r2) and fall back to the exact cascade
     if mag_t.contrast_mode in ("log", "log10"):
+        return None
+    # non-cosine windows run the full-K stats kernel; at n_fft=4096 the
+    # forward full-K measured only ~1.07x over XLA at this FLOP wall
+    # (BENCH_NOTES.md r3.6c) and the stats variant is unmeasured there —
+    # fall back to the exact cascade past 2048
+    if getattr(stft_t, "_window_taps", None) is None and stft_t.n_fft > 2048:
         return None
     return mono, stft_t, mag_t
 

@@ -75,6 +75,11 @@ __all__ = ["fused_melspec", "fused_melspec_stats", "mel_block_structure"]
 
 LANE = 128
 
+# full-K operand layouts switch to the no-duplication [hi; lo] stacks at
+# this n_fft (VMEM capacity, r3.6c) — module-level so tests can lower it
+# to exercise the layout at cheap shapes
+NODUP_MIN_NFFT = 4096
+
 
 def mel_block_structure(bank) -> Optional[tuple]:
     """Nonzero 128-block structure of a (concrete) mel bank, or None if dense.
@@ -142,7 +147,7 @@ def _split_bf16(m: jnp.ndarray):
 
 def _tile_magnitude(
     x_ref, basis_ref, scr_ref, *, overlap, hop, tile_t, power=1.0,
-    wnyq_ref=None, n_bins=None,
+    wnyq_ref=None, n_bins=None, x4=False,
 ):
     """Assemble this tile's frames in VMEM and return |DFT| (tile_t, Fp).
 
@@ -175,11 +180,39 @@ def _tile_magnitude(
         scr_ref[:, n_fft + j * hop: n_fft + (j + 1) * hop] = lo_j
 
     Fp = basis_ref.shape[1] // 2
-    Z = jnp.dot(
-        scr_ref[:, :n_fft], basis_ref[:n_fft, :], preferred_element_type=f32
-    ) + jnp.dot(
-        scr_ref[...], basis_ref[n_fft:, :], preferred_element_type=f32
-    )
+    if basis_ref.shape[0] == 2 * n_fft:
+        # no-duplication basis layout [B_hi; B_lo] (n_fft >= 4096): the
+        # 3-stack's duplicated hi rows would push the basis alone to
+        # ~100 MB of VMEM (measured stack OOM at 4096); identical MACs as
+        # [hi | hi] @ [B_hi; B_lo] + lo @ B_hi (the hi operand dup is a
+        # cheap (tile, 2 n_fft) transient, the 33 MB basis dup is not)
+        hi = scr_ref[:, :n_fft]
+        dup_hi = jnp.concatenate([hi, hi], axis=1)
+        Z = jnp.dot(
+            dup_hi, basis_ref[...], preferred_element_type=f32
+        ) + jnp.dot(
+            scr_ref[:, n_fft:], basis_ref[:n_fft, :],
+            preferred_element_type=f32,
+        )
+        if x4:
+            Z = Z + jnp.dot(
+                scr_ref[:, n_fft:], basis_ref[n_fft:, :],
+                preferred_element_type=f32,
+            )
+    else:
+        Z = jnp.dot(
+            scr_ref[:, :n_fft], basis_ref[:n_fft, :], preferred_element_type=f32
+        ) + jnp.dot(
+            scr_ref[...], basis_ref[n_fft:, :], preferred_element_type=f32
+        )
+        if x4:
+            # 4th bf16 product (lo @ B_lo, the term bf16x3 drops) for the
+            # large-n_fft accuracy region — the lo operand and the B_lo
+            # rows are already in scratch / the basis stack: ONE more dot
+            Z = Z + jnp.dot(
+                scr_ref[:, n_fft:], basis_ref[n_fft: 2 * n_fft, :],
+                preferred_element_type=f32,
+            )
     re, im = Z[:, :Fp], Z[:, Fp:]
     sq = re * re + im * im
     sq = sq if power == 2.0 else jnp.sqrt(sq)
@@ -249,6 +282,14 @@ def _stack_basis(cc_hi, cc_lo, cs_hi, cs_lo):
     return jnp.concatenate([top, mid, top], axis=0)
 
 
+def _stack_basis_nodup(cc_hi, cc_lo, cs_hi, cs_lo):
+    """[B_hi; B_lo] (2 K, 2 Fp) basis without the 3-stack's duplicated hi
+    rows — the large-n_fft full-K VMEM diet (:func:`_tile_magnitude`)."""
+    top = jnp.concatenate([cc_hi, cs_hi], axis=1)
+    mid = jnp.concatenate([cc_lo, cs_lo], axis=1)
+    return jnp.concatenate([top, mid], axis=0)
+
+
 def _stack_mel(mel_hi, mel_lo):
     """[hi; lo; hi]-interleaved per 128-row-block mel operand (3 Fp, Mp), so
     the banded :func:`_mel3` reads block (i, j) as contiguous rows."""
@@ -256,6 +297,16 @@ def _stack_mel(mel_hi, mel_lo):
     hi = mel_hi.reshape(Fp // LANE, LANE, Mp)
     lo = mel_lo.reshape(Fp // LANE, LANE, Mp)
     return jnp.stack([hi, lo, hi], axis=1).reshape(3 * Fp, Mp)
+
+
+def _stack_mel_nodup(mel_hi, mel_lo):
+    """[hi; lo]-interleaved (2 Fp, Mp) variant of :func:`_stack_mel` for the
+    large-n_fft VMEM-pressure region — no duplicated hi rows; :func:`_mel3`
+    compensates with a duplicated (cheap) mag operand."""
+    Fp, Mp = mel_hi.shape
+    hi = mel_hi.reshape(Fp // LANE, LANE, Mp)
+    lo = mel_lo.reshape(Fp // LANE, LANE, Mp)
+    return jnp.stack([hi, lo], axis=1).reshape(2 * Fp, Mp)
 
 
 def _append_nyq(sq, nyval):
@@ -438,11 +489,29 @@ def _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks=None, x4=False):
     """
     f32 = jnp.float32
     mag_hi, mag_lo = _split_bf16(mag)
+    nodup = mel_hi_ref.shape[0] == 2 * mag.shape[1]
     if mel_blocks is None:
+        Fp = mag.shape[1]
+        if nodup:
+            # [M_hi; M_lo] operand (no duplicated hi rows — VMEM): bf16x3
+            # = [hi|hi] @ [M_hi; M_lo] + lo @ M_hi; x4 adds lo @ M_lo by
+            # widening the second dot to [lo|lo]
+            basis = mel_hi_ref[...]
+            d1 = jnp.dot(
+                jnp.concatenate([mag_hi, mag_hi], axis=1), basis,
+                preferred_element_type=f32,
+            )
+            if x4:
+                return d1 + jnp.dot(
+                    jnp.concatenate([mag_lo, mag_lo], axis=1), basis,
+                    preferred_element_type=f32,
+                )
+            return d1 + jnp.dot(
+                mag_lo, basis[:Fp], preferred_element_type=f32
+            )
         basis = jnp.concatenate(
             [mel_hi_ref[...], mel_lo_ref[...], mel_hi_ref[...]], axis=0
         )
-        Fp = mel_hi_ref.shape[0]
         if x4:
             stacked = jnp.concatenate([mag_hi, mag_lo], axis=1)
             return jnp.dot(
@@ -451,15 +520,16 @@ def _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks=None, x4=False):
         # one stacked GEMM for the 3 bf16x3 passes (see _chunk_dots)
         stacked = jnp.concatenate([mag_hi, mag_hi, mag_lo], axis=1)
         return jnp.dot(stacked, basis, preferred_element_type=f32)
-    # banded: one K=3*LANE stacked GEMM per nonzero (row, col) block pair;
+    # banded: one stacked GEMM per nonzero (row, col) block pair;
     # mel_hi_ref holds the [hi; lo; hi]-interleaved layout (_stack_mel) so
-    # block (i, j) is the contiguous rows [3i*LANE, (3i+3)*LANE)
+    # block (i, j) is the contiguous rows [3i*LANE, (3i+3)*LANE) — or the
+    # [hi; lo] no-dup layout (_stack_mel_nodup, rows [2i*LANE, (2i+2)*LANE))
     stk_mag = {}
     for rows in mel_blocks:
         for i in rows:
             if i not in stk_mag:
                 ir = slice(i * LANE, (i + 1) * LANE)
-                if x4:
+                if nodup or x4:
                     stk_mag[i] = jnp.concatenate(
                         [mag_hi[:, ir], mag_lo[:, ir]], axis=1
                     )
@@ -472,7 +542,24 @@ def _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks=None, x4=False):
         jc = slice(j * LANE, (j + 1) * LANE)
         acc = None
         for i in rows:
-            if x4:
+            if nodup:
+                blk = mel_hi_ref[2 * i * LANE: (2 * i + 2) * LANE, jc]
+                hi_i = stk_mag[i][:, :LANE]
+                part = jnp.dot(
+                    jnp.concatenate([hi_i, hi_i], axis=1), blk,
+                    preferred_element_type=f32,
+                )
+                lo_i = stk_mag[i][:, LANE:]
+                if x4:
+                    part = part + jnp.dot(
+                        jnp.concatenate([lo_i, lo_i], axis=1), blk,
+                        preferred_element_type=f32,
+                    )
+                else:
+                    part = part + jnp.dot(
+                        lo_i, blk[:LANE], preferred_element_type=f32
+                    )
+            elif x4:
                 part = jnp.dot(
                     stk_mag[i],
                     mel_hi_ref[3 * i * LANE: (3 * i + 2) * LANE, jc],
@@ -540,7 +627,7 @@ def _forward_kernel(
     mag = _tile_magnitude(
         x_ref, basis_ref, scr_ref,
         overlap=overlap, hop=hop, tile_t=tile_t, power=power,
-        wnyq_ref=wnyq_ref, n_bins=n_bins,
+        wnyq_ref=wnyq_ref, n_bins=n_bins, x4=x4,
     )
     if use_mel:
         mag = _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks, x4=x4)
@@ -738,12 +825,25 @@ def _fused_call(
     if mel_p is None:
         mel_p = jnp.zeros((Fp_mag, Fp_mag), jnp.float32)  # unused placeholder
 
+    # no-dup operand layouts for the large-n_fft full-K path: the
+    # [.;.;.]-stacked basis/mel duplicate their hi rows, which alone
+    # overflows scoped VMEM at n_fft=4096 (measured 101.7M vs the 96M
+    # limit); [hi; lo] layouts + duplicated (cheap) activation operands
+    # run identical MACs in ~2/3 the weight VMEM
+    nodup = taps is None and n_fft >= NODUP_MIN_NFFT
     wc_hi, wc_lo = _split_bf16(WC)
     ws_hi, ws_lo = _split_bf16(WS)
     mel_hi, mel_lo = _split_bf16(mel_p)
     if use_mel and mel_blocks is not None:
         # interleaved stacked operand; mel_lo becomes an unused stub
-        mel_hi = _stack_mel(mel_hi, mel_lo)
+        mel_hi = (
+            _stack_mel_nodup(mel_hi, mel_lo) if nodup
+            else _stack_mel(mel_hi, mel_lo)
+        )
+        mel_lo = jnp.zeros((8, LANE), jnp.bfloat16)
+    elif use_mel and nodup:
+        # dense no-dup layout: plain [M_hi; M_lo] concat
+        mel_hi = jnp.concatenate([mel_hi, mel_lo], axis=0)
         mel_lo = jnp.zeros((8, LANE), jnp.bfloat16)
     eps = float(np.finfo(np.float32).eps)
 
@@ -791,7 +891,17 @@ def _fused_call(
             **common,
         )(x_rows, basis, TWR, TWI, mel_hi, mel_lo, aff)
 
-    basis = _stack_basis(wc_hi, wc_lo, ws_hi, ws_lo)
+    basis = (
+        _stack_basis_nodup(wc_hi, wc_lo, ws_hi, ws_lo) if nodup
+        else _stack_basis(wc_hi, wc_lo, ws_hi, ws_lo)
+    )
+    if nodup:
+        common["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # the 67 MB no-dup basis + mel still needs headroom past the
+            # 96 MB default; the v5e has 128 MB of VMEM
+            vmem_limit_bytes=118 * 1024 * 1024,
+        )
     kernel = functools.partial(
         _forward_kernel,
         overlap=overlap, hop=hop, tile_t=tile_t,
@@ -801,7 +911,7 @@ def _fused_call(
     return pl.pallas_call(
         kernel,
         in_specs=[_x_spec(tile_t, halo, hop)]
-        + [fixed((3 * n_fft, 2 * Fp)), fixed(WNYQ.shape)] + mel_aff_specs,
+        + [fixed(basis.shape), fixed(WNYQ.shape)] + mel_aff_specs,
         scratch_shapes=[pltpu.VMEM((tile_t, 2 * n_fft), jnp.bfloat16)],
         **common,
     )(x_rows, basis, WNYQ, mel_hi, mel_lo, aff)
@@ -860,7 +970,16 @@ def _stats_call(
             **common,
         )(x_rows, basis, TWR, TWI)
 
-    basis = _stack_basis(wc_hi, wc_lo, ws_hi, ws_lo)
+    nodup = n_fft >= NODUP_MIN_NFFT
+    basis = (
+        _stack_basis_nodup(wc_hi, wc_lo, ws_hi, ws_lo) if nodup
+        else _stack_basis(wc_hi, wc_lo, ws_hi, ws_lo)
+    )
+    if nodup:
+        common["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=118 * 1024 * 1024,
+        )
     kernel = functools.partial(
         _stats_kernel,
         overlap=overlap, hop=hop, tile_t=tile_t,
@@ -869,7 +988,7 @@ def _stats_call(
     return pl.pallas_call(
         kernel,
         in_specs=[_x_spec(tile_t, halo, hop)]
-        + [fixed((3 * n_fft, 2 * Fp)), fixed(WNYQ.shape)],
+        + [fixed(basis.shape), fixed(WNYQ.shape)],
         scratch_shapes=[pltpu.VMEM((tile_t, 2 * n_fft), jnp.bfloat16)],
         **common,
     )(x_rows, basis, WNYQ)

@@ -573,3 +573,50 @@ def test_nyq_depad_parity_adversarial():
         st = fused_melspec_stats(jnp.asarray(x), n_fft, hop, w, "log1p", taps=taps)
         assert abs(float(st["max"]) - ref.max()) / ref.max() < 1e-4
         assert abs(float(st["sum"]) - ref.sum()) / abs(ref.sum()) < 1e-4
+
+
+def test_fullk_nodup_layout_matches(monkeypatch):
+    """The no-duplication [hi; lo] basis/mel layouts (r3.6c, VMEM diet for
+    n_fft >= 4096) are MAC-identical to the 3-stack — exercised at a cheap
+    shape by lowering the gate."""
+    import acids_transforms_tpu.ops.pallas.spectral as S
+
+    x = RNG.standard_normal((2, 6000)).astype(np.float32)
+    n_fft, hop = 512, 128
+    w = np.asarray(
+        __import__(
+            "acids_transforms_tpu.ops.windows", fromlist=["gaussian_dgt_window"]
+        ).gaussian_dgt_window(n_fft)
+    )
+    fwd, _ = square_mel_banks(n_fft, 44100)
+
+    def run():
+        jax.clear_caches()
+        out = {}
+        for x4 in (False, True):
+            for bank in (jnp.asarray(fwd), None):
+                out[(x4, bank is None)] = np.asarray(
+                    fused_melspec(
+                        jnp.asarray(x), n_fft, hop, jnp.asarray(w, jnp.float32),
+                        bank, 0.0, 1.0, "log1p", x4=x4,
+                    )
+                )
+        st = fused_melspec_stats(
+            jnp.asarray(x), n_fft, hop, jnp.asarray(w, jnp.float32), "log1p"
+        )
+        out["stats"] = {k: float(v) for k, v in st.items()}
+        return out
+
+    base = run()
+    monkeypatch.setattr(S, "NODUP_MIN_NFFT", 256)
+    nodup = run()
+    for k in base:
+        if k == "stats":
+            for s in base[k]:
+                assert abs(base[k][s] - nodup[k][s]) <= 1e-4 * max(1.0, abs(base[k][s]))
+        else:
+            # same multiplies, different summation order (two dots vs one
+            # stacked dot) — f32 reordering level, far under the 1e-4
+            # pipeline budget
+            scale = np.abs(base[k]).max()
+            assert np.abs(base[k] - nodup[k]).max() / scale < 5e-5, k
