@@ -124,7 +124,7 @@ def griffin_lim(
         )
         return istft(
             magnitude * angles, n_fft, hop_length, window, length=length,
-            impl=impl,
+            impl=impl, taps=taps,
         )
 
     def body(_, carry):

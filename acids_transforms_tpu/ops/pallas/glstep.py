@@ -296,6 +296,27 @@ def _gl_kernel_momentum(
     naim_ref[0, :, :] = uim / n
 
 
+def _gl_specs(tile_t, Fp, B, n_tiles):
+    """Shared block-spec builders for the GL kernel entries: the windowed
+    input spec (tile + 2*HALO rows), the fixed whole-operand spec, and the
+    output spec/shape pair."""
+    def win3(last_dim):
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(tile_t + 2 * HALO), pl.Element(last_dim)),
+            lambda b, t: (b, t * tile_t, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def fixed(m):
+        return pl.BlockSpec(m.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+
+    out_spec = pl.BlockSpec(
+        (1, tile_t, Fp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+    )
+    out_sd = jax.ShapeDtypeStruct((B, n_tiles * tile_t, Fp), jnp.float32)
+    return win3, fixed, out_spec, out_sd
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_fft", "hop_length", "taps", "interpret", "tile_t"),
@@ -353,21 +374,7 @@ def _gl_call(
     ana_basis = jnp.concatenate([ana_top, ana_mid, ana_top], axis=0)
 
     momentum = trep is not None
-
-    def win3(last_dim):
-        return pl.BlockSpec(
-            (pl.Element(1), pl.Element(tile_t + 2 * HALO), pl.Element(last_dim)),
-            lambda b, t: (b, t * tile_t, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    def fixed(m):
-        return pl.BlockSpec(m.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
-
-    out_spec = pl.BlockSpec(
-        (1, tile_t, Fp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
-    )
-    out_sd = jax.ShapeDtypeStruct((B, n_tiles * tile_t, Fp), jnp.float32)
+    win3, fixed, out_spec, out_sd = _gl_specs(tile_t, Fp, B, n_tiles)
     common = dict(
         grid=(B, n_tiles),
         compiler_params=pltpu.CompilerParams(
@@ -496,20 +503,7 @@ def _gl_fullk_call(
         overlap=overlap, tile_t=tile_t, hop=hop_length,
     )
 
-    def win3(last_dim):
-        return pl.BlockSpec(
-            (pl.Element(1), pl.Element(tile_t + 2 * HALO), pl.Element(last_dim)),
-            lambda b, t: (b, t * tile_t, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    def fixed(m):
-        return pl.BlockSpec(m.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
-
-    out_spec = pl.BlockSpec(
-        (1, tile_t, Fp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
-    )
-    out_sd = jax.ShapeDtypeStruct((B, n_tiles * tile_t, Fp), jnp.float32)
+    win3, fixed, out_spec, out_sd = _gl_specs(tile_t, Fp, B, n_tiles)
     return pl.pallas_call(
         kernel,
         grid=(B, n_tiles),

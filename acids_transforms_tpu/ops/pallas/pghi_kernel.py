@@ -429,26 +429,12 @@ def pghi_invert_fused(
             batch_shape + parts[0].shape[-1:]
         )
 
-    # padded frame layout: [zero frame -1 | real frames | edge-replicate
-    # frame T | zero flush frames]; flush covers the OLA tail + tile padding
-    # (+8: the sublane-aligned Element halo, 2 rows used)
-    n_tiles = -(-(T + overlap) // tile_f)
-    n_rows = n_tiles * tile_f + 8
-    pads = n_rows - (T + 2)
-    m_p = jnp.concatenate(
-        [
-            jnp.zeros((B, 1, F), jnp.float32),
-            m,
-            m[:, -1:, :],  # edge replicate: last frame's central time stencil
-            jnp.zeros((B, pads, F), jnp.float32),
-        ],
-        axis=1,
+    # shared padded-frame layout / abstol rows / silent-bin angles
+    # (_prep_mag — the phases-only entry uses the identical prep, and the
+    # two paths are asserted equivalent)
+    m_p, abstol_rows, angles, B, T, F, Fp = _prep_mag(
+        m, n_fft, hop_length, tolerance, tile_f, key, angles
     )
-    m_p = jnp.pad(m_p, [(0, 0), (0, 0), (0, Fp - F)])
-
-    mx = jnp.max(m, axis=(-2, -1), keepdims=True)
-    abstol = jnp.maximum(tolerance * mx, 1.19e-7)  # (B, 1, 1)
-    abstol_rows = jnp.broadcast_to(abstol[..., 0], (B, Fp))
 
     # windowed iDFT basis, bf16x3-stacked: [re | im] (2 Fp) contract against
     # [[Ahi; Bhi], [Alo; Blo], [Ahi; Bhi]]-style stacking of (A; B) * window
@@ -463,19 +449,6 @@ def pghi_invert_fused(
     )  # (2 Fp, n_fft) f32
     hi, lo = _split_bf16(AB)
     basis = jnp.concatenate([hi, lo, hi], axis=0)  # (6 Fp, n_fft) bf16
-
-    if angles is None:
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        angles = 2.0 * jnp.pi * jax.random.uniform(
-            key, (B, n_tiles * tile_f, Fp), dtype=jnp.float32
-        )
-    else:  # explicit silent-bin phases (tests pin them to the scan's draw)
-        angles = angles.reshape((-1, T, F)).astype(jnp.float32)
-        angles = jnp.pad(
-            angles,
-            [(0, 0), (0, n_tiles * tile_f - T), (0, Fp - F)],
-        )
 
     fmul = float(gamma) / (hop_length * n_fft)
     rows = _fused_call(

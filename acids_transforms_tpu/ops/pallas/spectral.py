@@ -762,6 +762,16 @@ def _prepare_rows(x, n_fft, hop_length, center, tile_t):
     n_tiles = -(-T // tile_t)
     n_rows_total = n_tiles * tile_t + halo
     total = n_rows_total * hop_length
+    if center and half >= L:
+        # short clip (L <= n_fft//2): a single flip can't supply the whole
+        # reflect pad — take the multi-reflection jnp.pad path (the extra
+        # HBM copy is irrelevant at these sizes)
+        x = jnp.pad(x, [(0, 0), (half, half)], mode="reflect")
+        pieces = [x]
+        if total > padded_len:
+            pieces.append(jnp.zeros((B, total - padded_len), x.dtype))
+        x = jnp.concatenate(pieces, axis=-1)[:, :total]
+        return x.reshape(B, n_rows_total, hop_length), T, tile_t, halo, n_tiles
     pieces = []
     if center:
         pieces.append(jnp.flip(x[:, 1: half + 1], axis=-1))

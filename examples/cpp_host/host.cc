@@ -231,13 +231,23 @@ float RunStreamStage(xla::LocalClient* client, const std::string& dir,
 
   const std::string stream_raw = ReadFile(dir + "/" + name + ".stream.bin");
   const std::string expected_raw = ReadFile(dir + "/" + name + ".expected.bin");
-  std::vector<float> s0(ReadFile(dir + "/" + name + ".input0.bin").size() /
-                        sizeof(float));
+  // state sizes come from the meta file; the .bin files must agree exactly
+  // (a stale artifact must be a diagnostic, not a heap overflow)
+  const std::string s0_raw = ReadFile(dir + "/" + name + ".input0.bin");
+  const std::string s1_raw = ReadFile(dir + "/" + name + ".input1.bin");
+  if (s0_raw.size() != static_cast<size_t>(s0_len) * sizeof(float) ||
+      s1_raw.size() != static_cast<size_t>(s1_len) * sizeof(float)) {
+    std::fprintf(stderr,
+                 "%s: state size mismatch (meta %lld/%lld floats, files "
+                 "%zu/%zu bytes)\n",
+                 name.c_str(), static_cast<long long>(s0_len),
+                 static_cast<long long>(s1_len), s0_raw.size(), s1_raw.size());
+    std::exit(2);
+  }
+  std::vector<float> s0(s0_len);
   std::vector<float> s1(s1_len);
-  std::memcpy(s0.data(), ReadFile(dir + "/" + name + ".input0.bin").data(),
-              s0_len * sizeof(float));
-  std::memcpy(s1.data(), ReadFile(dir + "/" + name + ".input1.bin").data(),
-              s1_len * sizeof(float));
+  std::memcpy(s0.data(), s0_raw.data(), s0_len * sizeof(float));
+  std::memcpy(s1.data(), s1_raw.data(), s1_len * sizeof(float));
 
   xla::ExecutableRunOptions run_options;
   run_options.set_allocator(client->backend().memory_allocator());

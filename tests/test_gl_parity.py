@@ -191,3 +191,17 @@ def test_gl_fused_sc_parity_padded_layout():
     rec_ker = griffin_lim(mag, n_fft, hop, w, n_iter=6, taps=taps, fused=True)
     s_x, s_k = sc(rec_xla), sc(rec_ker)
     assert s_k < max(1.15 * s_x, s_x + 0.02), (s_k, s_x)
+
+
+def test_gl_fused_factored_impl_smoke():
+    """griffin_lim(fused=True) must forward taps to its final istft — an
+    impl='factored' transform raised ValueError there (review finding)."""
+    n_fft, hop = 512, 128
+    w = get_window("hann", n_fft)
+    taps = taps_for_window(np.asarray(w))
+    x = _harmonic(6000)
+    mag = jnp.abs(stft(jnp.asarray(x)[None], n_fft, hop, w))
+    rec = griffin_lim(
+        mag, n_fft, hop, w, n_iter=2, taps=taps, fused=True, impl="factored"
+    )
+    assert np.isfinite(np.asarray(rec)).all()

@@ -620,3 +620,22 @@ def test_fullk_nodup_layout_matches(monkeypatch):
             # pipeline budget
             scale = np.abs(base[k]).max()
             assert np.abs(base[k] - nodup[k]).max() / scale < 5e-5, k
+
+
+def test_fused_melspec_short_signal():
+    """L <= n_fft//2 clips: the single-flip reflect pad cannot cover the
+    centre pad — the multi-reflection fallback must match the XLA stft
+    (review finding, r3.6)."""
+    n_fft, hop = 1024, 256
+    w = hann_window(n_fft)
+    for L in (300, 512, 1023):
+        x = RNG.standard_normal((2, L)).astype(np.float32)
+        y = np.asarray(
+            fused_melspec(jnp.asarray(x), n_fft, hop, w, None, 0.0, 1.0, "log1p")
+        )
+        ref = np.log1p(np.abs(np.asarray(stft(jnp.asarray(x), n_fft, hop, w))))
+        assert y.shape == ref.shape, (L, y.shape, ref.shape)
+        rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+        # mutual error of two independent bf16x3 paths on a tiny clip (the
+        # pre-fix behaviour was a reshape crash, not an accuracy question)
+        assert rel < 2e-4, (L, rel)
