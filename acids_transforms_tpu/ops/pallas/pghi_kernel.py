@@ -42,7 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fft import _idft_matrices
 from .spectral import LANE, _round_up, _split_bf16
 
-__all__ = ["pghi_invert_fused", "pghi_phases_fused", "pghi_fused_available"]
+__all__ = [
+    "pghi_invert_fused", "pghi_phases_fused", "pghi_fused_available",
+    "pghi_phases_bidir", "pghi_invert_bidir", "pghi_synthesize_fused",
+]
 
 
 def pghi_fused_available(n_fft: int, hop_length: int) -> bool:
@@ -90,13 +93,27 @@ def _pghi_invert_kernel(
     mag_ref, abstol_ref, angles_ref, basis_ref, o_ref,
     phi_ref, tail_ref, reim_ref, ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref,
     *, tile_f, n_bins, Fp, n_fft, hop, overlap, T_real, fmul, eps,
-    emit_phases=False,
+    emit_phases=False, bidir=False, phases_in=False,
 ):
     """One grid step: ``tile_f`` frames of fill + synthesis (see module docs).
 
     ``mag_ref`` block rows r = 0..tile_f+1 hold padded frames
     ``g0 - 1 .. g0 + tile_f`` (g0 = tile * tile_f): each frame's central
     time stencil reads its neighbours directly.
+
+    ``bidir`` (phases-only): the batch dim stacks TWO chains — rows
+    ``[:B/2]`` walk frames forward from the seed, rows ``[B/2:]`` walk the
+    time-REVERSED left half (host-side flip).  Both run the same
+    instruction stream; a per-row sign flips the time-trapezoid and the
+    time-derivative term of the freq gradient (the freq-axis math is
+    direction-agnostic), and after the joint seed step the left chain's
+    phase carry is copied from the right chain's seed-frame phase — the
+    two half-fields integrate coherently from one seed.  Serial depth
+    drops T -> max(T_right, T_left) ~ T/2 (ops/pghi.py bidir note).
+
+    ``phases_in``: skip the recurrence entirely — ``angles_ref`` carries
+    precomputed phases and only the synthesis (windowed iDFT + OLA) runs
+    (the assembly stage of the bidirectional inversion).
     """
     tile = pl.program_id(0)
     B = mag_ref.shape[0]
@@ -109,100 +126,124 @@ def _pghi_invert_kernel(
 
     abstol = abstol_ref[...]  # (B, Fp) broadcast rows
 
-    # ---- tile-level precompute (r3.5): everything except the serial phase
-    # carry vectorizes over the tile's frames — the loop below keeps only the
-    # trapezoid add, the two segmented scans and the selects.  The previous
-    # per-frame formulation recomputed log-magnitudes 3x per frame and ran
-    # the derivative/anchor/trig work one (B, Fp) row at a time; this block
-    # is ~2/3 of what made each serial step expensive.  The ts carry is gone
-    # entirely: block row 0 is the previous tile's last frame (frame -1 is
-    # all-zero => log(eps), dY_dk = 0, carrier-only — the old _init value).
-    lane3 = jax.lax.broadcasted_iota(jnp.int32, (B, tile_f + 2, Fp), 2)
-    ck3 = (2.0 * np.pi * hop / n_fft) * lane3.astype(f32)
     M = mag_ref[...][:, : tile_f + 2, :]           # frames g0-1 .. g0+tile_f
-    Y = jnp.log(jnp.maximum(M, eps))               # ONE log per frame row
-    # freq derivative of log-mag (central, replicate edges, valid lanes)
-    Y_dn = jnp.where(lane3 == 0, Y, pltpu.roll(Y, shift=1, axis=2))
-    Y_up = jnp.where(
-        lane3 == n_bins - 1, Y, pltpu.roll(Y, shift=Fp - 1, axis=2)
-    )
-    ts_all = ((Y_up - Y_dn) / 2.0) / fmul + ck3    # (B, tile_f+2, Fp)
-    # time trapezoid: mean of the previous and current frame's ts
-    ct_ref[...] = (ts_all[:, :tile_f, :] + ts_all[:, 1: tile_f + 1, :]) / 2.0
-    # time derivative (central; the +1 halo row is the edge-replicate)
-    fs = -fmul * ((Y[:, 2:, :] - Y[:, :-2, :]) / 2.0) + np.pi
+    Mc = M[:, 1: tile_f + 1, :]
     # NEVER slice a broadcasted_iota: Mosaic keeps iotas replicated (one
     # sublane) and slicing the sublane dim hits a layout CHECK; build them
     # at the exact shape instead
     lanec = jax.lax.broadcasted_iota(jnp.int32, (B, tile_f, Fp), 2)
     in_binsc = lanec < n_bins
-    # frequency-fill trapezoid steps, both directions
-    sup_ref[...] = jnp.where(
-        lanec == 0, 0.0, (fs + pltpu.roll(fs, shift=1, axis=2)) / 2.0
-    )
-    sdn_ref[...] = jnp.where(
-        lanec == n_bins - 1, 0.0,
-        -(fs + pltpu.roll(fs, shift=Fp - 1, axis=2)) / 2.0,
-    )
-    Mc = M[:, 1: tile_f + 1, :]
-    # sublane-dim broadcasts must be explicit for Mosaic (lane-dim keepdims
-    # broadcasts below are fine)
-    absb = jnp.broadcast_to(abstol[:, None, :], (B, tile_f, Fp))
-    sig = (Mc > absb) & in_binsc
-    prev_sig = (M[:, :tile_f, :] > absb) & in_binsc
-    # freq-ridge peaks (edges compare against -1, i.e. always pass)
-    m_dn = jnp.where(lanec == 0, -1.0, pltpu.roll(Mc, shift=1, axis=2))
-    m_up = jnp.where(
-        lanec == n_bins - 1, -1.0, pltpu.roll(Mc, shift=Fp - 1, axis=2)
-    )
-    anchored = sig & prev_sig & (Mc >= m_dn) & (Mc >= m_up)
-    no_anchor = ~jnp.any(anchored, axis=-1, keepdims=True)
-    m_masked = jnp.where(in_binsc, Mc, -1.0)
-    is_gmax = m_masked == jnp.max(m_masked, axis=-1, keepdims=True)
-    anchored = anchored | (no_anchor & sig & is_gmax)
-    anc_ref[...] = anchored.astype(f32)
-    # fold the silent-bin fallback into one field: sig bins keep a sentinel
-    # (resolved in-loop), silent bins carry their random phase
-    sig_ref[...] = sig.astype(f32)
 
-    def frame_step(t, _):
-        anc_f = anc_ref[:, t, :]
-        anchored = anc_f > 0.5
+    if phases_in:
+        phis = angles_ref[...]
+    else:
+        # ---- tile-level precompute (r3.5): everything except the serial
+        # phase carry vectorizes over the tile's frames — the loop below
+        # keeps only the trapezoid add, the two segmented scans and the
+        # selects.  The previous per-frame formulation recomputed
+        # log-magnitudes 3x per frame and ran the derivative/anchor/trig
+        # work one (B, Fp) row at a time; this block is ~2/3 of what made
+        # each serial step expensive.  The ts carry is gone entirely: block
+        # row 0 is the previous tile's last frame (frame -1 is all-zero =>
+        # log(eps), dY_dk = 0, carrier-only — the old _init value).
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (B, tile_f + 2, Fp), 2)
+        ck3 = (2.0 * np.pi * hop / n_fft) * lane3.astype(f32)
+        Y = jnp.log(jnp.maximum(M, eps))           # ONE log per frame row
+        # freq derivative of log-mag (central, replicate edges, valid lanes)
+        Y_dn = jnp.where(lane3 == 0, Y, pltpu.roll(Y, shift=1, axis=2))
+        Y_up = jnp.where(
+            lane3 == n_bins - 1, Y, pltpu.roll(Y, shift=Fp - 1, axis=2)
+        )
+        ts_all = ((Y_up - Y_dn) / 2.0) / fmul + ck3    # (B, tile_f+2, Fp)
+        ct = (ts_all[:, :tile_f, :] + ts_all[:, 1: tile_f + 1, :]) / 2.0
+        # time derivative (central; the +1 halo row is the edge-replicate)
+        dY_dt = (Y[:, 2:, :] - Y[:, :-2, :]) / 2.0
+        if bidir:
+            # the reversed (left) chain walks true time backward: its time
+            # trapezoid subtracts, and the array's time derivative is the
+            # negated true one — one per-row sign fixes both; the freq-axis
+            # math (rolls over lanes) is direction-agnostic
+            bidx = jax.lax.broadcasted_iota(jnp.int32, (B, tile_f, Fp), 0)
+            sgn = jnp.where(bidx < B // 2, 1.0, -1.0).astype(f32)
+            ct_ref[...] = sgn * ct
+            fs = sgn * (-fmul * dY_dt) + np.pi
+        else:
+            ct_ref[...] = ct
+            fs = -fmul * dY_dt + np.pi
+        # frequency-fill trapezoid steps, both directions
+        sup_ref[...] = jnp.where(
+            lanec == 0, 0.0, (fs + pltpu.roll(fs, shift=1, axis=2)) / 2.0
+        )
+        sdn_ref[...] = jnp.where(
+            lanec == n_bins - 1, 0.0,
+            -(fs + pltpu.roll(fs, shift=Fp - 1, axis=2)) / 2.0,
+        )
+        # sublane-dim broadcasts must be explicit for Mosaic (lane-dim
+        # keepdims broadcasts below are fine)
+        absb = jnp.broadcast_to(abstol[:, None, :], (B, tile_f, Fp))
+        sig = (Mc > absb) & in_binsc
+        prev_sig = (M[:, :tile_f, :] > absb) & in_binsc
+        # freq-ridge peaks (edges compare against -1, i.e. always pass)
+        m_dn = jnp.where(lanec == 0, -1.0, pltpu.roll(Mc, shift=1, axis=2))
+        m_up = jnp.where(
+            lanec == n_bins - 1, -1.0, pltpu.roll(Mc, shift=Fp - 1, axis=2)
+        )
+        anchored = sig & prev_sig & (Mc >= m_dn) & (Mc >= m_up)
+        no_anchor = ~jnp.any(anchored, axis=-1, keepdims=True)
+        m_masked = jnp.where(in_binsc, Mc, -1.0)
+        is_gmax = m_masked == jnp.max(m_masked, axis=-1, keepdims=True)
+        anchored = anchored | (no_anchor & sig & is_gmax)
+        anc_ref[...] = anchored.astype(f32)
+        # fold the silent-bin fallback into one field: sig bins keep a
+        # sentinel (resolved in-loop), silent bins carry their random phase
+        sig_ref[...] = sig.astype(f32)
 
-        # anchored bins: time trapezoid from the previous frame's phase
-        phi_t = phi_ref[...] + ct_ref[:, t, :]
+        def frame_step(t, _):
+            anc_f = anc_ref[:, t, :]
+            anchored = anc_f > 0.5
 
-        a0 = 1.0 - anc_f
-        b_up = jnp.where(anchored, phi_t, sup_ref[:, t, :])
-        b_dn = jnp.where(anchored, phi_t, sdn_ref[:, t, :])
-        d0 = a0  # 0 at anchors, 1 elsewhere
-        a_u, f_up, d_up = _seg_scan(a0, b_up, d0, Fp, reverse=False)
-        a_d, f_dn, d_dn = _seg_scan(a0, b_dn, d0, Fp, reverse=True)
-        big = jnp.float32(10 * Fp)
-        du = jnp.where(a_u == 0, d_up, big)
-        dd = jnp.where(a_d == 0, d_dn, big)
-        filled = jnp.where(du <= dd, f_up, f_dn)
-        any_anchor = jnp.any(anchored, axis=-1, keepdims=True)
-        filled = jnp.where(any_anchor, filled, 0.0)
+            # anchored bins: time trapezoid from the previous frame's phase
+            phi_t = phi_ref[...] + ct_ref[:, t, :]
 
-        phi = jnp.where(anchored, phi_t, filled)
-        phi = jnp.where(sig_ref[:, t, :] > 0.5, phi, angles_ref[:, t, :])
+            a0 = 1.0 - anc_f
+            b_up = jnp.where(anchored, phi_t, sup_ref[:, t, :])
+            b_dn = jnp.where(anchored, phi_t, sdn_ref[:, t, :])
+            d0 = a0  # 0 at anchors, 1 elsewhere
+            a_u, f_up, d_up = _seg_scan(a0, b_up, d0, Fp, reverse=False)
+            a_d, f_dn, d_dn = _seg_scan(a0, b_dn, d0, Fp, reverse=True)
+            big = jnp.float32(10 * Fp)
+            du = jnp.where(a_u == 0, d_up, big)
+            dd = jnp.where(a_d == 0, d_dn, big)
+            filled = jnp.where(du <= dd, f_up, f_dn)
+            any_anchor = jnp.any(anchored, axis=-1, keepdims=True)
+            filled = jnp.where(any_anchor, filled, 0.0)
 
-        phi_ref[...] = phi
-        # trig + magnitude application vectorize after the loop
-        reim_ref[:, pl.ds(t, 1), :Fp] = phi[:, None, :]
-        return 0
+            phi = jnp.where(anchored, phi_t, filled)
+            phi = jnp.where(sig_ref[:, t, :] > 0.5, phi, angles_ref[:, t, :])
 
-    jax.lax.fori_loop(0, tile_f, frame_step, 0, unroll=False)
-    if emit_phases:
-        o_ref[...] = reim_ref[...][:, :, :Fp]
-        return
+            phi_ref[...] = phi
+            if bidir:
+                # joint seed step: both chains just computed the seed frame
+                # from identical operands (same result); hand the right
+                # chain's seed phase to the left chain so its first real
+                # step (the seed's left neighbour) continues the same field
+                @pl.when((tile == 0) & (t == 0))
+                def _seed():
+                    phi_ref[B // 2:, :] = phi_ref[: B // 2, :]
+            # trig + magnitude application vectorize after the loop
+            reim_ref[:, pl.ds(t, 1), :Fp] = phi[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, tile_f, frame_step, 0, unroll=False)
+        if emit_phases:
+            o_ref[...] = reim_ref[...][:, :, :Fp]
+            return
+        phis = reim_ref[...][:, :, :Fp]
 
     # synthesis operands (zero outside real frames/bins), whole-tile trig
     row3 = jax.lax.broadcasted_iota(jnp.int32, (B, tile_f, Fp), 1)
     valid = (tile * tile_f + row3) < T_real
     mm = jnp.where(in_binsc & valid, Mc, 0.0)
-    phis = reim_ref[...][:, :, :Fp]
     reim_ref[...] = jnp.concatenate(
         [mm * jnp.cos(phis), mm * jnp.sin(phis)], axis=2
     )
@@ -231,12 +272,12 @@ def _pghi_invert_kernel(
     jax.jit,
     static_argnames=(
         "n_fft", "hop_length", "tile_f", "interpret", "T_real", "fmul",
-        "emit_phases",
+        "emit_phases", "bidir", "phases_in",
     ),
 )
 def _fused_call(
     mag_p, abstol_rows, angles, basis, n_fft, hop_length, tile_f, interpret,
-    T_real, fmul, emit_phases=False,
+    T_real, fmul, emit_phases=False, bidir=False, phases_in=False,
 ):
     B, n_rows, Fp = mag_p.shape
     overlap = n_fft // hop_length
@@ -249,7 +290,7 @@ def _fused_call(
         _pghi_invert_kernel,
         tile_f=tile_f, n_bins=n_bins, Fp=Fp, n_fft=n_fft, hop=hop_length,
         overlap=overlap, T_real=T_real, fmul=float(fmul), eps=eps,
-        emit_phases=emit_phases,
+        emit_phases=emit_phases, bidir=bidir, phases_in=phases_in,
     )
     out = pl.pallas_call(
         kernel,
@@ -380,6 +421,46 @@ def pghi_phases_fused(
     return rows[:, :T, :F].reshape(batch_shape + (T, F))
 
 
+def _synth_basis(window, n_fft, Fp, n_bins):
+    """Windowed iDFT basis, bf16x3-stacked: [re | im] (2 Fp) contracts
+    against [[Ahi; Bhi], [Alo; Blo], [Ahi; Bhi]]-style stacking of
+    (A; B) * window.  Shared by the one-kernel inversion and the
+    phases-in synthesis stage of the bidirectional path."""
+    A, Bm = _idft_matrices(n_fft)
+    w = jnp.asarray(window, jnp.float32)[None, :]
+    AB = jnp.concatenate(
+        [
+            jnp.pad(jnp.asarray(A), [(0, Fp - n_bins), (0, 0)]) * w,
+            jnp.pad(jnp.asarray(Bm), [(0, Fp - n_bins), (0, 0)]) * w,
+        ],
+        axis=0,
+    )  # (2 Fp, n_fft) f32
+    hi, lo = _split_bf16(AB)
+    return jnp.concatenate([hi, lo, hi], axis=0)  # (6 Fp, n_fft) bf16
+
+
+def _finish_audio(y, window, T, n_fft, hop_length, length, batch_shape):
+    """Least-squares envelope division + centre trim (cheap XLA ops on the
+    small audio tensor; torch ISTFT conventions)."""
+    from ..framing import overlap_add
+
+    w = jnp.asarray(window, jnp.float32)
+    env_frames = jnp.broadcast_to(w[None, :] ** 2, (T, n_fft))
+    env = overlap_add(env_frames, hop_length)
+    env = jnp.pad(env, (0, max(0, y.shape[-1] - env.shape[-1])))[: y.shape[-1]]
+    tiny = jnp.finfo(jnp.float32).tiny
+    y = y / jnp.where(env > tiny, env, jnp.ones_like(env))
+
+    start = n_fft // 2
+    stop = (T - 1) * hop_length + n_fft - (n_fft - n_fft // 2)
+    if length is not None:
+        stop = start + length
+    y = y[..., start:stop]
+    if length is not None and y.shape[-1] < length:
+        y = jnp.pad(y, [(0, 0), (0, length - y.shape[-1])])
+    return y.reshape(batch_shape + y.shape[-1:])
+
+
 def pghi_invert_fused(
     mag: jnp.ndarray,
     gamma: float,
@@ -436,41 +517,213 @@ def pghi_invert_fused(
         m, n_fft, hop_length, tolerance, tile_f, key, angles
     )
 
-    # windowed iDFT basis, bf16x3-stacked: [re | im] (2 Fp) contract against
-    # [[Ahi; Bhi], [Alo; Blo], [Ahi; Bhi]]-style stacking of (A; B) * window
-    A, Bm = _idft_matrices(n_fft)
-    w = jnp.asarray(window, jnp.float32)[None, :]
-    AB = jnp.concatenate(
-        [
-            jnp.pad(jnp.asarray(A), [(0, Fp - n_bins), (0, 0)]) * w,
-            jnp.pad(jnp.asarray(Bm), [(0, Fp - n_bins), (0, 0)]) * w,
-        ],
-        axis=0,
-    )  # (2 Fp, n_fft) f32
-    hi, lo = _split_bf16(AB)
-    basis = jnp.concatenate([hi, lo, hi], axis=0)  # (6 Fp, n_fft) bf16
-
+    basis = _synth_basis(window, n_fft, Fp, n_bins)
     fmul = float(gamma) / (hop_length * n_fft)
     rows = _fused_call(
         m_p, abstol_rows, angles, basis, n_fft, hop_length, tile_f,
         interpret, T, fmul,
     )  # (B, n_tiles*tile_f, hop)
-    y = rows.reshape(B, -1)
+    return _finish_audio(
+        rows.reshape(B, -1), window, T, n_fft, hop_length, length, batch_shape
+    )
 
-    # least-squares envelope + centre trim (cheap XLA ops on the audio)
-    env_frames = jnp.broadcast_to(w[0][None, :] ** 2, (T, n_fft))
-    from ..framing import overlap_add
 
-    env = overlap_add(env_frames, hop_length)
-    env = jnp.pad(env, (0, max(0, y.shape[-1] - env.shape[-1])))[: y.shape[-1]]
-    tiny = jnp.finfo(jnp.float32).tiny
-    y = y / jnp.where(env > tiny, env, jnp.ones_like(env))
+def pghi_phases_bidir(
+    mag: jnp.ndarray,
+    gamma: float,
+    n_fft: int,
+    hop_length: int,
+    tolerance: float = 1e-2,
+    key: Optional[jax.Array] = None,
+    tile_f: int = 64,
+    interpret: Optional[bool] = None,
+    angles: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Bidirectional offline PGHI phases: seed at the MID frame, integrate
+    left and right halves simultaneously as one batch-stacked kernel.
 
-    start = n_fft // 2
-    stop = (T - 1) * hop_length + n_fft - (n_fft - n_fft // 2)
-    if length is not None:
-        stop = start + length
-    y = y[..., start:stop]
-    if length is not None and y.shape[-1] < length:
-        y = jnp.pad(y, [(0, 0), (0, length - y.shape[-1])])
-    return y.reshape(batch_shape + y.shape[-1:])
+    The serial fill scans bound the one-kernel PGHI (~3.2 us/frame of
+    dependency latency, BENCH_NOTES.md r3.5); stacking the time-reversed
+    left half under the right half halves the serial depth while the VPU
+    runs both chains in the same (2B, Fp) vector ops.  The phase field is
+    one coherent integration from the seed (the left chain starts from the
+    seed frame's phase, see `_pghi_invert_kernel` bidir note) — closer in
+    spirit to the reference heap's grow-outward order (dgt.py:168-220)
+    than the strictly causal scan; output differs from ``pghi_scan``
+    (different integration order), quality is gated by spectral
+    convergence in the tests/bench.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tile_f = max(8, tile_f - tile_f % 8)
+    batch_shape = mag.shape[:-2]
+    T, F = mag.shape[-2], mag.shape[-1]
+    m = mag.reshape((-1, T, F)).astype(jnp.float32)
+    B = m.shape[0]
+    if T < 4:
+        return pghi_phases_fused(
+            mag, gamma, n_fft, hop_length, tolerance=tolerance, key=key,
+            tile_f=tile_f, interpret=interpret, angles=angles,
+        )
+    if B > 32:  # the stacked (2B) batch rides whole in every block
+        parts = [
+            pghi_phases_bidir(
+                m[i: i + 32], gamma, n_fft, hop_length, tolerance=tolerance,
+                key=None if key is None else jax.random.fold_in(key, i),
+                tile_f=tile_f, interpret=interpret,
+                angles=None if angles is None else angles.reshape((-1, T, F))[i: i + 32],
+            )
+            for i in range(0, B, 32)
+        ]
+        return jnp.concatenate(parts, axis=0).reshape(batch_shape + (T, F))
+
+    mid = T // 2
+    overlap = n_fft // hop_length
+    n_bins = n_fft // 2 + 1
+    Fp = _round_up(n_bins, LANE)
+    # right body walks frames mid..T-1 forward; left body is
+    # [seed | mid-1 .. 0] (time-reversed, the seed row duplicated so both
+    # chains compute the seed jointly — the left row 0 result is discarded).
+    # Unlike the causal scan's frame 0 (signal start, quiet), the seed sits
+    # mid-signal: its pre-pad row is the TRUE neighbouring frame so the
+    # seed's time stencil/anchor continuity are accurate (a zero pre-pad
+    # measurably degrades SC ~8% on harmonic content)
+    right = m[:, mid:, :]
+    left = jnp.concatenate(
+        [m[:, mid: mid + 1, :], jnp.flip(m[:, :mid, :], axis=1)], axis=1
+    )
+    Tr, Tl = right.shape[1], left.shape[1]
+    Tmax = max(Tr, Tl)
+    n_tiles = -(-(Tmax + overlap) // tile_f)
+    n_rows = n_tiles * tile_f + 8
+
+    def lay(body, prepad):
+        Tb = body.shape[1]
+        out = jnp.concatenate(
+            [
+                prepad,
+                body,
+                body[:, -1:, :],
+                jnp.zeros((B, n_rows - (Tb + 2), F), jnp.float32),
+            ],
+            axis=1,
+        )
+        return jnp.pad(out, [(0, 0), (0, 0), (0, Fp - F)])
+
+    m_p = jnp.concatenate(
+        [
+            lay(right, m[:, mid - 1: mid, :]),
+            lay(left, m[:, mid + 1: mid + 2, :]),
+        ],
+        axis=0,
+    )  # (2B, rows, Fp)
+    # shared GLOBAL abstol (the serial scan thresholds against the whole
+    # spectrogram's max — per-half maxima would move anchors)
+    mx = jnp.max(m, axis=(-2, -1), keepdims=True)
+    abstol = jnp.maximum(tolerance * mx, 1.19e-7)
+    ab = jnp.broadcast_to(abstol[..., 0], (B, Fp))
+    abstol_rows = jnp.concatenate([ab, ab], axis=0)
+    if angles is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        angles2 = 2.0 * jnp.pi * jax.random.uniform(
+            key, (2 * B, n_tiles * tile_f, Fp), dtype=jnp.float32
+        )
+    else:
+        a = angles.reshape((-1, T, F)).astype(jnp.float32)
+        ar = a[:, mid:, :]
+        al = jnp.concatenate(
+            [a[:, mid: mid + 1, :], jnp.flip(a[:, :mid, :], axis=1)], axis=1
+        )
+
+        def lay_a(body):
+            return jnp.pad(
+                body,
+                [(0, 0), (0, n_tiles * tile_f - body.shape[1]), (0, Fp - F)],
+            )
+
+        angles2 = jnp.concatenate([lay_a(ar), lay_a(al)], axis=0)
+
+    stub = jnp.zeros((8, LANE), jnp.bfloat16)  # synthesis basis unused
+    fmul = float(gamma) / (hop_length * n_fft)
+    rows = _fused_call(
+        m_p, abstol_rows, angles2, stub, n_fft, hop_length, tile_f,
+        interpret, Tmax, fmul, emit_phases=True, bidir=True,
+    )
+    right_ph = rows[:B, :Tr, :]
+    left_ph = jnp.flip(rows[B:, 1:Tl, :], axis=1)  # frames 0..mid-1
+    phases = jnp.concatenate([left_ph, right_ph], axis=1)[:, :, :F]
+    return phases.reshape(batch_shape + (T, F))
+
+
+def pghi_synthesize_fused(
+    mag: jnp.ndarray,
+    phases: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    window: jnp.ndarray,
+    length: Optional[int] = None,
+    tile_f: int = 64,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """``istft(mag * e^{i phases})`` via the fused synthesis stage only
+    (windowed iDFT + in-VMEM OLA; torch ISTFT conventions) — the assembly
+    half of the bidirectional inversion.  ``window`` is the SYNTHESIS
+    window."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tile_f = max(8, tile_f - tile_f % 8)
+    batch_shape = mag.shape[:-2]
+    T, F = mag.shape[-2], mag.shape[-1]
+    n_bins = n_fft // 2 + 1
+    m = mag.reshape((-1, T, F)).astype(jnp.float32)
+    B = m.shape[0]
+    if B > 64:
+        parts = [
+            pghi_synthesize_fused(
+                m[i: i + 64], phases.reshape((-1, T, F))[i: i + 64],
+                n_fft, hop_length, window, length=length, tile_f=tile_f,
+                interpret=interpret,
+            )
+            for i in range(0, B, 64)
+        ]
+        return jnp.concatenate(parts, axis=0).reshape(
+            batch_shape + parts[0].shape[-1:]
+        )
+    # the angles operand carries the phases (same padded layout)
+    m_p, abstol_rows, phases_p, B, T, F, Fp = _prep_mag(
+        m, n_fft, hop_length, 1.0, tile_f, None, phases
+    )
+    basis = _synth_basis(window, n_fft, Fp, n_bins)
+    rows = _fused_call(
+        m_p, abstol_rows, phases_p, basis, n_fft, hop_length, tile_f,
+        interpret, T, 1.0, phases_in=True,
+    )
+    return _finish_audio(
+        rows.reshape(B, -1), window, T, n_fft, hop_length, length, batch_shape
+    )
+
+
+def pghi_invert_bidir(
+    mag: jnp.ndarray,
+    gamma: float,
+    n_fft: int,
+    hop_length: int,
+    window: jnp.ndarray,
+    tolerance: float = 1e-2,
+    length: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    tile_f: int = 64,
+    interpret: Optional[bool] = None,
+    angles: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Bidirectional offline PGHI inversion: :func:`pghi_phases_bidir`
+    (serial depth ~T/2) + :func:`pghi_synthesize_fused`."""
+    phases = pghi_phases_bidir(
+        mag, gamma, n_fft, hop_length, tolerance=tolerance, key=key,
+        tile_f=tile_f, interpret=interpret, angles=angles,
+    )
+    return pghi_synthesize_fused(
+        mag, phases, n_fft, hop_length, window, length=length,
+        tile_f=tile_f, interpret=interpret,
+    )

@@ -281,7 +281,7 @@ class AudioTransform:
     _KNOWN_INVERSION_MODES = {
         "mono", "stereo", "crop",
         "griffin_lim", "keep_input", "random", "sinebank",
-        "pghi", "pghi_exact", "pghi_gl",
+        "pghi", "pghi_bidir", "pghi_exact", "pghi_gl",
     }
 
     @classmethod

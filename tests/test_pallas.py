@@ -639,3 +639,78 @@ def test_fused_melspec_short_signal():
         # mutual error of two independent bf16x3 paths on a tiny clip (the
         # pre-fix behaviour was a reshape crash, not an accuracy question)
         assert rel < 2e-4, (L, rel)
+
+
+def test_pghi_bidir_quality_and_synthesis():
+    """Bidirectional PGHI (r3.7): seed mid-signal, halve the serial depth.
+
+    Output differs from the causal scan (different integration order) —
+    the contract is spectral-convergence parity (within 15% across
+    harmonic and noise content) plus: the synthesis-only kernel matches
+    the library ISTFT, and the composed phases+synthesis path equals
+    pghi_invert_fused bit-for-bit for the serial order."""
+    from acids_transforms_tpu.ops.fft import istft, stft
+    from acids_transforms_tpu.ops.pallas.pghi_kernel import (
+        pghi_invert_bidir,
+        pghi_invert_fused,
+        pghi_phases_fused,
+        pghi_synthesize_fused,
+    )
+
+    dgt = T.DGT(n_fft=512, hop_length=128)
+    w, invw, gamma = dgt.window, dgt.inv_window, dgt.gamma
+    key = jax.random.PRNGKey(7)
+
+    sr = 44100
+    t = np.arange(12000) / sr
+    harm = sum(np.sin(2 * np.pi * f * t) / (i + 1) for i, f in enumerate([220, 440, 880]))
+    harm = (0.7 * harm / np.abs(harm).max()).astype(np.float32)
+    noise = RNG.standard_normal(12000).astype(np.float32) * 0.3
+
+    for x in (harm, noise):
+        mag = jnp.abs(stft(jnp.asarray(x)[None], 512, 128, w))
+
+        def sc(y):
+            R = jnp.abs(stft(y, 512, 128, w))
+            n = min(R.shape[-2], mag.shape[-2])
+            return float(
+                jnp.linalg.norm(R[:, :n] - mag[:, :n]) / jnp.linalg.norm(mag)
+            )
+
+        y_ser = pghi_invert_fused(mag, gamma, 512, 128, invw, key=key)
+        y_bid = pghi_invert_bidir(mag, gamma, 512, 128, invw, key=key)
+        s_s, s_b = sc(y_ser), sc(y_bid)
+        assert s_b < max(1.15 * s_s, s_s + 0.02), (s_b, s_s)
+
+    # synthesis-only kernel == library istft on identical phases
+    mag = jnp.abs(stft(jnp.asarray(harm)[None], 512, 128, w))
+    ph = pghi_phases_fused(mag, gamma, 512, 128, key=key)
+    y_lib = np.asarray(istft(mag * jnp.exp(1j * ph), 512, 128, invw))
+    y_ker = np.asarray(pghi_synthesize_fused(mag, ph, 512, 128, invw))
+    n = min(y_lib.shape[-1], y_ker.shape[-1])
+    rel = np.abs(y_ker[..., :n] - y_lib[..., :n]).max() / np.abs(y_lib).max()
+    assert rel < 1e-4, rel
+
+    # phases + synthesis composition == the one-kernel inversion (serial)
+    y_one = np.asarray(pghi_invert_fused(mag, gamma, 512, 128, invw, key=key))
+    y_two = np.asarray(pghi_synthesize_fused(mag, ph, 512, 128, invw))
+    n = min(y_one.shape[-1], y_two.shape[-1])
+    assert np.abs(y_one[..., :n] - y_two[..., :n]).max() / np.abs(y_one).max() < 1e-6
+
+
+def test_pghi_bidir_inversion_mode():
+    """`inversion_mode="pghi_bidir"` works through the transform API (and
+    composes — the mode is registry-known)."""
+    sr = 44100
+    t = np.arange(10000) / sr
+    x = (0.6 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    dgt = T.DGT(n_fft=512, hop_length=128)
+    assert "pghi_bidir" in dgt.get_inversion_modes()
+    spec = dgt.forward(jnp.asarray(x))
+    rec = dgt.invert(jnp.abs(spec), inversion_mode="pghi_bidir")
+    assert np.isfinite(np.asarray(rec)).all()
+    chain = T.Mono() + T.DGT(n_fft=512, hop_length=128) + T.Magnitude(n_fft=512)
+    chain = chain.fit(jnp.asarray(np.stack([x, x])))
+    y = chain.jforward(jnp.asarray(np.stack([x, x])))
+    rec2 = chain.invert(y, inversion_mode="pghi_bidir")
+    assert np.isfinite(np.asarray(rec2)).all()
