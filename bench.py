@@ -268,6 +268,15 @@ def bench_configs(x: np.ndarray):
         lambda m: dgt.invert(m, inversion_mode="pghi"), mag_b, max(N_ITER_TPU // 10, 5)
     )
     out["pghi_invert_frames_per_sec"] = round(mag_b.shape[0] * mag_b.shape[-2] / dt_pghi, 1)
+    # single-stream inversion latency: the bidirectional mode halves the
+    # serial fill depth where the VPU is latency-bound (B=1; r3.7)
+    mag_1 = mag_b[:1]
+    dt_b1 = _device_time(
+        lambda m: dgt.invert(m, inversion_mode="pghi_bidir"),
+        mag_1,
+        max(N_ITER_TPU // 10, 5),
+    )
+    out["pghi_bidir_b1_inversions_per_sec"] = round(1.0 / dt_b1, 1)
     # GL on the hann STFT (the reference's default inversion context) —
     # rides the fused projection kernel on TPU (ops/pallas/glstep.py)
     stft_gl = T.STFT(n_fft=N_FFT, hop_length=HOP)
