@@ -109,7 +109,7 @@ def _pghi_invert_kernel(
     direction-agnostic), and after the joint seed step the left chain's
     phase carry is copied from the right chain's seed-frame phase — the
     two half-fields integrate coherently from one seed.  Serial depth
-    drops T -> max(T_right, T_left) ~ T/2 (ops/pghi.py bidir note).
+    drops T -> max(T_right, T_left) ~ T/2 (BENCH_NOTES.md r3.7).
 
     ``phases_in``: skip the recurrence entirely — ``angles_ref`` carries
     precomputed phases and only the synthesis (windowed iDFT + OLA) runs
@@ -223,10 +223,13 @@ def _pghi_invert_kernel(
 
             phi_ref[...] = phi
             if bidir:
-                # joint seed step: both chains just computed the seed frame
-                # from identical operands (same result); hand the right
-                # chain's seed phase to the left chain so its first real
-                # step (the seed's left neighbour) continues the same field
+                # seed handoff — LOAD-BEARING: the left chain's own seed-step
+                # result uses the mirrored trapezoid (different operands than
+                # the right chain's) and is discarded; overwriting its carry
+                # with the right chain's seed phase is what makes the two
+                # half-fields one coherent integration.  Removing this copy
+                # decoheres the halves (boundary-frame interference in the
+                # OLA) even though every per-frame field stays locally valid.
                 @pl.when((tile == 0) & (t == 0))
                 def _seed():
                     phi_ref[B // 2:, :] = phi_ref[: B // 2, :]
@@ -319,11 +322,16 @@ def _fused_call(
             pltpu.VMEM((B, Fp), jnp.float32),                # phi carry
             pltpu.VMEM((B, overlap - 1, hop_length), jnp.float32),  # OLA tail
             pltpu.VMEM((B, tile_f, 2 * Fp), jnp.float32),    # re | im
-            pltpu.VMEM((B, tile_f, Fp), jnp.float32),        # c_t (trapezoid)
-            pltpu.VMEM((B, tile_f, Fp), jnp.float32),        # step_up
-            pltpu.VMEM((B, tile_f, Fp), jnp.float32),        # step_dn
-            pltpu.VMEM((B, tile_f, Fp), jnp.float32),        # anchored mask
-            pltpu.VMEM((B, tile_f, Fp), jnp.float32),        # significant mask
+        ]
+        + [
+            # the recurrence's per-tile fields (trapezoid, fill steps,
+            # anchor/significance masks) — stubs when phases_in skips the
+            # recurrence entirely (they would otherwise double the
+            # synthesize-only kernel's VMEM footprint)
+            pltpu.VMEM(
+                (8, LANE) if phases_in else (B, tile_f, Fp), jnp.float32
+            )
+            for _ in range(5)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

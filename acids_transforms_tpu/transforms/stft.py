@@ -227,13 +227,19 @@ class STFT(AudioTransform):
             # bench shape), equal spectral convergence; output differs from
             # the causal scan (different integration order), so it is an
             # explicit mode rather than a silent batch-size dispatch
-            # (ops/pallas/pghi_kernel.py:pghi_invert_bidir)
+            # (ops/pallas/pghi_kernel.py:pghi_invert_bidir).  Off-TPU, or
+            # when the fused kernel's shape constraints don't hold, the
+            # mode degrades to the causal scan — the library's graceful
+            # fallback convention (same as "pghi" off-TPU; the kernel's
+            # interpret emulation is a validation tool, not a serving path)
             from ..ops.pallas.pghi_kernel import (
                 pghi_fused_available,
                 pghi_invert_bidir,
             )
 
-            if not pghi_fused_available(self.n_fft, self.hop_length):
+            if jax.default_backend() != "tpu" or not pghi_fused_available(
+                self.n_fft, self.hop_length
+            ):
                 ph = self.pghi(mag, tolerance=tolerance)
                 return self.invert(mag * jnp.exp(1j * ph))
             return pghi_invert_bidir(
