@@ -187,3 +187,28 @@ def test_serving_4096_region_matches_chain():
     t_interior = (30000 - 4096 // 2) // 512
     d = np.abs(y - ref)[..., :t_interior, :]
     assert d.max() / np.abs(ref).max() < 1e-4
+
+
+def test_serving_dgt_chain_roundtrip():
+    """The flagship DGT + Magnitude chain through the serving wrapper: the
+    fused dispatch (since r3.6, DGT chains ride the Pallas kernel on TPU —
+    here the XLA/interpret equivalent), the eval_shape frame ladder, and
+    the bucketed invert must all accept the gaussian-window layout."""
+    chain = T.Mono() + T.DGT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", mel=True, n_fft=512
+    )
+    fit_x = jnp.asarray(RNG.standard_normal((2, 2, 8192)).astype(np.float32))
+    chain = chain.fit(fit_x)
+    srv = CompiledTransform(chain, buckets=(8192,), batch_sizes=(2,))
+    x = RNG.standard_normal((2, 2, 7000)).astype(np.float32)
+    y = srv.forward(jnp.asarray(x))
+    ref = chain.forward(jnp.asarray(x))
+    assert y.shape == ref.shape
+    t_interior = (7000 - 256) // 128
+    np.testing.assert_allclose(
+        np.asarray(y)[..., :t_interior, :],
+        np.asarray(ref)[..., :t_interior, :],
+        atol=1e-4, rtol=1e-3,
+    )
+    rec = srv.invert(y)  # DGT's configured default mode (pghi)
+    assert np.isfinite(np.asarray(rec)).all()
