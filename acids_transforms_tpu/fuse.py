@@ -156,20 +156,29 @@ def _pallas_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
 
     taps = getattr(stft_t, "_window_taps", None)
 
-    # banded-block mel structure, from the transform's STATIC config (under
-    # serving's jit the bank leaf is a tracer the kernel factory can't
-    # inspect) — the square bank is bidiagonal, so the kernel skips ~2/3 of
-    # its mel GEMM blocks exactly (ops/pallas/spectral.py:_mel3)
+    # banded-block mel structure — the square bank is bidiagonal, so the
+    # kernel skips ~2/3 of its mel GEMM blocks exactly
+    # (ops/pallas/spectral.py:_mel3).  When the bank leaf is concrete the
+    # structure is computed from the ACTUAL bank (a user may have swapped
+    # the leaf for a custom filterbank — skipping blocks the default config
+    # predicts empty would silently zero its contributions); only under
+    # serving's jit, where the leaf is a tracer the factory can't inspect,
+    # does the static default-config structure serve (leaf swaps through
+    # serving must keep the default band structure — see refresh()).
     mel_blocks = None
     if mag_t.mel:
-        from .ops.mel import square_mel_banks
         from .ops.pallas.spectral import mel_block_structure
 
-        bank_np = square_mel_banks(
-            mag_t.n_fft, mag_t.sr, keep_nyquist=mag_t.keep_nyquist,
-            inverse=getattr(mag_t, "mel_inverse", "transpose"),
-        )[0]
-        mel_blocks = mel_block_structure(bank_np)
+        if isinstance(mag_t.mel_bank, jax.core.Tracer):
+            from .ops.mel import square_mel_banks
+
+            bank_np = square_mel_banks(
+                mag_t.n_fft, mag_t.sr, keep_nyquist=mag_t.keep_nyquist,
+                inverse=getattr(mag_t, "mel_inverse", "transpose"),
+            )[0]
+            mel_blocks = mel_block_structure(bank_np)
+        else:
+            mel_blocks = mel_block_structure(np.asarray(mag_t.mel_bank))
 
     def kernel_forward(x: jnp.ndarray) -> jnp.ndarray:
         if mono is not None:

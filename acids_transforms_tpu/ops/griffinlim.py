@@ -69,7 +69,6 @@ def griffin_lim(
     # quality (spectral convergence) is equivalent, enforced by tests.
     from .pallas.glstep import (
         gl_fullk_available,
-        gl_project,
         gl_project_available,
     )
 

@@ -45,59 +45,24 @@ __all__ = ["gl_project", "gl_project_available"]
 HALO = 8  # front/back frame padding (covers overlap-1 <= 7, sublane-aligned)
 
 
-def _taps_conv_pair(Xre, Xim, taps, n_bins):
+def _taps_conv_pair(Xre, Xim, taps, n_bins, xnyq=None):
     """Hermitian P-tap conv along lanes on (rows, Fp) re/im pairs.
 
     Same math as the forward kernel's taps stage (ops/pallas/spectral.py)
     but returning the complex pair instead of the magnitude.
-    """
-    P = len(taps) - 1
-    Fp = Xre.shape[-1]
-    N = n_bins - 1
-    shifts = sorted({s % Fp for p in range(1, P + 1)
-                     for s in (p, -p, *[2 * k - p for k in range(p)],
-                               *[p - 2 * i for i in range(p)])})
-    rolls = {
-        s: (pltpu.roll(Xre, shift=s, axis=1), pltpu.roll(Xim, shift=s, axis=1))
-        for s in shifts
-    }
 
-    def at(s):
-        s = s % Fp
-        return (Xre, Xim) if s == 0 else rolls[s]
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, Xre.shape, 1)
-    Yre = taps[0] * Xre
-    Yim = taps[0] * Xim
-    for p in range(1, P + 1):
-        rp_re, rp_im = at(p)
-        for k in range(p):
-            sre, sim = at(2 * k - p)
-            rp_re = jnp.where(lane == k, sre, rp_re)
-            rp_im = jnp.where(lane == k, -sim, rp_im)
-        lp_re, lp_im = at(-p)
-        for i in range(p):
-            sre, sim = at(p - 2 * i)
-            lp_re = jnp.where(lane == N - i, sre, lp_re)
-            lp_im = jnp.where(lane == N - i, -sim, lp_im)
-        Yre = Yre + taps[p] * (rp_re + lp_re)
-        Yim = Yim + taps[p] * (rp_im + lp_im)
-    return Yre, Yim
-
-
-def _taps_conv_pair_nyq(Xre, Xim, xnyq, taps, N):
-    """Depadded-lane variant of :func:`_taps_conv_pair`: ``Xre``/``Xim``
-    hold lanes ``0..N-1`` only, the (real) nyquist channel rides in the
-    ``xnyq`` column.  Returns ``(Yre, Yim, ynyq)`` in the same layout.
-
-    Same hermitian-extension convention as the padded conv (``X[N+q] =
-    conj(X[N-q])``); the only structural change is the padded conv's
-    ``i = 0`` top-edge patch (the in-array nyquist lane) becoming the
-    separate ``ynyq`` output, mirroring the forward kernel's
+    ``xnyq`` selects the nyquist-depadded layout: ``Xre``/``Xim`` hold
+    lanes ``0..N-1`` only and the (real) nyquist channel rides in the
+    ``xnyq`` column; returns ``(Yre, Yim, ynyq)``.  Same hermitian
+    extension (``X[N+q] = conj(X[N-q])``); the only structural change is
+    the padded conv's ``i = 0`` top-edge patch (the in-array nyquist lane)
+    becoming the separate ``ynyq`` output, mirroring the forward kernel's
     ``_combine_taps_mag`` depad path (ops/pallas/spectral.py).
     """
     P = len(taps) - 1
     Fp = Xre.shape[-1]
+    N = n_bins - 1
+    depad = xnyq is not None
     shifts = sorted({s % Fp for p in range(1, P + 1)
                      for s in (p, -p, *[2 * k - p for k in range(p)],
                                *[p - 2 * i for i in range(p)])})
@@ -120,14 +85,17 @@ def _taps_conv_pair_nyq(Xre, Xim, xnyq, taps, N):
             rp_re = jnp.where(lane == k, sre, rp_re)
             rp_im = jnp.where(lane == k, -sim, rp_im)
         lp_re, lp_im = at(-p)
-        for i in range(1, p):
+        for i in range(1 if depad else 0, p):
             sre, sim = at(p - 2 * i)
             lp_re = jnp.where(lane == N - i, sre, lp_re)
             lp_im = jnp.where(lane == N - i, -sim, lp_im)
-        lp_re = jnp.where(lane == N - p, xnyq, lp_re)
-        lp_im = jnp.where(lane == N - p, 0.0, lp_im)
+        if depad:
+            lp_re = jnp.where(lane == N - p, xnyq, lp_re)
+            lp_im = jnp.where(lane == N - p, 0.0, lp_im)
         Yre = Yre + taps[p] * (rp_re + lp_re)
         Yim = Yim + taps[p] * (rp_im + lp_im)
+    if not depad:
+        return Yre, Yim
     ynyq = taps[0] * xnyq
     for p in range(1, P + 1):
         re_np = jnp.sum(
@@ -135,6 +103,12 @@ def _taps_conv_pair_nyq(Xre, Xim, xnyq, taps, N):
         )
         ynyq = ynyq + (2.0 * taps[p]) * re_np
     return Yre, Yim, ynyq
+
+
+def _taps_conv_pair_nyq(Xre, Xim, xnyq, taps, N):
+    """Depadded-layout alias of :func:`_taps_conv_pair` (``N = n_bins - 1``
+    is the virtual nyquist lane just past the array)."""
+    return _taps_conv_pair(Xre, Xim, taps, N + 1, xnyq=xnyq)
 
 
 def _twiddle_combine(Cre, Cim, twr_ref, twi_ref, overlap, out_rows, offset, conj):
@@ -553,8 +527,6 @@ def make_gl_momentum_step_fullk(
 
     magp = jnp.pad(mag, [(0, 0), (HALO, rows_p - HALO - T), (0, Fp - F)])
     envp = _env_rows(mag, n_fft, hop_length, window, rows_p, B)
-
-    import numpy as np
 
     from ..fft import _dft_matrices, _idft_matrices
 

@@ -800,13 +800,6 @@ def _x_spec(tile_t, halo, hop, ablate=None):
     )
 
 
-def _common_specs(tile_t, halo, hop, n_fft, Fp, ablate=None):
-    def fixed(shape):
-        return pl.BlockSpec(shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
-
-    return [_x_spec(tile_t, halo, hop, ablate)] + [fixed((n_fft, Fp))] * 4
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -99,7 +99,14 @@ class CompiledTransform:
 
         Both directions serve the snapshot taken here; eager refits of the
         live transform (``scale_data``) take effect only after calling this —
-        identical semantics for fused and non-fused chains."""
+        identical semantics for fused and non-fused chains.
+
+        Caveat for leaf swaps: the fused mel kernel's banded block-skip
+        structure is derived from the transform's static config when the
+        bank leaf is traced (fuse.py:_pallas_fused) — a swapped-in custom
+        ``mel_bank`` must keep the default bank's 128-block band structure,
+        or its out-of-band weights are skipped; rebuild the transform (a
+        fresh ``CompiledTransform``) to re-derive the structure instead."""
         leaves, treedef = jax.tree_util.tree_flatten(self.transform)
         self._frozen = jax.tree_util.tree_unflatten(treedef, leaves)
         self._shape_cache.clear()
@@ -125,6 +132,7 @@ class CompiledTransform:
         :meth:`warmup` compiled, so no runtime invert shape escapes the
         warmed set (VERDICT r2 weak #5)."""
         fa = self.frame_axis
+        last_exc = None
         for shape in ((1, nb), (1, 1, nb), (1, 2, nb)):
             try:
                 out = jax.eval_shape(
@@ -133,9 +141,23 @@ class CompiledTransform:
                     jax.ShapeDtypeStruct(shape, jnp.float32),
                 )
                 return out.shape[len(out.shape) + fa]
-            except Exception:
+            except Exception as e:  # layout probe — next candidate
+                last_exc = e
                 continue
-        # last resort: the centre-padded STFT formula (pre-r3 behaviour)
+        # last resort: the centre-padded STFT formula (pre-r3 behaviour).
+        # Loud, not silent: if every probe failed for an incidental reason
+        # the formula may NOT match the chain's real frame count (the
+        # wrong-ladder bug this method exists to prevent) — surface the
+        # swallowed error so a post-warmup compile can be diagnosed.
+        import warnings
+
+        warnings.warn(
+            "CompiledTransform frame ladder: eval_shape probes failed "
+            f"({type(last_exc).__name__}: {last_exc}); falling back to the "
+            "centre-padded STFT formula, which may not match this chain's "
+            "frame count",
+            RuntimeWarning,
+        )
         return nb // int(self._frozen.ratio) + 1
 
     def _t_ladder(self) -> Tuple[int, ...]:

@@ -92,11 +92,18 @@ def scan_roundtrip(
         make_fused_roundtrip,
     )
 
+    import jax
+
     batch_elems = 1
     for d in x.shape[:-1]:
         batch_elems *= d
+    # "auto" only takes the kernel where it compiles (TPU) — off-TPU it
+    # would run the Pallas interpreter, orders of magnitude slower than the
+    # generic scan; explicit "fused" still works anywhere (interpret mode
+    # is the validation tool the tests use)
     if (
-        backend in ("auto", "fused")
+        (backend == "fused"
+         or (backend == "auto" and jax.default_backend() == "tpu"))
         and inversion_mode is None
         and batch_elems <= 64  # the fused kernel carries the batch whole
         and fused_roundtrip_available(chain, chunk_size)

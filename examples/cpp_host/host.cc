@@ -202,6 +202,11 @@ float RunStreamStage(xla::LocalClient* client, const std::string& dir,
   std::istringstream meta(ReadFile(dir + "/" + name + ".stream_meta.txt"));
   int64_t n_chunks, chunk_len, s0_len, s1_len;
   meta >> n_chunks >> chunk_len >> s0_len >> s1_len;
+  if (meta.fail() || n_chunks <= 0 || chunk_len <= 0 || s0_len < 0 ||
+      s1_len < 0) {
+    std::fprintf(stderr, "%s: malformed stream_meta.txt\n", name.c_str());
+    std::exit(2);
+  }
 
   const std::string mlir = ReadFile(dir + "/" + name + ".stablehlo.mlir");
   xla::XlaComputation computation;
@@ -231,6 +236,16 @@ float RunStreamStage(xla::LocalClient* client, const std::string& dir,
 
   const std::string stream_raw = ReadFile(dir + "/" + name + ".stream.bin");
   const std::string expected_raw = ReadFile(dir + "/" + name + ".expected.bin");
+  if (stream_raw.size() <
+      static_cast<size_t>(n_chunks) * chunk_len * sizeof(float)) {
+    std::fprintf(stderr,
+                 "%s: stream.bin too small (%zu bytes for %lld x %lld "
+                 "floats)\n",
+                 name.c_str(), stream_raw.size(),
+                 static_cast<long long>(n_chunks),
+                 static_cast<long long>(chunk_len));
+    std::exit(2);
+  }
   // state sizes come from the meta file; the .bin files must agree exactly
   // (a stale artifact must be a diagnostic, not a heap overflow)
   const std::string s0_raw = ReadFile(dir + "/" + name + ".input0.bin");
