@@ -104,20 +104,37 @@ def griffin_lim(
             step, to_rows, from_rows = make_gl_momentum_step(
                 mag3, n_fft, hop_length, taps, window, mom
             )
+            # r3.8: TWO chained iterations per kernel invocation where the
+            # halo covers both receptive fields — interior-exact vs two
+            # single steps, halves per-iteration HBM traffic + dispatch
+            overlap = n_fft // hop_length
+            step2 = None
+            if n_iter >= 2 and 2 * (overlap - 1) <= 8:
+                step2, _, _ = make_gl_momentum_step(
+                    mag3, n_fft, hop_length, taps, window, mom, iters=2
+                )
         else:
             step, to_rows, from_rows = make_gl_momentum_step_fullk(
                 mag3, n_fft, hop_length, window, mom
             )
+            step2 = None
         are_r = to_rows(jnp.real(angles).reshape((-1, T, F)))
         aim_r = to_rows(jnp.imag(angles).reshape((-1, T, F)))
 
-        def kbody(_, carry):
-            return step(*carry)
-
         z = jnp.zeros_like(are_r)
-        are_r, aim_r, _, _ = jax.lax.fori_loop(
-            0, n_iter, kbody, (are_r, aim_r, z, z)
-        )
+        carry = (are_r, aim_r, z, z)
+        if step2 is not None:
+            pairs, rem = divmod(n_iter, 2)
+            carry = jax.lax.fori_loop(
+                0, pairs, lambda _, c: step2(*c), carry
+            )
+            for _ in range(rem):
+                carry = step(*carry)
+        else:
+            carry = jax.lax.fori_loop(
+                0, n_iter, lambda _, c: step(*c), carry
+            )
+        are_r, aim_r, _, _ = carry
         angles = jax.lax.complex(from_rows(are_r), from_rows(aim_r)).reshape(
             batch_shape + (T, F)
         )

@@ -138,65 +138,43 @@ def _twiddle_combine(Cre, Cim, twr_ref, twi_ref, overlap, out_rows, offset, conj
     return Xre, Xim
 
 
-def _gl_kernel(
-    mag_ref, are_ref, aim_ref, env_ref,
-    syn_basis_ref, ana_basis_ref,
-    twr_ref, twi_ref,
-    ore_ref, oim_ref,
-    *, taps, overlap, tile_t, n_bins,
+def _stacked_dot3(re, im, basis_ref):
+    """bf16x3 of [re | im] against a pre-stacked basis — ONE GEMM for
+    what used to be six dots (r3 stacked-GEMM rework, see _chunk_dots)."""
+    v = jnp.concatenate([re, im], axis=1)
+    vh, vl = _split_bf16(v)
+    stacked = jnp.concatenate([vh, vh, vl], axis=1)
+    return jnp.dot(stacked, basis_ref[...], preferred_element_type=jnp.float32)
+
+
+def _gl_project_vals(
+    Yre, Yim, ynyq, mag_w, env, syn_basis_ref, ana_basis_ref, twr_ref,
+    twi_ref, *, taps, overlap, n_bins, Fp, Fd, depad, out_rows, out_off_w,
 ):
+    """Consistency projection over VALUE arrays spanning one row window.
+
+    ``Yre/Yim`` (+ ``ynyq`` column in the depadded layout) are the already
+    taps-windowed ``mag * angles``; ``env`` the OLA envelope rows for the
+    same window.  Returns ``(Rre, Rim)`` for ``out_rows`` frames starting
+    at window row ``out_off_w`` — the projection consumes ``overlap - 1``
+    context rows per side, so callers can ask for output windows of any
+    width the input covers (the 2-iteration kernel asks for a wider first
+    pass).  ``mag_w`` is only used for its row count.
+    """
     f32 = jnp.float32
-    W = tile_t + 2 * HALO  # input row window
-    Fp = mag_ref.shape[-1]
-    # nyquist-depadded GEMM lanes (see ops/pallas/spectral.py module note):
-    # the HBM state keeps the padded Fp layout (nyquist at lane N, zeros
-    # above); only the two GEMMs and the twiddle combines run at Fd = N
-    # lanes, with the nyquist channel threaded as an exact f32 column
-    Fd = twr_ref.shape[-1]
     N = n_bins - 1
-    depad = Fd == N and Fd < Fp
+    Wv = mag_w.shape[0]
 
-    # synthesis: window the candidate spectrogram in the spectral domain
-    # (the hermitian inverse-DFT weights are folded into syn_basis rows)
-    if depad:
-        # ref slices (lane-aligned), not value slices — Mosaic rejects the
-        # latter with an offset-mismatch error when the sliced value feeds
-        # later rolls/concats.  The nyquist channel (lane 0 of the tail
-        # block) becomes a column BEFORE the conv; its im only ever meets
-        # the zero sin column and is dropped (irfft semantics).
-        Yre = mag_ref[0, :, :Fd] * are_ref[0, :, :Fd]
-        Yim = mag_ref[0, :, :Fd] * aim_ref[0, :, :Fd]
-        tail = mag_ref[0, :, Fd:] * are_ref[0, :, Fd:]
-        lane0 = jax.lax.broadcasted_iota(jnp.int32, tail.shape, 1)
-        ynyq_in = jnp.sum(
-            jnp.where(lane0 == 0, tail, 0.0), axis=1, keepdims=True
-        )
-        Yre, Yim, ynyq = _taps_conv_pair_nyq(Yre, Yim, ynyq_in, taps, N)
-    else:
-        Yre = mag_ref[0] * are_ref[0]
-        Yim = mag_ref[0] * aim_ref[0]
-        Yre, Yim = _taps_conv_pair(Yre, Yim, taps, n_bins)
-
-    # conj-twiddled accumulation into chunk rows wc in [HALO-? ..]:
-    # D[wc] = sum_j conj(tw_j) Y[wc - j]; computed for wc in
-    # [overlap-1, W) shifted so row r of D corresponds to wc = r + overlap - 1
-    n_chunks = W - (overlap - 1)
+    # conj-twiddled accumulation: D[wc] = sum_j conj(tw_j) Y[wc - j] for
+    # wc in [overlap-1, Wv), so D row r is window chunk r + overlap - 1
+    n_chunks = Wv - (overlap - 1)
     Dre, Dim = _twiddle_combine(
         Yre, Yim, twr_ref, twi_ref, overlap, n_chunks, overlap - 1, conj=True
     )
 
-    def stacked_dot(re, im, basis_ref):
-        """bf16x3 of [re | im] against a pre-stacked basis — ONE GEMM for
-        what used to be six dots (r3 stacked-GEMM rework, see _chunk_dots)."""
-        v = jnp.concatenate([re, im], axis=1)
-        vh, vl = _split_bf16(v)
-        stacked = jnp.concatenate([vh, vh, vl], axis=1)
-        return jnp.dot(stacked, basis_ref[...], preferred_element_type=f32)
-
     # inverse chunk basis: samples = [D_re | D_im] @ [Ch^T ; Sh^T] (weights
-    # folded in), / envelope.  D row r is global chunk
-    # (tile_start + r + overlap-1 - HALO); env row = r + overlap-1.
-    samples = stacked_dot(Dre, Dim, syn_basis_ref)
+    # folded in), / envelope
+    samples = _stacked_dot3(Dre, Dim, syn_basis_ref)
     if depad:
         # nyquist's synthesis row is (-1)^r / n_fft (tw = +1, even hop):
         # combine + rank-1 add on the VPU, exact f32
@@ -208,7 +186,7 @@ def _gl_kernel(
         r_i = jax.lax.broadcasted_iota(jnp.int32, samples.shape, 1)
         inv_alt = (1 - 2 * (r_i & 1)).astype(f32) * (1.0 / (overlap * samples.shape[1]))
         samples = samples + jnp.broadcast_to(dnyq, samples.shape) * inv_alt
-    samples = samples / env_ref[0][overlap - 1: overlap - 1 + n_chunks]
+    samples = samples / env[overlap - 1: overlap - 1 + n_chunks]
 
     # analysis: chunk DFT -> twiddle combine -> taps conv
     sh, sl = _split_bf16(samples)
@@ -217,13 +195,11 @@ def _gl_kernel(
         preferred_element_type=f32,
     )
     Cre, Cim = Z[:, :Fd], Z[:, Fd:]
-    # frame t (output row i, global frame t*tile+i) needs chunks t..t+3;
-    # chunk row r of C is global chunk (window row r + overlap-1) - HALO
-    # relative to the tile start, so output row i reads C rows
-    # (i + HALO - (overlap-1)) + j
+    # output row i (window frame out_off_w + i) reads C rows
+    # (i + out_off_w - (overlap-1)) + j
     Xre, Xim = _twiddle_combine(
-        Cre, Cim, twr_ref, twi_ref, overlap, tile_t,
-        HALO - (overlap - 1), conj=False,
+        Cre, Cim, twr_ref, twi_ref, overlap, out_rows,
+        out_off_w - (overlap - 1), conj=False,
     )
     if depad:
         alt = (1 - 2 * (jax.lax.broadcasted_iota(
@@ -231,16 +207,54 @@ def _gl_kernel(
         cnyq = jnp.sum(samples * alt, axis=1, keepdims=True)
         xnyq = None
         for j in range(overlap):
-            start = HALO - (overlap - 1) + j
-            part = cnyq[start: start + tile_t]
+            start = out_off_w - (overlap - 1) + j
+            part = cnyq[start: start + out_rows]
             xnyq = part if xnyq is None else xnyq + part
         Rre, Rim, rnyq = _taps_conv_pair_nyq(Xre, Xim, xnyq, taps, N)
-        lane0 = jax.lax.broadcasted_iota(jnp.int32, (tile_t, Fp - Fd), 1)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (out_rows, Fp - Fd), 1)
         rblk = jnp.where(lane0 == 0, jnp.broadcast_to(rnyq, lane0.shape), 0.0)
-        ore_ref[0, :, :] = jnp.concatenate([Rre, rblk], axis=1)
-        oim_ref[0, :, :] = jnp.concatenate([Rim, rblk * 0.0], axis=1)
-        return
-    Rre, Rim = _taps_conv_pair(Xre, Xim, taps, n_bins)
+        return (
+            jnp.concatenate([Rre, rblk], axis=1),
+            jnp.concatenate([Rim, rblk * 0.0], axis=1),
+        )
+    return _taps_conv_pair(Xre, Xim, taps, n_bins)
+
+
+def _gl_kernel(
+    mag_ref, are_ref, aim_ref, env_ref,
+    syn_basis_ref, ana_basis_ref,
+    twr_ref, twi_ref,
+    ore_ref, oim_ref,
+    *, taps, overlap, tile_t, n_bins,
+):
+    # nyquist-depadded GEMM lanes (see ops/pallas/spectral.py module note):
+    # the HBM state keeps the padded Fp layout (nyquist at lane N, zeros
+    # above); only the two GEMMs and the twiddle combines run at Fd = N
+    # lanes, with the nyquist channel threaded as an exact f32 column.
+    # Ref slices (lane-aligned) happen HERE, before the value-level helpers
+    # — Mosaic rejects value slices feeding later rolls/concats.
+    Fp = mag_ref.shape[-1]
+    Fd = twr_ref.shape[-1]
+    depad = Fd == n_bins - 1 and Fd < Fp
+    if depad:
+        mag = mag_ref[0]
+        Yre = mag_ref[0, :, :Fd] * are_ref[0, :, :Fd]
+        Yim = mag_ref[0, :, :Fd] * aim_ref[0, :, :Fd]
+        tail = mag_ref[0, :, Fd:] * are_ref[0, :, Fd:]
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, tail.shape, 1)
+        ynyq_in = jnp.sum(
+            jnp.where(lane0 == 0, tail, 0.0), axis=1, keepdims=True
+        )
+        Yre, Yim, ynyq = _taps_conv_pair_nyq(Yre, Yim, ynyq_in, taps, n_bins - 1)
+    else:
+        mag = mag_ref[0]
+        Yre, Yim = _taps_conv_pair(mag * are_ref[0], mag * aim_ref[0], taps, n_bins)
+        ynyq = None
+    Rre, Rim = _gl_project_vals(
+        Yre, Yim, ynyq, mag, env_ref[0], syn_basis_ref, ana_basis_ref,
+        twr_ref, twi_ref, taps=taps, overlap=overlap, n_bins=n_bins,
+        Fp=Fp, Fd=Fd, depad=depad, out_rows=tile_t, out_off_w=HALO,
+    )
     ore_ref[0, :, :] = Rre
     oim_ref[0, :, :] = Rim
 
@@ -270,6 +284,96 @@ def _gl_kernel_momentum(
     naim_ref[0, :, :] = uim / n
 
 
+def _gl_kernel_momentum2(
+    mag_ref, are_ref, aim_ref, tre_ref, tim_ref, env_ref,
+    syn_basis_ref, ana_basis_ref, twr_ref, twi_ref, mom_ref,
+    nare_ref, naim_ref, rre_ref, rim_ref,
+    a1re_scr, a1im_scr,
+    *, taps, overlap, tile_t, n_bins,
+):
+    """TWO momentum-GL iterations per invocation (r3.8).
+
+    Per-iteration HBM traffic (mag + 4 state arrays) and kernel dispatch
+    are the non-compute share of the GL loop; running two projections back
+    to back halves both.  The 8-row halo covers both receptive fields
+    (each projection consumes ``overlap - 1`` rows per side, so iteration
+    1 emits a window ``2 (overlap-1)`` rows wider than the output tile and
+    iteration 2 consumes it back down — exact for overlap <= 4; interior
+    rows equal two chained single-step invocations bit-for-bit, signal
+    edges keep the documented OLA-tail boundary).  ``tre``/``tim`` ride
+    the windowed spec here (iteration 1's momentum needs the wider rows).
+    Intermediate angles round-trip through VMEM scratch so the depadded
+    lane slices stay REF slices (the Mosaic value-slice trap).
+    """
+    f32 = jnp.float32
+    m = overlap - 1
+    Fp = mag_ref.shape[-1]
+    Fd = twr_ref.shape[-1]
+    depad = Fd == n_bins - 1 and Fd < Fp
+    mom = mom_ref[0, 0]
+    mag = mag_ref[0]
+    W1 = tile_t + 2 * m  # iteration-1 output rows (window rows HALO-m ..)
+
+    def nyq_col(tail):
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, tail.shape, 1)
+        return jnp.sum(jnp.where(lane0 == 0, tail, 0.0), axis=1, keepdims=True)
+
+    # ---- iteration 1: project to the wider window [HALO-m, HALO+tile_t+m).
+    # Lane slices stay on REFS throughout (the Mosaic value-slice trap);
+    # sublane (row) value slices are fine.
+    if depad:
+        Yre = mag_ref[0, :, :Fd] * are_ref[0, :, :Fd]
+        Yim = mag_ref[0, :, :Fd] * aim_ref[0, :, :Fd]
+        ynyq = nyq_col(mag_ref[0, :, Fd:] * are_ref[0, :, Fd:])
+        Yre, Yim, ynyq = _taps_conv_pair_nyq(Yre, Yim, ynyq, taps, n_bins - 1)
+    else:
+        Yre, Yim = _taps_conv_pair(
+            mag_ref[0] * are_ref[0], mag_ref[0] * aim_ref[0], taps, n_bins
+        )
+        ynyq = None
+    R1re, R1im = _gl_project_vals(
+        Yre, Yim, ynyq, mag, env_ref[0], syn_basis_ref, ana_basis_ref,
+        twr_ref, twi_ref, taps=taps, overlap=overlap, n_bins=n_bins,
+        Fp=Fp, Fd=Fd, depad=depad, out_rows=W1, out_off_w=HALO - m,
+    )
+    u1re = R1re - mom * tre_ref[0][HALO - m: HALO + tile_t + m]
+    u1im = R1im - mom * tim_ref[0][HALO - m: HALO + tile_t + m]
+    n1 = jnp.maximum(jnp.sqrt(u1re * u1re + u1im * u1im), 1e-16)
+    a1re_scr[...] = u1re / n1
+    a1im_scr[...] = u1im / n1
+
+    # ---- iteration 2: consume the wider window back down to the tile;
+    # the intermediate angles live in scratch so their lane slices are refs
+    lo, hi = HALO - m, HALO + tile_t + m
+    if depad:
+        Y2re = mag_ref[0, lo:hi, :Fd] * a1re_scr[:, :Fd]
+        Y2im = mag_ref[0, lo:hi, :Fd] * a1im_scr[:, :Fd]
+        y2nyq = nyq_col(mag_ref[0, lo:hi, Fd:] * a1re_scr[:, Fd:])
+        Y2re, Y2im, y2nyq = _taps_conv_pair_nyq(
+            Y2re, Y2im, y2nyq, taps, n_bins - 1
+        )
+    else:
+        Y2re, Y2im = _taps_conv_pair(
+            mag_ref[0, lo:hi] * a1re_scr[...],
+            mag_ref[0, lo:hi] * a1im_scr[...],
+            taps, n_bins,
+        )
+        y2nyq = None
+    R2re, R2im = _gl_project_vals(
+        Y2re, Y2im, y2nyq, a1re_scr[...], env_ref[0][lo:hi],
+        syn_basis_ref, ana_basis_ref, twr_ref, twi_ref,
+        taps=taps, overlap=overlap, n_bins=n_bins,
+        Fp=Fp, Fd=Fd, depad=depad, out_rows=tile_t, out_off_w=m,
+    )
+    rre_ref[0, :, :] = R2re
+    rim_ref[0, :, :] = R2im
+    u2re = R2re - mom * R1re[m: m + tile_t]
+    u2im = R2im - mom * R1im[m: m + tile_t]
+    n2 = jnp.maximum(jnp.sqrt(u2re * u2re + u2im * u2im), 1e-16)
+    nare_ref[0, :, :] = u2re / n2
+    naim_ref[0, :, :] = u2im / n2
+
+
 def _gl_specs(tile_t, Fp, B, n_tiles):
     """Shared block-spec builders for the GL kernel entries: the windowed
     input spec (tile + 2*HALO rows), the fixed whole-operand spec, and the
@@ -293,11 +397,13 @@ def _gl_specs(tile_t, Fp, B, n_tiles):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "taps", "interpret", "tile_t"),
+    static_argnames=(
+        "n_fft", "hop_length", "taps", "interpret", "tile_t", "two_iter",
+    ),
 )
 def _gl_call(
     magp, arep, aimp, envp, n_fft, hop_length, taps, interpret, tile_t,
-    trep=None, timp=None, mom=None,
+    trep=None, timp=None, mom=None, two_iter=False,
 ):
     B, rows_p, Fp = magp.shape
     overlap = n_fft // hop_length
@@ -359,6 +465,34 @@ def _gl_call(
     )
 
     if momentum:
+        if two_iter:
+            # two iterations per invocation (r3.8): tre/tim ride the
+            # windowed spec (iteration 1's momentum needs the wider rows);
+            # the intermediate angles live in VMEM scratch
+            m = overlap - 1
+            kernel = functools.partial(
+                _gl_kernel_momentum2, taps=taps, overlap=overlap,
+                tile_t=tile_t, n_bins=F,
+            )
+            return pl.pallas_call(
+                kernel,
+                in_specs=[win3(Fp), win3(Fp), win3(Fp), win3(Fp), win3(Fp),
+                          win3(hop), fixed(syn_basis), fixed(ana_basis),
+                          fixed(jnp.asarray(TWR)), fixed(jnp.asarray(TWI)),
+                          pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                                       memory_space=pltpu.SMEM)],
+                out_specs=(out_spec,) * 4,
+                out_shape=(out_sd,) * 4,
+                scratch_shapes=[
+                    pltpu.VMEM((tile_t + 2 * m, Fp), jnp.float32),
+                    pltpu.VMEM((tile_t + 2 * m, Fp), jnp.float32),
+                ],
+                **common,
+            )(
+                magp, arep, aimp, trep, timp, envp,
+                syn_basis, ana_basis, jnp.asarray(TWR), jnp.asarray(TWI),
+                jnp.asarray(mom, jnp.float32).reshape(1, 1),
+            )
         kernel = functools.partial(
             _gl_kernel_momentum, taps=taps, overlap=overlap, tile_t=tile_t,
             n_bins=F,
@@ -580,6 +714,7 @@ def make_gl_momentum_step(
     momentum: float,
     interpret: Optional[bool] = None,
     tile_t: Optional[int] = None,
+    iters: int = 1,
 ):
     """Whole-iteration momentum-GL step factory (r3).
 
@@ -589,6 +724,11 @@ def make_gl_momentum_step(
     invocation, with all four arrays in the padded row layout
     ``(B, n_tiles*tile_t, Fp)`` (``to_rows``/``from_rows`` convert).  The
     magnitude and envelope operands are baked in here, outside the loop.
+
+    ``iters=2`` (r3.8, overlap <= 5 only — the 8-row halo must cover two
+    receptive fields) runs TWO chained iterations per invocation: interior
+    rows equal two single steps exactly, per-iteration HBM traffic and
+    dispatch halve.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -608,6 +748,25 @@ def make_gl_momentum_step(
 
     def from_rows(a):
         return a[:, :T, :F]
+
+    if iters == 2:
+        overlap = n_fft // hop_length
+        if HALO < 2 * (overlap - 1):
+            raise ValueError(
+                "iters=2 needs HALO >= 2*(overlap-1); overlap %d too large"
+                % overlap
+            )
+
+        def step(are_r, aim_r, tre_r, tim_r):
+            pads = [(0, 0), (HALO, rows_p - HALO - rows_out), (0, 0)]
+            return _gl_call(
+                magp, jnp.pad(are_r, pads), jnp.pad(aim_r, pads), envp,
+                n_fft, hop_length, taps, interpret, tile_t,
+                trep=jnp.pad(tre_r, pads), timp=jnp.pad(tim_r, pads),
+                mom=float(momentum), two_iter=True,
+            )
+
+        return step, to_rows, from_rows
 
     def step(are_r, aim_r, tre_r, tim_r):
         pads = [(0, 0), (HALO, rows_p - HALO - rows_out), (0, 0)]

@@ -373,6 +373,12 @@ def _delta_check(result: dict) -> dict:
         "midside_snr_db", "mulaw_snr_db", "window_snr_db",
         "if_phase_snr_db", "streaming_snr_db",
     ]
+    # per-metric noise floors: the small-workload latency metrics
+    # (streaming, GL) swing with shared-chip tenancy far beyond the 8%
+    # default (observed process-to-process band for streaming: 207-628K,
+    # BENCH_NOTES.md methodology) — flag only drops beyond that band
+    threshold = {"streaming_frames_per_sec": -35.0,
+                 "griffin_lim_frames_per_sec": -20.0}
     deltas, regressions = {}, []
     for k in higher_is_better:
         now, old = result.get(k), prev.get(k)
@@ -380,7 +386,7 @@ def _delta_check(result: dict) -> dict:
             continue
         pct = 100.0 * (now - old) / abs(old)
         deltas[k] = round(pct, 1)
-        if pct < -8.0:
+        if pct < threshold.get(k, -8.0):
             regressions.append(k)
     return {
         "vs_round": rnd,
