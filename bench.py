@@ -277,6 +277,36 @@ def bench_configs(x: np.ndarray):
         max(N_ITER_TPU // 10, 5),
     )
     out["pghi_bidir_b1_inversions_per_sec"] = round(1.0 / dt_b1, 1)
+    # DGT+Magnitude forward throughput (the flagship chain): since r3.6's
+    # nyquist-depadded lane layout the gaussian full-K kernel beats the XLA
+    # fused path, so "auto" serves it from Pallas — record it so the win is
+    # tracked round over round (same honesty guard as the headline chain)
+    from acids_transforms_tpu.fuse import fusable, fuse_forward
+
+    dgt_chain = T.Mono() + T.DGT(n_fft=N_FFT, hop_length=HOP) + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=True, n_fft=N_FFT
+    )
+    xb64 = jnp.broadcast_to(xj, (64, xj.shape[-1]))
+    dgt_chain = dgt_chain.fit(xb64)
+    try:
+        dgt_fwd = fuse_forward(dgt_chain) if fusable(dgt_chain) else None
+        y_ref_d = jax.jit(lambda c, v: c.forward(v))(dgt_chain, xb64[:2])
+        if dgt_fwd is not None:
+            y_d = jax.jit(dgt_fwd)(xb64[:2])
+            d_err = float(
+                jnp.max(jnp.abs(y_d - y_ref_d)) / (jnp.max(jnp.abs(y_ref_d)) + 1e-12)
+            )
+            if d_err >= 1e-4:
+                dgt_fwd = None
+        run_d = dgt_fwd if dgt_fwd is not None else (
+            lambda v: dgt_chain.forward(v)
+        )
+        dt_d = _device_time(run_d, xb64, N_ITER_TPU // 2)
+        frames_d = 64 * int(y_ref_d.shape[-2])
+        out["dgt_forward_frames_per_sec"] = round(frames_d / dt_d, 1)
+    except Exception:
+        pass
+
     # GL on the hann STFT (the reference's default inversion context) —
     # rides the fused projection kernel on TPU (ops/pallas/glstep.py)
     stft_gl = T.STFT(n_fft=N_FFT, hop_length=HOP)
@@ -369,6 +399,7 @@ def _delta_check(result: dict) -> dict:
         "value", "xla_chain_frames_per_sec", "xla_fused_frames_per_sec",
         "pallas_fused_frames_per_sec", "fused_fit_frames_per_sec",
         "fused_mfcc_frames_per_sec", "pghi_invert_frames_per_sec",
+        "dgt_forward_frames_per_sec",
         "griffin_lim_frames_per_sec", "streaming_frames_per_sec",
         "midside_snr_db", "mulaw_snr_db", "window_snr_db",
         "if_phase_snr_db", "streaming_snr_db",

@@ -356,6 +356,45 @@ def test_gl_project_matches_roundtrip_interior():
     assert rel < 1e-4, rel
 
 
+def test_gl_double_step_interior_matches_two_single_steps():
+    # make_gl_momentum_step(iters=2) chains two projection+momentum+renorm
+    # passes inside one invocation (r3.8).  Interior rows (>= 2*(overlap-1)
+    # frames from each signal edge) must equal two chained single-step
+    # invocations bit-for-bit; only the signal-edge rows may differ (the
+    # fused pass computes iteration-1 context rows locally where the
+    # chained run reads zero-padded halo state).
+    from acids_transforms_tpu.ops.fft import taps_for_window
+    from acids_transforms_tpu.ops.pallas.glstep import make_gl_momentum_step
+    from acids_transforms_tpu.ops.windows import get_window
+
+    n_fft, hop = 512, 128
+    m = n_fft // hop - 1
+    w = get_window("hann", n_fft)
+    taps = taps_for_window(np.asarray(w))
+    x = RNG.standard_normal((2, 8000)).astype(np.float32)
+    spec = stft(jnp.asarray(x), n_fft, hop, w)
+    mag = jnp.abs(spec)
+    ang = spec / jnp.maximum(mag, 1e-20)
+
+    mom = 0.99 / 1.99
+    step1, to_rows, from_rows = make_gl_momentum_step(
+        mag, n_fft, hop, taps, w, mom
+    )
+    step2, _, _ = make_gl_momentum_step(
+        mag, n_fft, hop, taps, w, mom, iters=2
+    )
+
+    are, aim = to_rows(jnp.real(ang)), to_rows(jnp.imag(ang))
+    z = jnp.zeros_like(are)
+    chained = step1(*step1(are, aim, z, z))
+    fused = step2(are, aim, z, z)
+    sl = slice(2 * m, mag.shape[1] - 2 * m)
+    for got, ref in zip(fused, chained):
+        ga = np.asarray(from_rows(got))[:, sl]
+        gr = np.asarray(from_rows(ref))[:, sl]
+        np.testing.assert_array_equal(ga, gr)
+
+
 def test_gl_project_with_traced_window():
     # serving jits invert with the transform as an argument: the window
     # reaching gl_project is a tracer (regression: np.asarray crash)

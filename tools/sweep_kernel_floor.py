@@ -59,11 +59,20 @@ def main():
     cs_hi, cs_lo = S._split_bf16(CS)
     basis = S._stack_basis(cc_hi, cc_lo, cs_hi, cs_lo)
     mel_hi, mel_lo = S._split_bf16(mel_p)
+    # the shipped kernel skips the square bank's zero 128-blocks (banded,
+    # exact) — measure that form at s6/s7 and keep the dense GEMM as the
+    # final stage for comparison (it is what the pre-r3 kernel paid).  The
+    # banded _mel3 reads the [hi; lo; hi]-interleaved operand (_stack_mel).
+    mblocks = S.mel_block_structure(np.asarray(mel_p))
+    mel_stacked = S._stack_mel(mel_hi, mel_lo)
     aff = jnp.asarray([[0.0, 1.0]], jnp.float32)
     frames = TPU_BATCH * T
     print(f"device={jax.devices()[0]} tile_t={tile_t} n_tiles={n_tiles} grid={B}x{n_tiles}", flush=True)
 
     def run(stage):
+        banded = stage in (6, 7) and mblocks is not None
+        melh_op = mel_stacked if banded else mel_hi
+
         def kernel(x_ref, basis_r, twr, twi, melh, mell, aff_ref, o_ref):
             if stage == 0:
                 o_ref[0, :, :] = jnp.zeros_like(o_ref[0]) + x_ref[0][0, 0]
@@ -86,8 +95,9 @@ def main():
             if stage <= 5:
                 o_ref[0, :, :] = mag
                 return
-            mel = S._mel3(mag, melh, mell)
-            if stage == 6:
+            mel = S._mel3(mag, melh, mell,
+                          mel_blocks=mblocks if banded else None)
+            if stage in (6, 8):
                 o_ref[0, :, :] = mel
                 return
             o_ref[0, :, :] = (jnp.log1p(mel) - aff_ref[0, 0]) / aff_ref[0, 1]
@@ -103,7 +113,7 @@ def main():
             in_specs=[S._x_spec(tile_t, halo, HOP)]
             + [fixed(basis.shape)]
             + [fixed((TWR.shape[0], Fp))] * 2
-            + [fixed((Fp_mag, Mp)), fixed((Fp_mag, Mp)),
+            + [fixed(melh_op.shape), fixed((Fp_mag, Mp)),
                pl.BlockSpec((1, 2), lambda b, t: (0, 0), memory_space=pltpu.SMEM)],
             out_specs=pl.BlockSpec((1, tile_t, out_w), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_t, out_w), jnp.float32),
@@ -112,12 +122,12 @@ def main():
                 vmem_limit_bytes=96 * 1024 * 1024,
             ),
         )
-        jf = jax.jit(lambda v: f(v, basis, TWR, TWI, mel_hi, mel_lo, aff))
+        jf = jax.jit(lambda v: f(v, basis, TWR, TWI, melh_op, mel_lo, aff))
         dt = _device_time(jf, x_rows, N_ITER)
         return dt
 
     names = ["s0_copy", "s1_dots", "s2_dots3", "s3_combine", "s4_taps",
-             "s5_mag", "s6_mel", "s7_full"]
+             "s5_mag", "s6_mel_banded", "s7_full", "s8_mel_dense"]
     prev = 0.0
     for i, name in enumerate(names):
         dt = run(i)
