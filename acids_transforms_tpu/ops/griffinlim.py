@@ -19,6 +19,14 @@ from .fft import istft, stft
 
 __all__ = ["griffin_lim"]
 
+# chained GL iterations per fused-kernel invocation (ops/pallas/glstep.py:
+# make_gl_momentum_step(iters=)): amortizes per-iteration HBM state traffic
+# and dispatch; interior rows are bit-exact vs single steps at any chain
+# length.  Swept on the v5e at 24-iter GL 1024/256 b8 (BENCH_NOTES r3.9):
+# 1 -> 498K, 2 -> 598K, 3 -> 614K, 4 -> 650K, 6 -> 596K frames/s — the
+# halo re-fetch overtakes the invocation saving past 4.
+GL_CHAIN = 4
+
 
 def griffin_lim(
     magnitude: jnp.ndarray,
@@ -104,14 +112,20 @@ def griffin_lim(
             step, to_rows, from_rows = make_gl_momentum_step(
                 mag3, n_fft, hop_length, taps, window, mom
             )
-            # r3.8: TWO chained iterations per kernel invocation where the
-            # halo covers both receptive fields — interior-exact vs two
-            # single steps, halves per-iteration HBM traffic + dispatch
+            # r3.8/r3.9: chained iterations per kernel invocation —
+            # interior-exact vs single steps, divides per-iteration HBM
+            # traffic + dispatch by the chain length (measured optimum 4
+            # at the 1024/256 bench shape; the halo grows with
+            # chain*overlap, so cap the fetch overhead at ~tile_t/8)
             overlap = n_fft // hop_length
             step2 = None
-            if n_iter >= 2 and 2 * (overlap - 1) <= 8:
+            chain_k = min(GL_CHAIN, n_iter)
+            while chain_k >= 2 and chain_k * (overlap - 1) > 24:
+                chain_k -= 1
+            if chain_k >= 2:
                 step2, _, _ = make_gl_momentum_step(
-                    mag3, n_fft, hop_length, taps, window, mom, iters=2
+                    mag3, n_fft, hop_length, taps, window, mom,
+                    iters=chain_k,
                 )
         else:
             step, to_rows, from_rows = make_gl_momentum_step_fullk(
@@ -124,9 +138,9 @@ def griffin_lim(
         z = jnp.zeros_like(are_r)
         carry = (are_r, aim_r, z, z)
         if step2 is not None:
-            pairs, rem = divmod(n_iter, 2)
+            groups, rem = divmod(n_iter, chain_k)
             carry = jax.lax.fori_loop(
-                0, pairs, lambda _, c: step2(*c), carry
+                0, groups, lambda _, c: step2(*c), carry
             )
             for _ in range(rem):
                 carry = step(*carry)

@@ -284,26 +284,27 @@ def _gl_kernel_momentum(
     naim_ref[0, :, :] = uim / n
 
 
-def _gl_kernel_momentum2(
+def _gl_kernel_momentum_chain(
     mag_ref, are_ref, aim_ref, tre_ref, tim_ref, env_ref,
     syn_basis_ref, ana_basis_ref, twr_ref, twi_ref, mom_ref,
     nare_ref, naim_ref, rre_ref, rim_ref,
     a1re_scr, a1im_scr,
-    *, taps, overlap, tile_t, n_bins,
+    *, taps, overlap, tile_t, n_bins, halo, chain,
 ):
-    """TWO momentum-GL iterations per invocation (r3.8).
+    """``chain`` momentum-GL iterations per invocation (r3.8/r3.9).
 
     Per-iteration HBM traffic (mag + 4 state arrays) and kernel dispatch
-    are the non-compute share of the GL loop; running two projections back
-    to back halves both.  The 8-row halo covers both receptive fields
-    (each projection consumes ``overlap - 1`` rows per side, so iteration
-    1 emits a window ``2 (overlap-1)`` rows wider than the output tile and
-    iteration 2 consumes it back down — exact for overlap <= 4; interior
-    rows equal two chained single-step invocations bit-for-bit, signal
-    edges keep the documented OLA-tail boundary).  ``tre``/``tim`` ride
-    the windowed spec here (iteration 1's momentum needs the wider rows).
-    Intermediate angles round-trip through VMEM scratch so the depadded
-    lane slices stay REF slices (the Mosaic value-slice trap).
+    are the non-compute share of the GL loop; running ``chain`` projections
+    back to back divides both by ``chain``.  Each projection consumes
+    ``m = overlap - 1`` rows per side, so iteration ``i`` (0-based) emits a
+    window ``2 m (chain-1-i)`` rows wider than the output tile and the
+    next iteration consumes it back down — the caller sizes the halo to
+    ``chain * m``.  Interior rows equal ``chain`` chained single-step
+    invocations bit-for-bit (suite-tested); signal edges keep the
+    documented OLA-tail boundary.  ``tre``/``tim`` ride the windowed spec
+    (iteration 0's momentum needs the wider rows).  Intermediate angles
+    round-trip through VMEM scratch so the depadded lane slices stay REF
+    slices (the Mosaic value-slice trap).
     """
     f32 = jnp.float32
     m = overlap - 1
@@ -311,76 +312,72 @@ def _gl_kernel_momentum2(
     Fd = twr_ref.shape[-1]
     depad = Fd == n_bins - 1 and Fd < Fp
     mom = mom_ref[0, 0]
-    mag = mag_ref[0]
-    W1 = tile_t + 2 * m  # iteration-1 output rows (window rows HALO-m ..)
 
     def nyq_col(tail):
         lane0 = jax.lax.broadcasted_iota(jnp.int32, tail.shape, 1)
         return jnp.sum(jnp.where(lane0 == 0, tail, 0.0), axis=1, keepdims=True)
 
-    # ---- iteration 1: project to the wider window [HALO-m, HALO+tile_t+m).
-    # Lane slices stay on REFS throughout (the Mosaic value-slice trap);
-    # sublane (row) value slices are fine.
-    if depad:
-        Yre = mag_ref[0, :, :Fd] * are_ref[0, :, :Fd]
-        Yim = mag_ref[0, :, :Fd] * aim_ref[0, :, :Fd]
-        ynyq = nyq_col(mag_ref[0, :, Fd:] * are_ref[0, :, Fd:])
-        Yre, Yim, ynyq = _taps_conv_pair_nyq(Yre, Yim, ynyq, taps, n_bins - 1)
-    else:
-        Yre, Yim = _taps_conv_pair(
-            mag_ref[0] * are_ref[0], mag_ref[0] * aim_ref[0], taps, n_bins
+    Rre_prev = Rim_prev = None
+    for i in range(chain):
+        Wi = tile_t + 2 * m * (chain - 1 - i)       # this iteration's rows
+        off = halo - m * (chain - 1 - i)            # their window offset
+        lo, hi = off - m, off + Wi + m              # input rows consumed
+        # Lane slices stay on REFS throughout (the Mosaic value-slice
+        # trap); sublane (row) value slices are fine.
+        if i == 0:
+            src_re, src_im = are_ref, aim_ref
+            if depad:
+                Yre = mag_ref[0, lo:hi, :Fd] * src_re[0, lo:hi, :Fd]
+                Yim = mag_ref[0, lo:hi, :Fd] * src_im[0, lo:hi, :Fd]
+                ynyq = nyq_col(mag_ref[0, lo:hi, Fd:] * src_re[0, lo:hi, Fd:])
+            else:
+                Yre = mag_ref[0, lo:hi] * src_re[0, lo:hi]
+                Yim = mag_ref[0, lo:hi] * src_im[0, lo:hi]
+        else:
+            Win = Wi + 2 * m  # previous iteration's output rows
+            if depad:
+                Yre = mag_ref[0, lo:hi, :Fd] * a1re_scr[:Win, :Fd]
+                Yim = mag_ref[0, lo:hi, :Fd] * a1im_scr[:Win, :Fd]
+                ynyq = nyq_col(mag_ref[0, lo:hi, Fd:] * a1re_scr[:Win, Fd:])
+            else:
+                Yre = mag_ref[0, lo:hi] * a1re_scr[:Win]
+                Yim = mag_ref[0, lo:hi] * a1im_scr[:Win]
+        if depad:
+            Yre, Yim, ynyq = _taps_conv_pair_nyq(Yre, Yim, ynyq, taps, n_bins - 1)
+        else:
+            Yre, Yim = _taps_conv_pair(Yre, Yim, taps, n_bins)
+            ynyq = None
+        Rre, Rim = _gl_project_vals(
+            Yre, Yim, ynyq, Yre, env_ref[0][lo:hi], syn_basis_ref,
+            ana_basis_ref, twr_ref, twi_ref, taps=taps, overlap=overlap,
+            n_bins=n_bins, Fp=Fp, Fd=Fd, depad=depad, out_rows=Wi,
+            out_off_w=m,
         )
-        ynyq = None
-    R1re, R1im = _gl_project_vals(
-        Yre, Yim, ynyq, mag, env_ref[0], syn_basis_ref, ana_basis_ref,
-        twr_ref, twi_ref, taps=taps, overlap=overlap, n_bins=n_bins,
-        Fp=Fp, Fd=Fd, depad=depad, out_rows=W1, out_off_w=HALO - m,
-    )
-    u1re = R1re - mom * tre_ref[0][HALO - m: HALO + tile_t + m]
-    u1im = R1im - mom * tim_ref[0][HALO - m: HALO + tile_t + m]
-    n1 = jnp.maximum(jnp.sqrt(u1re * u1re + u1im * u1im), 1e-16)
-    a1re_scr[...] = u1re / n1
-    a1im_scr[...] = u1im / n1
-
-    # ---- iteration 2: consume the wider window back down to the tile;
-    # the intermediate angles live in scratch so their lane slices are refs
-    lo, hi = HALO - m, HALO + tile_t + m
-    if depad:
-        Y2re = mag_ref[0, lo:hi, :Fd] * a1re_scr[:, :Fd]
-        Y2im = mag_ref[0, lo:hi, :Fd] * a1im_scr[:, :Fd]
-        y2nyq = nyq_col(mag_ref[0, lo:hi, Fd:] * a1re_scr[:, Fd:])
-        Y2re, Y2im, y2nyq = _taps_conv_pair_nyq(
-            Y2re, Y2im, y2nyq, taps, n_bins - 1
-        )
-    else:
-        Y2re, Y2im = _taps_conv_pair(
-            mag_ref[0, lo:hi] * a1re_scr[...],
-            mag_ref[0, lo:hi] * a1im_scr[...],
-            taps, n_bins,
-        )
-        y2nyq = None
-    R2re, R2im = _gl_project_vals(
-        Y2re, Y2im, y2nyq, a1re_scr[...], env_ref[0][lo:hi],
-        syn_basis_ref, ana_basis_ref, twr_ref, twi_ref,
-        taps=taps, overlap=overlap, n_bins=n_bins,
-        Fp=Fp, Fd=Fd, depad=depad, out_rows=tile_t, out_off_w=m,
-    )
-    rre_ref[0, :, :] = R2re
-    rim_ref[0, :, :] = R2im
-    u2re = R2re - mom * R1re[m: m + tile_t]
-    u2im = R2im - mom * R1im[m: m + tile_t]
-    n2 = jnp.maximum(jnp.sqrt(u2re * u2re + u2im * u2im), 1e-16)
-    nare_ref[0, :, :] = u2re / n2
-    naim_ref[0, :, :] = u2im / n2
+        if i == 0:
+            ure = Rre - mom * tre_ref[0][off: off + Wi]
+            uim = Rim - mom * tim_ref[0][off: off + Wi]
+        else:
+            ure = Rre - mom * Rre_prev[m: m + Wi]
+            uim = Rim - mom * Rim_prev[m: m + Wi]
+        n = jnp.maximum(jnp.sqrt(ure * ure + uim * uim), 1e-16)
+        if i < chain - 1:
+            a1re_scr[:Wi] = ure / n
+            a1im_scr[:Wi] = uim / n
+            Rre_prev, Rim_prev = Rre, Rim
+        else:
+            rre_ref[0, :, :] = Rre
+            rim_ref[0, :, :] = Rim
+            nare_ref[0, :, :] = ure / n
+            naim_ref[0, :, :] = uim / n
 
 
-def _gl_specs(tile_t, Fp, B, n_tiles):
+def _gl_specs(tile_t, Fp, B, n_tiles, halo=HALO):
     """Shared block-spec builders for the GL kernel entries: the windowed
-    input spec (tile + 2*HALO rows), the fixed whole-operand spec, and the
+    input spec (tile + 2*halo rows), the fixed whole-operand spec, and the
     output spec/shape pair."""
     def win3(last_dim):
         return pl.BlockSpec(
-            (pl.Element(1), pl.Element(tile_t + 2 * HALO), pl.Element(last_dim)),
+            (pl.Element(1), pl.Element(tile_t + 2 * halo), pl.Element(last_dim)),
             lambda b, t: (b, t * tile_t, 0),
             memory_space=pltpu.VMEM,
         )
@@ -398,17 +395,18 @@ def _gl_specs(tile_t, Fp, B, n_tiles):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_fft", "hop_length", "taps", "interpret", "tile_t", "two_iter",
+        "n_fft", "hop_length", "taps", "interpret", "tile_t", "chain",
+        "halo",
     ),
 )
 def _gl_call(
     magp, arep, aimp, envp, n_fft, hop_length, taps, interpret, tile_t,
-    trep=None, timp=None, mom=None, two_iter=False,
+    trep=None, timp=None, mom=None, chain=1, halo=HALO,
 ):
     B, rows_p, Fp = magp.shape
     overlap = n_fft // hop_length
     hop = hop_length
-    n_tiles = (rows_p - 2 * HALO) // tile_t
+    n_tiles = (rows_p - 2 * halo) // tile_t
     F = n_fft // 2 + 1
 
     from .spectral import _nyq_depad
@@ -454,7 +452,7 @@ def _gl_call(
     ana_basis = jnp.concatenate([ana_top, ana_mid, ana_top], axis=0)
 
     momentum = trep is not None
-    win3, fixed, out_spec, out_sd = _gl_specs(tile_t, Fp, B, n_tiles)
+    win3, fixed, out_spec, out_sd = _gl_specs(tile_t, Fp, B, n_tiles, halo)
     common = dict(
         grid=(B, n_tiles),
         compiler_params=pltpu.CompilerParams(
@@ -465,15 +463,16 @@ def _gl_call(
     )
 
     if momentum:
-        if two_iter:
-            # two iterations per invocation (r3.8): tre/tim ride the
-            # windowed spec (iteration 1's momentum needs the wider rows);
-            # the intermediate angles live in VMEM scratch
+        if chain >= 2:
+            # `chain` iterations per invocation (r3.8/r3.9): tre/tim ride
+            # the windowed spec (iteration 0's momentum needs the wider
+            # rows); the intermediate angles live in VMEM scratch
             m = overlap - 1
             kernel = functools.partial(
-                _gl_kernel_momentum2, taps=taps, overlap=overlap,
-                tile_t=tile_t, n_bins=F,
+                _gl_kernel_momentum_chain, taps=taps, overlap=overlap,
+                tile_t=tile_t, n_bins=F, halo=halo, chain=chain,
             )
+            scr_rows = tile_t + 2 * m * (chain - 1)
             return pl.pallas_call(
                 kernel,
                 in_specs=[win3(Fp), win3(Fp), win3(Fp), win3(Fp), win3(Fp),
@@ -484,8 +483,8 @@ def _gl_call(
                 out_specs=(out_spec,) * 4,
                 out_shape=(out_sd,) * 4,
                 scratch_shapes=[
-                    pltpu.VMEM((tile_t + 2 * m, Fp), jnp.float32),
-                    pltpu.VMEM((tile_t + 2 * m, Fp), jnp.float32),
+                    pltpu.VMEM((scr_rows, Fp), jnp.float32),
+                    pltpu.VMEM((scr_rows, Fp), jnp.float32),
                 ],
                 **common,
             )(
@@ -725,10 +724,12 @@ def make_gl_momentum_step(
     ``(B, n_tiles*tile_t, Fp)`` (``to_rows``/``from_rows`` convert).  The
     magnitude and envelope operands are baked in here, outside the loop.
 
-    ``iters=2`` (r3.8, overlap <= 5 only — the 8-row halo must cover two
-    receptive fields) runs TWO chained iterations per invocation: interior
-    rows equal two single steps exactly, per-iteration HBM traffic and
-    dispatch halve.
+    ``iters=k`` (r3.8/r3.9) runs k chained iterations per invocation:
+    interior rows equal k single steps exactly, per-iteration HBM traffic
+    and dispatch divide by k.  The halo grows to cover the k stacked
+    receptive fields (``k * (overlap-1)`` rows, 4-row aligned), so very
+    large ``k * overlap`` trades extra per-tile input fetch for the saved
+    invocations — measured optimum at the bench shape is k=2-4.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -737,11 +738,17 @@ def make_gl_momentum_step(
     if tile_t is None:
         tile_t = _pick_tile(T)
     n_tiles = -(-T // tile_t)
-    rows_p = n_tiles * tile_t + 2 * HALO
+    overlap = n_fft // hop_length
+    halo = HALO
+    if iters >= 2:
+        # the k stacked receptive fields need k*m context rows; keep the
+        # window row count 8-aligned (tile_t is) via a 4-aligned halo
+        halo = max(HALO, -(-(iters * (overlap - 1)) // 4) * 4)
+    rows_p = n_tiles * tile_t + 2 * halo
     rows_out = n_tiles * tile_t
 
-    magp = jnp.pad(mag, [(0, 0), (HALO, rows_p - HALO - T), (0, Fp - F)])
-    envp = _env_rows(mag, n_fft, hop_length, window, rows_p, B)
+    magp = jnp.pad(mag, [(0, 0), (halo, rows_p - halo - T), (0, Fp - F)])
+    envp = _env_rows(mag, n_fft, hop_length, window, rows_p, B, halo)
 
     def to_rows(a):
         return jnp.pad(a, [(0, 0), (0, rows_out - T), (0, Fp - F)])
@@ -749,21 +756,14 @@ def make_gl_momentum_step(
     def from_rows(a):
         return a[:, :T, :F]
 
-    if iters == 2:
-        overlap = n_fft // hop_length
-        if HALO < 2 * (overlap - 1):
-            raise ValueError(
-                "iters=2 needs HALO >= 2*(overlap-1); overlap %d too large"
-                % overlap
-            )
-
+    if iters >= 2:
         def step(are_r, aim_r, tre_r, tim_r):
-            pads = [(0, 0), (HALO, rows_p - HALO - rows_out), (0, 0)]
+            pads = [(0, 0), (halo, rows_p - halo - rows_out), (0, 0)]
             return _gl_call(
                 magp, jnp.pad(are_r, pads), jnp.pad(aim_r, pads), envp,
                 n_fft, hop_length, taps, interpret, tile_t,
                 trep=jnp.pad(tre_r, pads), timp=jnp.pad(tim_r, pads),
-                mom=float(momentum), two_iter=True,
+                mom=float(momentum), chain=iters, halo=halo,
             )
 
         return step, to_rows, from_rows
@@ -779,7 +779,7 @@ def make_gl_momentum_step(
     return step, to_rows, from_rows
 
 
-def _env_rows(mag, n_fft, hop_length, window, rows_p, B):
+def _env_rows(mag, n_fft, hop_length, window, rows_p, B, halo=HALO):
     """Chunk-major OLA envelope rows shared by both kernel entries."""
     T = mag.shape[1]
     w2 = jnp.broadcast_to(
@@ -791,7 +791,7 @@ def _env_rows(mag, n_fft, hop_length, window, rows_p, B):
     n_chunks_sig = (T - 1) + n_fft // hop_length
     env_rows = env.reshape(n_chunks_sig, hop_length)
     envp = jnp.ones((rows_p, hop_length), jnp.float32)
-    envp = jax.lax.dynamic_update_slice(envp, env_rows, (HALO, 0))
+    envp = jax.lax.dynamic_update_slice(envp, env_rows, (halo, 0))
     return jnp.broadcast_to(envp[None], (B, rows_p, hop_length))
 
 

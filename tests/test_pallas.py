@@ -356,13 +356,14 @@ def test_gl_project_matches_roundtrip_interior():
     assert rel < 1e-4, rel
 
 
-def test_gl_double_step_interior_matches_two_single_steps():
-    # make_gl_momentum_step(iters=2) chains two projection+momentum+renorm
-    # passes inside one invocation (r3.8).  Interior rows (>= 2*(overlap-1)
-    # frames from each signal edge) must equal two chained single-step
-    # invocations bit-for-bit; only the signal-edge rows may differ (the
-    # fused pass computes iteration-1 context rows locally where the
-    # chained run reads zero-padded halo state).
+@pytest.mark.parametrize("iters", [2, 3])
+def test_gl_chained_step_interior_matches_single_steps(iters):
+    # make_gl_momentum_step(iters=k) chains k projection+momentum+renorm
+    # passes inside one invocation (r3.8/r3.9).  Interior rows
+    # (>= k*(overlap-1) frames from each signal edge) must equal k chained
+    # single-step invocations bit-for-bit; only the signal-edge rows may
+    # differ (the fused pass computes intermediate context rows locally
+    # where the chained run reads zero-padded halo state).
     from acids_transforms_tpu.ops.fft import taps_for_window
     from acids_transforms_tpu.ops.pallas.glstep import make_gl_momentum_step
     from acids_transforms_tpu.ops.windows import get_window
@@ -380,15 +381,17 @@ def test_gl_double_step_interior_matches_two_single_steps():
     step1, to_rows, from_rows = make_gl_momentum_step(
         mag, n_fft, hop, taps, w, mom
     )
-    step2, _, _ = make_gl_momentum_step(
-        mag, n_fft, hop, taps, w, mom, iters=2
+    stepk, _, _ = make_gl_momentum_step(
+        mag, n_fft, hop, taps, w, mom, iters=iters
     )
 
     are, aim = to_rows(jnp.real(ang)), to_rows(jnp.imag(ang))
     z = jnp.zeros_like(are)
-    chained = step1(*step1(are, aim, z, z))
-    fused = step2(are, aim, z, z)
-    sl = slice(2 * m, mag.shape[1] - 2 * m)
+    chained = (are, aim, z, z)
+    for _ in range(iters):
+        chained = step1(*chained)
+    fused = stepk(are, aim, z, z)
+    sl = slice(iters * m, mag.shape[1] - iters * m)
     for got, ref in zip(fused, chained):
         ga = np.asarray(from_rows(got))[:, sl]
         gr = np.asarray(from_rows(ref))[:, sl]
