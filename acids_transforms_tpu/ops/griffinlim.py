@@ -109,23 +109,26 @@ def griffin_lim(
         # one invocation — no per-iteration XLA elementwise passes over the
         # spectrogram (r3, ops/pallas/glstep.py:make_gl_momentum_step)
         if use_kernel:
-            step, to_rows, from_rows = make_gl_momentum_step(
-                mag3, n_fft, hop_length, taps, window, mom
-            )
             # r3.8/r3.9: chained iterations per kernel invocation —
             # interior-exact vs single steps, divides per-iteration HBM
             # traffic + dispatch by the chain length (measured optimum 4
             # at the 1024/256 bench shape; the halo grows with
             # chain*overlap, so cap the fetch overhead at ~tile_t/8)
             overlap = n_fft // hop_length
-            step2 = None
+            step = step2 = None
             chain_k = min(GL_CHAIN, n_iter)
             while chain_k >= 2 and chain_k * (overlap - 1) > 24:
                 chain_k -= 1
             if chain_k >= 2:
-                step2, _, _ = make_gl_momentum_step(
+                step2, to_rows, from_rows = make_gl_momentum_step(
                     mag3, n_fft, hop_length, taps, window, mom,
                     iters=chain_k,
+                )
+            if chain_k < 2 or n_iter % chain_k:
+                # the single-step factory pads its own magnitude/envelope
+                # copies — build it only when remainder steps will run
+                step, to_rows, from_rows = make_gl_momentum_step(
+                    mag3, n_fft, hop_length, taps, window, mom
                 )
         else:
             step, to_rows, from_rows = make_gl_momentum_step_fullk(
@@ -143,7 +146,7 @@ def griffin_lim(
                 0, groups, lambda _, c: step2(*c), carry
             )
             for _ in range(rem):
-                carry = step(*carry)
+                carry = step(*carry)  # noqa: step built when rem > 0
         else:
             carry = jax.lax.fori_loop(
                 0, n_iter, lambda _, c: step(*c), carry

@@ -101,12 +101,25 @@ def scan_roundtrip(
     # would run the Pallas interpreter, orders of magnitude slower than the
     # generic scan; explicit "fused" still works anywhere (interpret mode
     # is the validation tool the tests use)
-    if (
-        (backend == "fused"
-         or (backend == "auto" and jax.default_backend() == "tpu"))
-        and inversion_mode is None
+    fused_ok = (
+        inversion_mode is None
         and batch_elems <= 64  # the fused kernel carries the batch whole
         and fused_roundtrip_available(chain, chunk_size)
+    )
+    if backend == "fused" and not fused_ok:
+        # explicit requests fail loudly (mirrors serving's loud fallback):
+        # a silent generic-scan substitution would corrupt kernel
+        # validation and timing runs
+        raise ValueError(
+            "backend='fused' requested but the fused roundtrip kernel does "
+            "not cover this call (needs a direct [OverlapAdd, RealtimeSTFT] "
+            "chain, complex inversion_mode=None, chunk_size a hop multiple, "
+            "lane-aligned hop, batch <= 64); use backend='auto' to fall "
+            "back to the generic scan"
+        )
+    if fused_ok and (
+        backend == "fused"
+        or (backend == "auto" and jax.default_backend() == "tpu")
     ):
         return make_fused_roundtrip(chain, chunk_size)(x)
 

@@ -402,9 +402,16 @@ class ComposeAudioTransform(AudioTransform):
     def __init__(self, transforms: Sequence[AudioTransform] = (), sr: int = 44100):
         super().__init__(sr=sr)
         self.transforms = list(transforms)
+        self._register_child_modes()
+
+    def _register_child_modes(self) -> None:
         # auto-register every child's inversion modes so a shared mode string
         # broadcast by invert() is recognized by siblings that don't own it —
-        # keeps the typo-protection registry open to user subclasses
+        # keeps the typo-protection registry open to user subclasses.  Called
+        # from __init__ AND from invert(): pytree unflattening (jit
+        # boundaries, npz checkpoint load in a fresh process) reconstructs
+        # chains without running __init__, and the loaded chain must still
+        # accept its own custom modes.
         for t in self.transforms:
             try:
                 modes = t.get_inversion_modes()
@@ -498,6 +505,7 @@ class ComposeAudioTransform(AudioTransform):
         return x, time
 
     def invert(self, x, inversion_mode=None, key=None):
+        self._register_child_modes()
         for t in self.transforms[::-1]:
             if key is not None:
                 key, sub = jax.random.split(key)
@@ -525,6 +533,7 @@ class ComposeAudioTransform(AudioTransform):
         return new_states, x
 
     def step_invert(self, state, y, inversion_mode: Optional[str] = None, key=None):
+        self._register_child_modes()
         new_states = list(state)
         for i in range(len(self.transforms) - 1, -1, -1):
             if key is not None:

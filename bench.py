@@ -126,8 +126,8 @@ def bench_tpu(x: np.ndarray):
                 dt_pallas = _device_time(pfused, xb, N_ITER_TPU)
                 if dt_pallas < dt:
                     dt, backend = dt_pallas, "pallas-fused"
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"bench: pallas_fused metric failed: {e!r}", file=sys.stderr)
 
     y = jax.jit(lambda c, v: c.forward(v))(chain, xb)
     frames = TPU_BATCH * y.shape[-2]
@@ -162,8 +162,8 @@ def bench_tpu(x: np.ndarray):
             )
             if ok:
                 fps_fit = frames / _device_time(fit_scalars, xb, N_ITER_TPU)
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"bench: fused_fit metric failed: {e!r}", file=sys.stderr)
 
     # fused MFCC (power-2 mel spectrogram, the feature-extraction op)
     fps_mfcc = None
@@ -177,8 +177,8 @@ def bench_tpu(x: np.ndarray):
         )
         if m_err < 1e-4:
             fps_mfcc = frames / _device_time(fm, xb, N_ITER_TPU)
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"bench: fused_mfcc metric failed: {e!r}", file=sys.stderr)
 
     fps_fused = frames / dt_fused_xla if dt_fused_xla else None
     fps_pallas = frames / dt_pallas if dt_pallas else None
@@ -304,8 +304,8 @@ def bench_configs(x: np.ndarray):
         dt_d = _device_time(run_d, xb64, N_ITER_TPU // 2)
         frames_d = 64 * int(y_ref_d.shape[-2])
         out["dgt_forward_frames_per_sec"] = round(frames_d / dt_d, 1)
-    except Exception:
-        pass
+    except Exception as e:  # keep the JSON line intact but never silently
+        print(f"bench: dgt_forward metric failed: {e!r}", file=sys.stderr)
 
     # GL on the hann STFT (the reference's default inversion context) —
     # rides the fused projection kernel on TPU (ops/pallas/glstep.py)
@@ -399,7 +399,7 @@ def _delta_check(result: dict) -> dict:
         "value", "xla_chain_frames_per_sec", "xla_fused_frames_per_sec",
         "pallas_fused_frames_per_sec", "fused_fit_frames_per_sec",
         "fused_mfcc_frames_per_sec", "pghi_invert_frames_per_sec",
-        "dgt_forward_frames_per_sec",
+        "dgt_forward_frames_per_sec", "pghi_bidir_b1_inversions_per_sec",
         "griffin_lim_frames_per_sec", "streaming_frames_per_sec",
         "midside_snr_db", "mulaw_snr_db", "window_snr_db",
         "if_phase_snr_db", "streaming_snr_db",
@@ -409,10 +409,18 @@ def _delta_check(result: dict) -> dict:
     # default (observed process-to-process band for streaming: 207-628K,
     # BENCH_NOTES.md methodology) — flag only drops beyond that band
     threshold = {"streaming_frames_per_sec": -35.0,
-                 "griffin_lim_frames_per_sec": -20.0}
+                 "griffin_lim_frames_per_sec": -20.0,
+                 # B=1 latency: even noisier than the batched metrics
+                 "pghi_bidir_b1_inversions_per_sec": -35.0}
     deltas, regressions = {}, []
     for k in higher_is_better:
         now, old = result.get(k), prev.get(k)
+        if now is None and isinstance(old, (int, float)):
+            # a watched metric silently disappearing IS a regression (the
+            # guarded paths are wrapped in try/except so the JSON line
+            # survives — but the loss must be visible)
+            regressions.append(k + ":missing")
+            continue
         if not isinstance(now, (int, float)) or not isinstance(old, (int, float)) or old == 0:
             continue
         pct = 100.0 * (now - old) / abs(old)

@@ -136,6 +136,18 @@ def test_custom_inversion_mode_composes():
     AudioTransform.register_inversion_modes("my_custom_mode")
     T.Mono().invert(jnp.ones((1, 8)), inversion_mode="my_custom_mode")
 
+    # pytree reconstruction (jit boundaries, npz checkpoint load in a fresh
+    # process) bypasses __init__ — the rebuilt chain must still accept its
+    # own modes, so invert() re-registers them (regression: the registry
+    # was __init__-only and a loaded chain raised on its own custom mode)
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(chain)
+    loaded = jax.tree_util.tree_unflatten(treedef, leaves)
+    AudioTransform._KNOWN_INVERSION_MODES.discard("doubler")  # "fresh process"
+    rec = loaded.invert(y, inversion_mode="doubler")
+    np.testing.assert_allclose(np.asarray(rec)[..., 0, :], np.asarray(x)[0])
+
 
 def test_mono_signed_max_normalize_quirk_documented():
     # reference parity: normalize divides by the SIGNED max — a signal whose
