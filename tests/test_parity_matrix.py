@@ -12,7 +12,15 @@ RNG = np.random.default_rng(21)
 
 
 @pytest.mark.parametrize("window", ["hann", "hamming", "blackman"])
-@pytest.mark.parametrize("n_fft,hop", [(256, 64), (512, 256), (2048, 512)])
+@pytest.mark.parametrize(
+    "n_fft,hop",
+    [
+        (256, 64), (512, 256), (2048, 512),
+        # speech-style shapes: hop not dividing n_fft, n_fft not a power
+        # of two — the generic GEMM-DFT path must stay torch-exact there
+        (400, 160), (1000, 300),
+    ],
+)
 def test_stft_istft_parity(window, n_fft, hop):
     x = RNG.standard_normal((2, 16384)).astype(np.float32)
     w = get_window(window, n_fft)
