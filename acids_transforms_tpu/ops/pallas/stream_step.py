@@ -203,13 +203,17 @@ def make_fused_roundtrip(chain, chunk_size: int, interpret: Optional[bool] = Non
         L = x.shape[-1]
         n_chunks = -(-L // chunk_size)
         n_frames = n_chunks * T_c
-        # chunk granularity is internal to the session kernel (frames are
-        # global, the OLA tail carries) — larger grid steps amortize the
-        # per-step fixed cost without changing any output sample
-        T_k = min(_round_up(n_frames, 8), 128)
-        n_steps = -(-n_frames // T_k)
         xb = x.reshape((-1, L))
         B = xb.shape[0]
+        # chunk granularity is internal to the session kernel (frames are
+        # global, the OLA tail carries) — larger grid steps amortize the
+        # per-step fixed cost without changing any output sample.  The
+        # per-step intermediates scale with B * T_k (the synthesis-frame
+        # block alone is B*T_k*n_fft f32), so cap that product: B=32 at
+        # T_k=128 measured a scoped-VMEM OOM (82 MB vs the 64 MB limit)
+        # where B*T_k <= 1024 compiles with headroom at every B <= 64.
+        T_k = min(_round_up(n_frames, 8), 128, max(8, _round_up(1024 // B, 8)))
+        n_steps = -(-n_frames // T_k)
         total_rows = carry_rows + n_steps * T_k + (_WIN_PAD - carry_rows)
         sig = jnp.concatenate(
             [

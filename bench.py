@@ -347,6 +347,18 @@ def bench_configs(x: np.ndarray):
         lambda v: scan_roundtrip(rt_chain, v, 4096), xj[:L], max(N_ITER_TPU // 10, 5)
     )
     out["streaming_frames_per_sec"] = round(L / HOP / dt, 1)
+    # production serving: 64 concurrent realtime sessions in one fused
+    # session kernel (the grid-step frame count scales down with batch so
+    # per-step VMEM stays bounded — r3.9)
+    try:
+        xb64s = jnp.broadcast_to(xj[:L], (64, L))
+        dt64 = _device_time(
+            lambda v: scan_roundtrip(rt_chain, v, 4096), xb64s,
+            max(N_ITER_TPU // 20, 3),
+        )
+        out["streaming_64stream_frames_per_sec"] = round(64 * L / HOP / dt64, 1)
+    except Exception as e:
+        print(f"bench: streaming_64stream metric failed: {e!r}", file=sys.stderr)
     return out
 
 
@@ -401,6 +413,7 @@ def _delta_check(result: dict) -> dict:
         "fused_mfcc_frames_per_sec", "pghi_invert_frames_per_sec",
         "dgt_forward_frames_per_sec", "pghi_bidir_b1_inversions_per_sec",
         "griffin_lim_frames_per_sec", "streaming_frames_per_sec",
+        "streaming_64stream_frames_per_sec",
         "midside_snr_db", "mulaw_snr_db", "window_snr_db",
         "if_phase_snr_db", "streaming_snr_db",
     ]
@@ -409,6 +422,7 @@ def _delta_check(result: dict) -> dict:
     # default (observed process-to-process band for streaming: 207-628K,
     # BENCH_NOTES.md methodology) — flag only drops beyond that band
     threshold = {"streaming_frames_per_sec": -35.0,
+                 "streaming_64stream_frames_per_sec": -35.0,
                  "griffin_lim_frames_per_sec": -20.0,
                  # B=1 latency: even noisier than the batched metrics
                  "pghi_bidir_b1_inversions_per_sec": -35.0}

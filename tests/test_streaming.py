@@ -274,6 +274,15 @@ def test_fused_roundtrip_matches_generic(sig):
     yg = np.asarray(scan_roundtrip(chain, xb, 4096, backend="generic"))
     yf = np.asarray(scan_roundtrip(chain, xb, 4096, backend="fused"))
     assert np.abs(yg - yf).max() / np.abs(yg).max() < 1e-4
+    # many concurrent streams: the grid-step frame count scales down with
+    # batch so per-step VMEM stays bounded (B=32 at T_k=128 OOM'd scoped
+    # VMEM on the v5e) — output must stay identical
+    xw = jnp.asarray(
+        np.stack([sig[:8192] * (1 + 0.01 * i) for i in range(32)])
+    )
+    yg32 = np.asarray(scan_roundtrip(chain, xw, 4096, backend="generic"))
+    yf32 = np.asarray(scan_roundtrip(chain, xw, 4096, backend="fused"))
+    assert np.abs(yg32 - yf32).max() / np.abs(yg32).max() < 1e-4
     # gates: phaseless modes, mismatched params, non-divisor chunks decline
     assert not fused_roundtrip_available(
         T.OverlapAdd(1024, 256) + T.RealtimeSTFT(n_fft=512, hop_length=128), 4096
