@@ -103,7 +103,11 @@ def scan_roundtrip(
     # is the validation tool the tests use)
     fused_ok = (
         inversion_mode is None
-        and batch_elems <= 64  # the fused kernel carries the batch whole
+        # the fused kernel carries the batch whole; measured crossover: at
+        # B>=128 the generic scan wins (7.1M vs 5.7M frames/s at B=128,
+        # 8.5M vs 6.7M at B=256 — shrinking grid steps pay more fixed cost
+        # than XLA's op dispatch), so auto hands large fleets to XLA
+        and batch_elems <= 64
         and fused_roundtrip_available(chain, chunk_size)
     )
     if backend == "fused" and not fused_ok:
