@@ -108,7 +108,10 @@ def fusable(chain: AudioTransform, backend: str = "auto") -> bool:
     return _match_melspec(chain, backend) is not None
 
 
-def _xla_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
+def _xla_fused(
+    mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude,
+    out_dtype=jnp.float32,
+):
     n_fft, hop = stft_t.n_fft, stft_t.hop_length
 
     def forward(x: jnp.ndarray) -> jnp.ndarray:
@@ -132,12 +135,15 @@ def _xla_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
             mag = jnp.matmul(mag, mag_t.mel_bank, precision=prec)
         mag = mag_t.contrast(mag)
         mag = mag_t.norm.forward(mag)
-        return mag_t._drop_nyquist(mag)
+        return mag_t._drop_nyquist(mag).astype(out_dtype)
 
     return forward
 
 
-def _pallas_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
+def _pallas_fused(
+    mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude,
+    out_dtype=jnp.float32,
+):
     import jax
 
     from .ops.pallas.spectral import fused_melspec
@@ -204,13 +210,17 @@ def _pallas_fused(mono: Optional[Mono], stft_t: STFT, mag_t: Magnitude):
             # error accumulation and measures 7.8e-5 at 4096 without x4
             # (gaussian, f64 oracle) — x4 would only cost MACs there.
             x4=stft_t.n_fft >= 4096 and taps is not None,
+            # in-kernel store dtype: bf16 halves the output DMA (the
+            # dominant term of the kernel's bandwidth floor) and is
+            # bit-identical to rounding the f32 result
+            out_dtype=out_dtype,
         )
         return mag_t._drop_nyquist(y.reshape(batch_shape + y.shape[1:]))
 
     # pallas_call defines no AD rules; keep the fused forward differentiable
     # (spectral-loss training through the serving path) by pairing the kernel
     # primal with the mathematically-identical XLA formulation's VJP
-    xla_forward = _xla_fused(mono, stft_t, mag_t)
+    xla_forward = _xla_fused(mono, stft_t, mag_t, out_dtype=out_dtype)
 
     @jax.custom_vjp
     def forward(x: jnp.ndarray) -> jnp.ndarray:
@@ -257,7 +267,7 @@ def _match_mfcc(chain: AudioTransform):
     return mono, chain
 
 
-def _fused_mfcc(mono, mfcc, backend: str):
+def _fused_mfcc(mono, mfcc, backend: str, out_dtype=jnp.float32):
     from .ops.pallas.spectral import fused_melspec
 
     # MFCC's window is always hann (transforms/mel.py ctor); rebuild it in
@@ -289,7 +299,10 @@ def _fused_mfcc(mono, mfcc, backend: str):
         mel = jnp.swapaxes(mel, -2, -1)  # torchaudio bin-major layout
         if mfcc.norm is not None:
             mel = mfcc.norm.forward(mel)
-        return mel
+        # final-cast only (the post-kernel norm/transpose must run in f32);
+        # XLA fuses the cast into the producing op, so the f32 intermediate
+        # never hits HBM
+        return mel.astype(out_dtype)
 
     return forward
 
@@ -339,7 +352,7 @@ def _pallas_preferred(chain: AudioTransform) -> bool:
 
 
 def fuse_forward(
-    chain: AudioTransform, backend: str = "auto"
+    chain: AudioTransform, backend: str = "auto", out_dtype=jnp.float32
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Return the fastest available forward for ``chain`` (see module docs).
 
@@ -347,9 +360,22 @@ def fuse_forward(
     kernel when it is the measured winner (TPU + cosine-sum window: 19.1M
     vs 15.7M frames/s for the XLA fused path at the headline shape), else
     the XLA fused GEMM formulation, else ``chain.jforward``.
+
+    ``out_dtype`` (default f32) is the dtype of the returned features.
+    ``jnp.bfloat16`` is the training-pipeline contract: all arithmetic
+    stays f32/bf16x3 and only the final store rounds
+    (round-to-nearest-even), exactly ``forward(x).astype(bfloat16)`` —
+    on the Pallas melspec path the rounding happens in the kernel's HBM
+    store, halving the output DMA (measured +6% at the headline shape,
+    BENCH_NOTES.md).  The library's 1e-4 accuracy budget is an f32-output
+    statement; bf16's ~3.9e-3 mantissa quantization is the consumer's
+    explicit opt-in.  Unrecognized chains fall back to ``chain.jforward``,
+    which has no dtype parameter — the fallback wraps it with a final cast
+    so the contract holds everywhere.
     """
     if backend not in ("auto", "xla", "pallas"):
         raise ValueError("unknown fuse backend %r" % backend)
+    out_dtype = jnp.dtype(out_dtype)
     mfcc_match = _match_mfcc(chain)
     if mfcc_match is not None:
         mono, mfcc = mfcc_match
@@ -369,16 +395,30 @@ def fuse_forward(
                 and 512 <= mfcc.n_fft <= 4096
                 else "xla"
             )
-        return _fused_mfcc(mono, mfcc, be)
+        return _fused_mfcc(mono, mfcc, be, out_dtype=out_dtype)
     if backend == "auto":
         backend = "pallas" if _pallas_preferred(chain) else "xla"
     match = _match_melspec(chain, backend)
     if match is None:
-        return chain.jforward
+        if out_dtype == jnp.float32:
+            return chain.jforward
+
+        def _cast_fallback(x):
+            y = chain.jforward(x)
+            if jnp.issubdtype(y.dtype, jnp.complexfloating):
+                # astype would silently drop the imaginary part — the
+                # exact silent-trap class this library forbids
+                raise ValueError(
+                    "fuse_forward(out_dtype=%s): chain produces complex "
+                    "output; cast a real representation instead" % out_dtype
+                )
+            return y.astype(out_dtype)
+
+        return _cast_fallback
     mono, stft_t, mag_t = match
     if backend == "pallas":
-        return _pallas_fused(mono, stft_t, mag_t)
-    return _xla_fused(mono, stft_t, mag_t)
+        return _pallas_fused(mono, stft_t, mag_t, out_dtype=out_dtype)
+    return _xla_fused(mono, stft_t, mag_t, out_dtype=out_dtype)
 
 
 def _match_fit(chain: AudioTransform):

@@ -632,7 +632,8 @@ def _forward_kernel(
     if use_mel:
         mag = _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks, x4=x4)
     mag = _apply_contrast(mag, contrast, eps)
-    o_ref[0, :, :] = (mag - aff_ref[0, 0]) / aff_ref[0, 1]
+    out = (mag - aff_ref[0, 0]) / aff_ref[0, 1]
+    o_ref[0, :, :] = out.astype(o_ref.dtype)
 
 
 def _forward_kernel_factored(
@@ -649,7 +650,8 @@ def _forward_kernel_factored(
     if use_mel:
         mag = _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks, x4=x4)
     mag = _apply_contrast(mag, contrast, eps)
-    o_ref[0, :, :] = (mag - aff_ref[0, 0]) / aff_ref[0, 1]
+    out = (mag - aff_ref[0, 0]) / aff_ref[0, 1]
+    o_ref[0, :, :] = out.astype(o_ref.dtype)
 
 
 def _stats_kernel(
@@ -804,13 +806,13 @@ def _x_spec(tile_t, halo, hop, ablate=None):
     jax.jit,
     static_argnames=(
         "n_fft", "hop_length", "contrast", "interpret", "tile_t", "taps",
-        "n_bins", "power", "ablate", "mel_blocks", "x4",
+        "n_bins", "power", "ablate", "mel_blocks", "x4", "out_dtype",
     ),
 )
 def _fused_call(
     x_rows, WC, WS, TWR, TWI, WNYQ, mel_p, aff,
     n_fft, hop_length, contrast, interpret, tile_t, taps, n_bins, power,
-    ablate=None, mel_blocks=None, x4=False,
+    ablate=None, mel_blocks=None, x4=False, out_dtype=jnp.float32,
 ):
     """One pallas_call of the forward kernel.  With ``taps`` set, WC/WS are
     the chunk basis and TWR/TWI the twiddle tables (factored formulation);
@@ -858,7 +860,7 @@ def _fused_call(
         out_specs=pl.BlockSpec(
             (1, tile_t, Mp), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_t, Mp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_t, Mp), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             # large n_fft (2048+) weight sets exceed the 16M default
@@ -1022,6 +1024,7 @@ def fused_melspec(
     ablate: Optional[str] = None,
     mel_blocks: Optional[tuple] = None,
     x4: bool = False,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Fused ``(B, L) -> (B, T, n_mels)`` mel-spectrogram pipeline.
 
@@ -1033,12 +1036,21 @@ def fused_melspec(
     chosen adaptively when None.  ``taps`` (cosine-sum window coefficients,
     ops/fft.py:taps_for_window) selects the chunk-factored formulation —
     ~overlap-fold fewer MXU FLOPs with all intermediates in VMEM.
+
+    ``out_dtype`` is the *store* dtype of the result (default f32).  With
+    ``jnp.bfloat16`` the whole pipeline still computes in f32/bf16x3 —
+    only the final HBM store rounds (round-to-nearest-even), so the output
+    is bit-identical to ``fused_melspec(...).astype(bfloat16)`` while
+    halving the output DMA, the dominant term of the kernel's measured
+    bandwidth floor (BENCH_NOTES.md stage budget).  Meant for training
+    consumers that cast features to bf16 anyway; the f32 contract remains
+    the default and the 1e-4 accuracy budget is stated for f32 only.
     """
     if x.ndim == 1:
         return fused_melspec(
             x[None], n_fft, hop_length, window, mel_bank, offset, scale,
             contrast, center, interpret, tile_t, taps, power, ablate,
-            mel_blocks, x4,
+            mel_blocks, x4, out_dtype,
         )[0]
     interpret = _check_args(x, n_fft, hop_length, interpret)
     x_rows, T, tile_t, halo, _ = _prepare_rows(x, n_fft, hop_length, center, tile_t)
@@ -1067,7 +1079,7 @@ def fused_melspec(
     out = _fused_call(
         x_rows, WC, WS, TWR, TWI, WNYQ, mel_p, aff,
         n_fft, hop_length, contrast, interpret, tile_t, taps, F, power,
-        ablate, mel_blocks, x4,
+        ablate, mel_blocks, x4, jnp.dtype(out_dtype),
     )
     return out[:, :T, :M]
 

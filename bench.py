@@ -129,6 +129,23 @@ def bench_tpu(x: np.ndarray):
     except Exception as e:
         print(f"bench: pallas_fused metric failed: {e!r}", file=sys.stderr)
 
+    # bf16 output contract (training pipelines): same kernel, the final
+    # HBM store rounds to bf16.  Honesty guard is bit-identity vs the f32
+    # result rounded outside the kernel — a tolerance would hide a wrong
+    # store path.
+    dt_bf16 = None
+    try:
+        if dt_pallas is not None:
+            bfused = fuse_forward(chain, backend="pallas", out_dtype=jnp.bfloat16)
+            y_b = jax.jit(bfused)(xb[:2])
+            y_expect = jax.jit(pfused)(xb[:2]).astype(jnp.bfloat16)
+            if bool(jnp.all(y_b == y_expect)):
+                dt_bf16 = _device_time(bfused, xb, N_ITER_TPU)
+            else:
+                print("bench: bf16out store not bit-identical", file=sys.stderr)
+    except Exception as e:
+        print(f"bench: bf16out metric failed: {e!r}", file=sys.stderr)
+
     y = jax.jit(lambda c, v: c.forward(v))(chain, xb)
     frames = TPU_BATCH * y.shape[-2]
     fps = frames / dt
@@ -182,9 +199,10 @@ def bench_tpu(x: np.ndarray):
 
     fps_fused = frames / dt_fused_xla if dt_fused_xla else None
     fps_pallas = frames / dt_pallas if dt_pallas else None
+    fps_bf16 = frames / dt_bf16 if dt_bf16 else None
     return (
-        fps, frames / dt_xla, fps_fused, fps_pallas, fps_fit, fps_mfcc,
-        backend, rel_err, str(jax.devices()[0]).strip(),
+        fps, frames / dt_xla, fps_fused, fps_pallas, fps_bf16, fps_fit,
+        fps_mfcc, backend, rel_err, str(jax.devices()[0]).strip(),
     )
 
 
@@ -409,7 +427,8 @@ def _delta_check(result: dict) -> dict:
         return {}
     higher_is_better = [
         "value", "xla_chain_frames_per_sec", "xla_fused_frames_per_sec",
-        "pallas_fused_frames_per_sec", "fused_fit_frames_per_sec",
+        "pallas_fused_frames_per_sec", "pallas_bf16out_frames_per_sec",
+        "fused_fit_frames_per_sec",
         "fused_mfcc_frames_per_sec", "pghi_invert_frames_per_sec",
         "dgt_forward_frames_per_sec", "pghi_bidir_b1_inversions_per_sec",
         "griffin_lim_frames_per_sec", "streaming_frames_per_sec",
@@ -485,8 +504,8 @@ def main():
     jax.devices()  # blocks on backend init; watchdog bounds the wait
     ready.set()
     x = _load_audio()
-    (fps_tpu, fps_xla, fps_fused, fps_pallas, fps_fit, fps_mfcc, backend,
-     rel_err, device) = bench_tpu(x)
+    (fps_tpu, fps_xla, fps_fused, fps_pallas, fps_bf16, fps_fit, fps_mfcc,
+     backend, rel_err, device) = bench_tpu(x)
     fps_cpu = bench_torch_cpu(x)
     extras = {k: _jsonable(v) for k, v in bench_configs(x).items()}
     result = {
@@ -498,6 +517,7 @@ def main():
         "xla_chain_frames_per_sec": round(fps_xla, 1),
         "xla_fused_frames_per_sec": round(fps_fused, 1) if fps_fused else None,
         "pallas_fused_frames_per_sec": round(fps_pallas, 1) if fps_pallas else None,
+        "pallas_bf16out_frames_per_sec": round(fps_bf16, 1) if fps_bf16 else None,
         "fused_fit_frames_per_sec": round(fps_fit, 1) if fps_fit else None,
         "fused_mfcc_frames_per_sec": round(fps_mfcc, 1) if fps_mfcc else None,
         "torch_cpu_frames_per_sec": round(fps_cpu, 1),

@@ -756,3 +756,58 @@ def test_pghi_bidir_inversion_mode():
     y = chain.jforward(jnp.asarray(np.stack([x, x])))
     rec2 = chain.invert(y, inversion_mode="pghi_bidir")
     assert np.isfinite(np.asarray(rec2)).all()
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_fuse_forward_bf16_output_contract(test_files, backend):
+    """out_dtype=bfloat16 is exactly the f32 result rounded at the final
+    store — on the Pallas path the rounding happens inside the kernel's HBM
+    write (halving the output DMA), so bit-identity vs .astype is the
+    contract, not a tolerance."""
+    sig, _ = test_files
+    chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=True, n_fft=512
+    )
+    fitted = chain.fit(jnp.asarray(sig))
+    f32 = fuse_forward(fitted, backend)(jnp.asarray(sig))
+    b16 = fuse_forward(fitted, backend, out_dtype=jnp.bfloat16)(jnp.asarray(sig))
+    assert b16.dtype == jnp.bfloat16
+    expected = f32.astype(jnp.bfloat16)
+    assert np.array_equal(
+        np.asarray(b16, dtype=np.float32), np.asarray(expected, dtype=np.float32)
+    )
+
+
+def test_fuse_forward_bf16_mfcc_and_fallback(test_files):
+    sig, _ = test_files
+    mf = T.MFCC(n_fft=512, hop_length=128, n_mels=128).fit(jnp.asarray(sig[:, 0]))
+    y = fuse_forward(mf, "pallas", out_dtype=jnp.bfloat16)(jnp.asarray(sig[:, 0]))
+    assert y.dtype == jnp.bfloat16
+    ref = fuse_forward(mf, "pallas")(jnp.asarray(sig[:, 0])).astype(jnp.bfloat16)
+    assert np.array_equal(
+        np.asarray(y, dtype=np.float32), np.asarray(ref, dtype=np.float32)
+    )
+    # unmatched chain: fallback wraps jforward with a final cast
+    mono = T.Mono()
+    y2 = fuse_forward(mono, out_dtype=jnp.bfloat16)(jnp.asarray(sig))
+    assert y2.dtype == jnp.bfloat16
+    # complex-producing fallback raises instead of silently dropping imag
+    st = T.STFT(n_fft=512, hop_length=128)
+    with pytest.raises(ValueError, match="complex"):
+        fuse_forward(st, out_dtype=jnp.bfloat16)(jnp.asarray(sig[:, 0]))
+
+
+def test_pallas_fused_bf16_is_differentiable(test_files):
+    sig, _ = test_files
+    chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=True, n_fft=512
+    )
+    fitted = chain.fit(jnp.asarray(sig))
+    fwd = fuse_forward(fitted, "pallas", out_dtype=jnp.bfloat16)
+
+    def loss(x):
+        return jnp.sum(fwd(x).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(sig))
+    assert g.shape == sig.shape
+    assert np.isfinite(np.asarray(g)).all()
