@@ -369,13 +369,21 @@ def fuse_forward(
     store, halving the output DMA (measured +6% at the headline shape,
     BENCH_NOTES.md).  The library's 1e-4 accuracy budget is an f32-output
     statement; bf16's ~3.9e-3 mantissa quantization is the consumer's
-    explicit opt-in.  Unrecognized chains fall back to ``chain.jforward``,
-    which has no dtype parameter — the fallback wraps it with a final cast
-    so the contract holds everywhere.
+    explicit opt-in.  With a non-default ``out_dtype``, unrecognized chains
+    fall back to ``chain.jforward`` wrapped with a final cast (refusing
+    complex outputs loudly); the f32 default keeps ``jforward``'s native
+    dtypes — an STFT chain still returns its complex spectrum.  Only
+    ``float32`` and ``bfloat16`` are accepted (the two store layouts the
+    Pallas kernel and the bit-identity suite validate).
     """
     if backend not in ("auto", "xla", "pallas"):
         raise ValueError("unknown fuse backend %r" % backend)
     out_dtype = jnp.dtype(out_dtype)
+    if out_dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError(
+            "fuse_forward: out_dtype must be float32 or bfloat16, got %s"
+            % out_dtype
+        )
     mfcc_match = _match_mfcc(chain)
     if mfcc_match is not None:
         mono, mfcc = mfcc_match

@@ -138,7 +138,7 @@ def bench_tpu(x: np.ndarray):
         if dt_pallas is not None:
             bfused = fuse_forward(chain, backend="pallas", out_dtype=jnp.bfloat16)
             y_b = jax.jit(bfused)(xb[:2])
-            y_expect = jax.jit(pfused)(xb[:2]).astype(jnp.bfloat16)
+            y_expect = y_p.astype(jnp.bfloat16)  # f32 kernel output from above
             if bool(jnp.all(y_b == y_expect)):
                 dt_bf16 = _device_time(bfused, xb, N_ITER_TPU)
             else:
