@@ -68,6 +68,17 @@ from .transforms.stft import STFT
 __all__ = ["fuse_forward", "fuse_fit", "fusable", "fit_fusable"]
 
 
+def _from_pcm(x: jnp.ndarray) -> jnp.ndarray:
+    """int16 PCM -> float32 at the ``import_data`` convention (x / 32768).
+
+    Exact: int16->f32 is lossless and the power-of-two scale only shifts
+    exponents, so everything downstream is bit-identical to feeding the
+    pre-converted float array."""
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) * 2.0 ** -15
+    return x
+
+
 def _match_melspec(chain: AudioTransform, backend: str = "xla"):
     """Return (mono, stft, magnitude) if the chain matches, else None."""
     if not isinstance(chain, ComposeAudioTransform):
@@ -115,6 +126,7 @@ def _xla_fused(
     n_fft, hop = stft_t.n_fft, stft_t.hop_length
 
     def forward(x: jnp.ndarray) -> jnp.ndarray:
+        x = _from_pcm(x)
         if mono is not None:
             x = mono.forward(x)
         prec = matmul_precision()
@@ -188,6 +200,15 @@ def _pallas_fused(
 
     def kernel_forward(x: jnp.ndarray) -> jnp.ndarray:
         if mono is not None:
+            if x.dtype == jnp.int16 and (
+                mono.normalize
+                or (x.ndim >= 2 and x.shape[-2] == 2 and mono.mode == "mix")
+            ):
+                # mixing/normalizing needs float arithmetic; every other
+                # Mono config is a slice/squeeze (dtype-preserving), so the
+                # PCM dtype survives to the kernel's in-kernel convert and
+                # its halved input DMA
+                x = _from_pcm(x)
             x = mono.forward(x)
         batch_shape = x.shape[:-1]
         flat = x.reshape((-1, x.shape[-1]))
@@ -279,6 +300,11 @@ def _fused_mfcc(mono, mfcc, backend: str, out_dtype=jnp.float32):
 
     def forward(x: jnp.ndarray) -> jnp.ndarray:
         if mono is not None:
+            if x.dtype == jnp.int16 and (
+                mono.normalize
+                or (x.ndim >= 2 and x.shape[-2] == 2 and mono.mode == "mix")
+            ):
+                x = _from_pcm(x)  # see _pallas_fused.kernel_forward
             x = mono.forward(x)
         if backend == "pallas":
             batch_shape = x.shape[:-1]
@@ -290,8 +316,8 @@ def _fused_mfcc(mono, mfcc, backend: str, out_dtype=jnp.float32):
             mel = mel.reshape(batch_shape + mel.shape[1:])
         else:
             re, im = stft_real(
-                x, mfcc.n_fft, mfcc.hop_length, mfcc.window, impl=mfcc.impl,
-                taps=taps,
+                _from_pcm(x), mfcc.n_fft, mfcc.hop_length, mfcc.window,
+                impl=mfcc.impl, taps=taps,
             )
             sq = re * re + im * im
             p = sq if mfcc.power == 2.0 else jnp.sqrt(sq)
@@ -375,6 +401,15 @@ def fuse_forward(
     dtypes — an STFT chain still returns its complex spectrum.  Only
     ``float32`` and ``bfloat16`` are accepted (the two store layouts the
     Pallas kernel and the bit-identity suite validate).
+
+    Matched (fused) chains also accept **int16 PCM** input, interpreted as
+    ``x / 32768`` (the ``utils.misc.import_data`` convention) — the raw
+    serving-ingest contract.  Bit-identical to pre-converting: int16->f32
+    is lossless and the scale is a power of two.  Already-mono PCM rides
+    the Pallas kernel's in-kernel convert, halving the input DMA
+    (``fused_melspec`` docstring); chains with a ``Mono`` mix convert at
+    entry (channel mixing needs float arithmetic).  Unmatched fallback
+    chains keep the float-only contract.
     """
     if backend not in ("auto", "xla", "pallas"):
         raise ValueError("unknown fuse backend %r" % backend)

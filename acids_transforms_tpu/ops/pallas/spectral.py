@@ -145,6 +145,22 @@ def _split_bf16(m: jnp.ndarray):
     return hi_f32.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
+def _read_block(x_ref):
+    """Read this grid step's input rows, converting int16 PCM on the VPU.
+
+    The int16 contract (``fused_melspec`` docstring): samples are PCM,
+    interpreted as ``x / 32768`` — the exact convention of
+    ``utils.misc.import_data``.  The scale is a power of two, so the
+    convert+scale only shifts exponents: every downstream product is
+    bit-identical to feeding ``x.astype(f32) * 2**-15`` from HBM, while
+    the input DMA (the largest term of the kernel's bandwidth floor,
+    BENCH_NOTES.md stage budget) moves half the bytes."""
+    block = x_ref[0]
+    if block.dtype == jnp.int16:
+        block = block.astype(jnp.float32) * (2.0 ** -15)
+    return block
+
+
 def _tile_magnitude(
     x_ref, basis_ref, scr_ref, *, overlap, hop, tile_t, power=1.0,
     wnyq_ref=None, n_bins=None, x4=False,
@@ -164,7 +180,7 @@ def _tile_magnitude(
     dominant GEMM at n_fft=1024 (33% at 512).
     """
     f32 = jnp.float32
-    block = x_ref[0]                      # (tile_t + halo, hop), halo rows follow
+    block = _read_block(x_ref)            # (tile_t + halo, hop), halo rows follow
     n_block = block.shape[0]
     n_fft = overlap * hop
     # roll the f32 hop-chunk block (Mosaic rotate is 32-bit only), split the
@@ -248,7 +264,7 @@ def _chunk_dots(x_ref, basis_ref, ablate=None, x4=False, nyq=False):
     exact f32 VPU reduce — the basis holds only bins ``0..F-2``.
     """
     f32 = jnp.float32
-    block = x_ref[0]                      # (tile_t + halo, hop)
+    block = _read_block(x_ref)            # (tile_t + halo, hop)
     hop = block.shape[1]
     Fp = basis_ref.shape[1] // 2
     cnyq = None
@@ -1002,6 +1018,10 @@ def _stats_call(
 def _check_args(x, n_fft, hop_length, interpret):
     if n_fft % hop_length != 0:
         raise ValueError("fused kernels require hop | n_fft")
+    if x.dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.int16)):
+        raise ValueError(
+            "fused kernels take float32 audio or int16 PCM, got %s" % x.dtype
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return interpret
@@ -1045,6 +1065,14 @@ def fused_melspec(
     bandwidth floor (BENCH_NOTES.md stage budget).  Meant for training
     consumers that cast features to bf16 anyway; the f32 contract remains
     the default and the 1e-4 accuracy budget is stated for f32 only.
+
+    ``x`` may be int16 PCM: samples are interpreted as ``x / 32768``
+    (the ``utils.misc.import_data`` convention) and converted *inside the
+    kernel* — int16→f32 is lossless and the power-of-two scale only
+    shifts exponents, so the result is bit-identical to feeding
+    ``x.astype(float32) / 32768`` while the input rows DMA half the
+    bytes.  This is the raw-ingest serving contract: feature extraction
+    straight from PCM buffers with no host-side float conversion.
     """
     if x.ndim == 1:
         return fused_melspec(

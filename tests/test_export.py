@@ -72,6 +72,30 @@ def test_stablehlo_export_roundtrip(tmp_path, test_files):
     np.testing.assert_allclose(y, np.asarray(fn(x)), atol=1e-5)
 
 
+def test_stablehlo_int16_ingest(tmp_path, test_files):
+    """Raw-PCM deploy contract: a fused chain exports with an int16 input
+    signature (dtype flows from the example args) and the loaded artifact is
+    bit-identical to the f32 artifact fed the pre-converted audio — no
+    host-side float conversion in the serving path."""
+    from acids_transforms_tpu.fuse import fuse_forward
+
+    sig, _ = test_files
+    xm = np.asarray(sig).mean(1)[..., :8192]  # (3, 8192) mono float
+    xi = np.clip(np.round(xm * 32768.0), -32768, 32767).astype(np.int16)
+    xf = xi.astype(np.float32) / 32768.0
+    chain = (T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=True, n_fft=512
+    )).fit(jnp.asarray(xf))
+    fwd = fuse_forward(chain, backend="xla")  # portable: pure XLA ops
+
+    path = str(tmp_path / "pcm.stablehlo")
+    export_stablehlo(fwd, (jnp.asarray(xi),), path)
+    y_i = np.asarray(load_stablehlo(path)(jnp.asarray(xi)))
+    blob_f = export_stablehlo(fwd, (jnp.asarray(xf),))
+    y_f = np.asarray(load_stablehlo(blob_f)(jnp.asarray(xf)))
+    assert np.array_equal(y_i, y_f)
+
+
 def test_invert_with_phase_roundtrip(tmp_path, test_files):
     """VERDICT r2 #7: the deployable (mag, phase) -> audio entry restores the
     scripted reference's keep_input capability (reference stft.py:134-143).

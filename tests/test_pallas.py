@@ -797,6 +797,75 @@ def test_fuse_forward_bf16_mfcc_and_fallback(test_files):
         fuse_forward(st, out_dtype=jnp.bfloat16)(jnp.asarray(sig[:, 0]))
 
 
+@pytest.mark.parametrize("factored", [True, False])
+def test_fused_melspec_int16_bit_identity(factored):
+    """int16 PCM input is bit-identical to feeding ``x.astype(f32)/32768``:
+    the in-kernel convert is lossless (int16->f32) and the power-of-two
+    scale only shifts exponents — on both the chunk-factored and full-K
+    formulations, with and without the mel projection."""
+    from acids_transforms_tpu.ops.fft import taps_for_window
+
+    n_fft, hop = 512, 128
+    w = hann_window(n_fft)
+    taps = taps_for_window(np.asarray(w)) if factored else None
+    xi = RNG.integers(-32768, 32768, size=(3, 9000), dtype=np.int16)
+    xf = xi.astype(np.float32) / 32768.0
+    bank = jnp.asarray(square_mel_banks(n_fft, 44100)[0])
+    for mel in (bank, None):
+        yf = fused_melspec(
+            jnp.asarray(xf), n_fft, hop, w, mel, 0.1, 2.0, "log1p", taps=taps
+        )
+        yi = fused_melspec(
+            jnp.asarray(xi), n_fft, hop, w, mel, 0.1, 2.0, "log1p", taps=taps
+        )
+        assert yi.dtype == yf.dtype
+        assert np.array_equal(np.asarray(yf), np.asarray(yi))
+
+
+def test_fused_melspec_int16_stats_and_rejects():
+    """The one-pass fit statistics share the kernel's PCM read path; other
+    dtypes are rejected loudly (the silent-trap rule)."""
+    n_fft, hop = 512, 128
+    w = hann_window(n_fft)
+    xi = RNG.integers(-32768, 32768, size=(2, 9000), dtype=np.int16)
+    xf = xi.astype(np.float32) / 32768.0
+    sf = fused_melspec_stats(jnp.asarray(xf), n_fft, hop, w)
+    si = fused_melspec_stats(jnp.asarray(xi), n_fft, hop, w)
+    for k in ("sum", "sumsq", "min", "max"):
+        assert np.array_equal(np.asarray(sf[k]), np.asarray(si[k])), k
+    with pytest.raises(ValueError, match="float32 audio or int16"):
+        fused_melspec(jnp.asarray(xi).astype(jnp.int32), n_fft, hop, w)
+    with pytest.raises(ValueError, match="float32 audio or int16"):
+        # bf16 audio would silently halve the input mantissa — reject
+        fused_melspec(jnp.asarray(xf).astype(jnp.bfloat16), n_fft, hop, w)
+
+
+def test_fuse_forward_int16_pcm(test_files):
+    """Matched chains take int16 PCM and return exactly the float result;
+    with a Mono mix the cast happens at entry, already-mono PCM rides the
+    kernel's in-kernel convert.  MFCC chains too, on both backends."""
+    sig, _ = test_files
+    xi = np.clip(
+        np.round(sig[:, 0] * 32768.0), -32768, 32767
+    ).astype(np.int16)[None]
+    xf = xi.astype(np.float32) / 32768.0
+    chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=True, n_fft=512
+    )
+    fitted = chain.fit(jnp.asarray(xf))
+    for backend in ("pallas", "xla"):
+        fwd = fuse_forward(fitted, backend)
+        assert np.array_equal(
+            np.asarray(fwd(jnp.asarray(xi))), np.asarray(fwd(jnp.asarray(xf)))
+        ), backend
+    mf = T.MFCC(n_fft=512, hop_length=128, n_mels=128).fit(jnp.asarray(xf))
+    for backend in ("pallas", "xla"):
+        fwd = fuse_forward(mf, backend)
+        assert np.array_equal(
+            np.asarray(fwd(jnp.asarray(xi))), np.asarray(fwd(jnp.asarray(xf)))
+        ), backend
+
+
 def test_pallas_fused_bf16_is_differentiable(test_files):
     sig, _ = test_files
     chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
