@@ -153,6 +153,36 @@ def test_mfcc_chain_zero_postwarmup_compiles():
     assert server._t_ladder() == (4096 // 128 + 1, 8192 // 128 + 1)
 
 
+def test_serving_int16_pcm_ingest():
+    """Raw-PCM serving: warmup(dtypes=(int16,)) covers the PCM executables,
+    forward(int16) is bit-identical to forward of the pre-converted float
+    (bucket zero-padding is exact: 0/32768 == 0.0), and unmatched chains
+    reject PCM loudly instead of computing on unscaled integers."""
+    xi = RNG.integers(-32768, 32768, size=(2, 8192), dtype=np.int16)
+    xf = xi.astype(np.float32) / 32768.0
+    chain = (
+        T.ComposeAudioTransform([T.STFT(n_fft=512, hop_length=128)])
+        + T.Magnitude(mode="unipolar", contrast="log1p", mel=True, n_fft=512)
+    ).fit(jnp.asarray(xf))
+    server = CompiledTransform(chain, buckets=(8192, 12288), batch_sizes=(2,))
+    n = server.warmup(dtypes=(jnp.float32, jnp.int16))
+    # 2 buckets x 1 batch: f32 fwd+inv pairs (4), then int16 forwards (2)
+    assert n == 6, n
+    before = server._fwd._cache_size()
+    for L in (6000, 8192, 12000):
+        y_i = np.asarray(server.forward(jnp.asarray(xi[:, :L])))
+        y_f = np.asarray(server.forward(jnp.asarray(xf[:, :L])))
+        assert np.array_equal(y_i, y_f), L
+    assert server._fwd._cache_size() == before, "PCM compiled post-warmup"
+    # unmatched chain: loud rejection in both entry points
+    raw = T.ComposeAudioTransform([T.MuLaw()])
+    server_raw = CompiledTransform(raw, buckets=(8192,), batch_sizes=(2,))
+    with pytest.raises(ValueError, match="int16"):
+        server_raw.forward(jnp.asarray(xi))
+    with pytest.raises(ValueError, match="int16"):
+        server_raw.warmup(dtypes=(jnp.int16,))
+
+
 def test_frame_axis_protocol():
     stft_chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
         mode=None, mel=False, n_fft=512
