@@ -12,6 +12,9 @@ Produces, in the target directory, a multi-stage artifact described by
 Stages exported:
 
 * ``melspec`` — the chain forward, audio -> normalized log-mel magnitude;
+* ``melspec_pcm`` — the same forward with an int16 PCM input signature
+  (``x / 32768`` conversion baked into the module): the host feeds raw
+  wire-format PCM, bit-identical to the float stage on the same audio;
 * ``invert_keep_input`` — the phase-faithful inverse ``(y, phase) -> audio``
   (export.invert_with_phase_fn): the deploy equivalent of the reference's
   scripted ``phase_buffer`` keep_input inversion (reference
@@ -35,10 +38,16 @@ def _write_stage(out_dir, name, fn, inputs):
     with open(os.path.join(out_dir, f"{name}.stablehlo.mlir"), "w") as f:
         f.write(mlir_text)
     for i, a in enumerate(inputs):
-        arr = np.asarray(a).astype(np.float32)
+        arr = np.asarray(a)
+        # int16 stays wire-format (the raw-PCM ingest contract); everything
+        # else is the float32 artifact convention
+        if arr.dtype != np.int16:
+            arr = arr.astype(np.float32)
         arr.tofile(os.path.join(out_dir, f"{name}.input{i}.bin"))
         with open(os.path.join(out_dir, f"{name}.input{i}_shape.txt"), "w") as f:
             f.write(" ".join(str(d) for d in arr.shape))
+        with open(os.path.join(out_dir, f"{name}.input{i}_dtype.txt"), "w") as f:
+            f.write("s16" if arr.dtype == np.int16 else "f32")
     y = np.asarray(fn(*inputs)).astype(np.float32)
     y.tofile(os.path.join(out_dir, f"{name}.expected.bin"))
     return y
@@ -74,6 +83,17 @@ def main(out_dir: str) -> None:
     fused = fuse_forward(chain, backend="xla")
 
     y = _write_stage(out_dir, "melspec", fused, [xj])
+
+    # raw PCM ingest: the SAME fused chain traced with an int16 input
+    # signature (fuse._from_pcm: x / 32768, the import_data convention) —
+    # the C++ host feeds wire-format PCM buffers with no float conversion.
+    # Deploy contract check at export time: bit-identical to pre-converting.
+    xi = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    y_pcm = _write_stage(out_dir, "melspec_pcm", fused, [jnp.asarray(xi)])
+    assert np.array_equal(
+        y_pcm,
+        np.asarray(fused(jnp.asarray(xi.astype(np.float32) / 32768.0))),
+    ), "PCM stage must be bit-identical to the pre-converted float path"
 
     # phase-faithful invert: the host reproduces the reference's scripted
     # keep_input capability with (y, phase) as explicit artifact inputs
@@ -131,7 +151,7 @@ def main(out_dir: str) -> None:
     )
 
     with open(os.path.join(out_dir, "stages.txt"), "w") as f:
-        f.write("melspec 1\ninvert_keep_input 2\nstream_step 3\n")
+        f.write("melspec 1\nmelspec_pcm 1\ninvert_keep_input 2\nstream_step 3\n")
 
     # round-trip quality of the exported pair (mel pseudo-inverse + exact
     # phase): report it so the artifact's contract is visible at export time

@@ -24,8 +24,9 @@
 // Usage: host <artifact_dir>
 //   artifact_dir/stages.txt                     stage manifest
 //   artifact_dir/<name>.stablehlo.mlir          StableHLO module (text)
-//   artifact_dir/<name>.input<i>.bin            float32 raw input i
+//   artifact_dir/<name>.input<i>.bin            raw input i (f32, or s16 PCM)
 //   artifact_dir/<name>.input<i>_shape.txt      whitespace-separated dims
+//   artifact_dir/<name>.input<i>_dtype.txt      optional "f32"/"s16" (default f32)
 //   artifact_dir/<name>.expected.bin            float32 raw expected output
 // Prints per-stage element count and max |out - expected|; exit 0 iff every
 // stage < 1e-4.
@@ -77,6 +78,22 @@ std::vector<int64_t> ReadShape(const std::string& path) {
   return dims;
 }
 
+// Per-input element type from an optional <stem>_dtype.txt tag ("f32" or
+// "s16"); absent means float32 (pre-PCM artifacts stay valid).  "s16" is
+// the raw PCM ingest contract: the module itself converts (x / 32768), so
+// the host feeds wire-format int16 buffers with no float conversion.
+xla::PrimitiveType ReadDtype(const std::string& stem) {
+  std::ifstream f(stem + "_dtype.txt");
+  if (!f) return xla::PrimitiveType::F32;
+  std::string tag;
+  f >> tag;
+  if (tag == "f32") return xla::PrimitiveType::F32;
+  if (tag == "s16") return xla::PrimitiveType::S16;
+  std::fprintf(stderr, "unknown input dtype tag '%s' for %s\n", tag.c_str(),
+               stem.c_str());
+  std::exit(2);
+}
+
 // Compile one StableHLO module and run it on its recorded inputs; returns
 // the max abs deviation from the recorded expected output (exits on infra
 // errors so the caller only reasons about numerics).
@@ -98,7 +115,7 @@ float RunStage(xla::LocalClient* client, const std::string& dir,
   for (int i = 0; i < n_inputs; ++i) {
     const std::string stem = dir + "/" + name + ".input" + std::to_string(i);
     arg_shapes.push_back(xla::ShapeUtil::MakeShape(
-        xla::PrimitiveType::F32, ReadShape(stem + "_shape.txt")));
+        ReadDtype(stem), ReadShape(stem + "_shape.txt")));
     raw_inputs.push_back(ReadFile(stem + ".bin"));
   }
   std::vector<const xla::Shape*> arg_shape_ptrs;
