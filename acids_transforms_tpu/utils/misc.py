@@ -17,11 +17,11 @@ from typing import List, Tuple
 
 import numpy as np
 
-__all__ = ["load_wav", "save_wav", "resample", "import_data"]
+__all__ = ["load_wav", "load_wav_pcm", "save_wav", "resample", "import_data"]
 
 
-def load_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a WAV file -> ``(float32 array (channels, n_samples), sample_rate)``."""
+def _parse_riff(path: str):
+    """RIFF/WAVE chunk walk -> ``(audio_format, channels, sr, bits, payload)``."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -48,6 +48,33 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
     )
     if audio_format == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
         (audio_format,) = struct.unpack("<H", fmt[24:26])
+    return audio_format, channels, int(sr), bits, payload
+
+
+def load_wav_pcm(path: str) -> Tuple[np.ndarray, int]:
+    """Read a 16-bit PCM WAV as raw ``int16 (channels, n_samples)``.
+
+    The raw-ingest fast path: samples stay wire-format int16 end to end —
+    the fused kernels convert on-chip (``x / 32768``, bit-identical to
+    :func:`load_wav`'s float output; ops/pallas/spectral.py:fused_melspec)
+    at half the input DMA.  Only format-1 16-bit files qualify; anything
+    else raises (use :func:`load_wav` — a silent float fallback would
+    defeat the caller's PCM contract).
+    """
+    audio_format, channels, sr, bits, payload = _parse_riff(path)
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            "%s is not 16-bit PCM (format %d, %d bits); use load_wav"
+            % (path, audio_format, bits)
+        )
+    x = np.frombuffer(payload, dtype="<i2")
+    n = (x.shape[0] // channels) * channels
+    return x[:n].reshape(-1, channels).T.copy(), sr
+
+
+def load_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a WAV file -> ``(float32 array (channels, n_samples), sample_rate)``."""
+    audio_format, channels, sr, bits, payload = _parse_riff(path)
 
     if audio_format == 3:  # IEEE float
         if bits == 32:
@@ -78,7 +105,7 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
         raise ValueError("unsupported WAV format code %d" % audio_format)
 
     n = (x.shape[0] // channels) * channels
-    return x[:n].reshape(-1, channels).T.copy(), int(sr)
+    return x[:n].reshape(-1, channels).T.copy(), sr
 
 
 def save_wav(path: str, x: np.ndarray, sr: int = 44100, pcm16: bool = False) -> None:
@@ -155,14 +182,29 @@ def resample(
     return out[0] if squeeze else out
 
 
-def import_data(path: str, sr: int = 44100) -> Tuple[np.ndarray, object]:
+def import_data(
+    path: str, sr: int = 44100, pcm: bool = False
+) -> Tuple[np.ndarray, object]:
     """Load a WAV file or a directory of WAVs (reference utils/misc.py:29-59).
 
     Directory mode zero-pads every file to the longest, harmonizes channel
     counts (any stereo file promotes all to stereo), and stacks to a batch.
     Returns ``(float32 array, name_or_names)``.
+
+    ``pcm=True`` keeps 16-bit PCM files wire-format **int16** end to end
+    (zero-padding is exact: 0 == 0.0/32768) for the fused kernels' raw
+    ingest contract (:func:`load_wav_pcm`); files needing a resample to
+    ``sr`` raise (resampling is float math), as do non-16-bit formats.
     """
     if os.path.isfile(path):
+        if pcm:
+            x, sr_file = load_wav_pcm(path)
+            if sr_file != sr:
+                raise ValueError(
+                    "%s is %d Hz but %d Hz was requested: resampling needs "
+                    "float math; load with pcm=False" % (path, sr_file, sr)
+                )
+            return x, os.path.basename(path)
         try:
             from ..native import wavio_native
 
@@ -185,7 +227,9 @@ def import_data(path: str, sr: int = 44100) -> Tuple[np.ndarray, object]:
         names: List[str] = []
         for fname in sorted(os.listdir(path)):
             try:
-                x, name = import_data(os.path.join(path, fname), sr=sr)
+                # pcm rides through: non-qualifying files fall under the
+                # directory mode's existing skip-unreadable semantics
+                x, name = import_data(os.path.join(path, fname), sr=sr, pcm=pcm)
             except Exception:
                 continue
             data.append(x)

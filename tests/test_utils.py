@@ -35,6 +35,39 @@ def test_wav_roundtrip_pcm16(tmp_path):
     assert np.abs(y[0] - x).max() < 1e-3  # 16-bit quantization
 
 
+def test_load_wav_pcm_raw_ingest(tmp_path):
+    """load_wav_pcm keeps 16-bit files wire-format int16 (converting /32768
+    reproduces load_wav exactly); non-PCM files and resample requests raise
+    loudly; directory pcm batches stay int16 with exact zero padding."""
+    from acids_transforms_tpu.utils.misc import load_wav_pcm
+
+    x = (RNG.standard_normal((2, 5000)) * 0.4).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    save_wav(p, x, 44100, pcm16=True)
+    xi, sr = load_wav_pcm(p)
+    assert xi.dtype == np.int16 and sr == 44100 and xi.shape == (2, 5000)
+    xf, _ = load_wav(p)
+    assert np.array_equal(xi.astype(np.float32) / 32768.0, xf)
+    # float-format file refuses (no silent float fallback)
+    pf = str(tmp_path / "f.wav")
+    save_wav(pf, x, 44100)
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        load_wav_pcm(pf)
+    # import_data pcm=True: resample request raises; matching sr stays int16
+    with pytest.raises(ValueError, match="resampling"):
+        import_data(p, sr=22050, pcm=True)
+    b, _ = import_data(p, sr=44100, pcm=True)
+    assert b.dtype == np.int16
+    # directory: shorter mono file is stereo-promoted + zero-padded, all
+    # int16; the float f.wav falls under skip-unreadable semantics
+    p2 = str(tmp_path / "b.wav")
+    save_wav(p2, x[0, :3000], 44100, pcm16=True)
+    batch, names = import_data(str(tmp_path), sr=44100, pcm=True)
+    assert batch.dtype == np.int16
+    assert batch.shape == (2, 2, 5000) and names == ["a", "b"]
+    assert np.all(batch[1, :, 3000:] == 0)
+
+
 def test_load_reference_corpus():
     """The reference WAVs (incl. the BWF kick.wav with a bext chunk and the
     22.05k additive.wav) load and resample correctly."""
