@@ -183,8 +183,8 @@ def resample(
 
 
 def import_data(
-    path: str, sr: int = 44100, pcm: bool = False
-) -> Tuple[np.ndarray, object]:
+    path: str, sr: int = 44100, pcm: bool = False, return_mask: bool = False
+):
     """Load a WAV file or a directory of WAVs (reference utils/misc.py:29-59).
 
     Directory mode zero-pads every file to the longest, harmonizes channel
@@ -195,6 +195,13 @@ def import_data(
     (zero-padding is exact: 0 == 0.0/32768) for the fused kernels' raw
     ingest contract (:func:`load_wav_pcm`); files needing a resample to
     ``sr`` raise (resampling is float math), as do non-16-bit formats.
+
+    ``return_mask=True`` appends a float32 validity mask (1 = real sample,
+    0 = batch padding) shaped ``(1, L)`` for a single file and
+    ``(B, 1, L)`` for a directory — broadcastable to the returned array
+    and accepted directly by the pure ``fit(x, mask=)`` API, so padded
+    batches fit identically to their unpadded originals
+    (transforms/base.py; tests/test_masked_fit.py).
     """
     if os.path.isfile(path):
         if pcm:
@@ -203,6 +210,10 @@ def import_data(
                 raise ValueError(
                     "%s is %d Hz but %d Hz was requested: resampling needs "
                     "float math; load with pcm=False" % (path, sr_file, sr)
+                )
+            if return_mask:
+                return x, os.path.basename(path), np.ones(
+                    (1, x.shape[1]), np.float32
                 )
             return x, os.path.basename(path)
         try:
@@ -221,6 +232,10 @@ def import_data(
             x, sr_file = load_wav(path)
             if sr_file != sr:
                 x = resample(x, sr_file, sr)
+        if return_mask:
+            return x, os.path.basename(path), np.ones(
+                (1, x.shape[1]), np.float32
+            )
         return x, os.path.basename(path)
     if os.path.isdir(path):
         data: List[np.ndarray] = []
@@ -236,6 +251,7 @@ def import_data(
             names.append(os.path.splitext(os.path.basename(fname))[0])
         if not data:
             raise FileNotFoundError("no readable audio in %s" % path)
+        lengths = [d.shape[1] for d in data]
         max_size = max(d.shape[1] for d in data)
         stereo = any(d.shape[0] == 2 for d in data)
         for i, d in enumerate(data):
@@ -246,5 +262,10 @@ def import_data(
             if d.shape[1] < max_size:
                 d = np.pad(d, ((0, 0), (0, max_size - d.shape[1])))
             data[i] = d
+        if return_mask:
+            mask = np.zeros((len(data), 1, max_size), np.float32)
+            for i, n in enumerate(lengths):
+                mask[i, :, :n] = 1.0
+            return np.stack(data), names, mask
         return np.stack(data), names
     raise FileNotFoundError(path)

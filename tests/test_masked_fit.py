@@ -97,3 +97,33 @@ def test_frame_mask_helper_consumed():
     fm = frame_mask(sample_mask, 256, 128)
     assert fm.shape[-1] == (1024 - 256) // 128 + 1
     np.testing.assert_array_equal(np.asarray(fm[0]), [1, 1, 1, 1, 0, 0, 0])
+
+
+def test_import_data_return_mask(tmp_path):
+    """Directory import_data(return_mask=True): the pad mask reaches the
+    pure fit API so ragged corpora fit identically to their unpadded
+    originals (the loader pads to the longest file)."""
+    from acids_transforms_tpu.utils.misc import import_data, save_wav
+
+    n1, n2 = 3000, 5000
+    a = (0.3 * np.sin(2 * np.pi * 440 * np.arange(n1) / 44100)).astype(np.float32)
+    b = RNG.standard_normal(n2).astype(np.float32) * 0.1 + 0.5
+    save_wav(str(tmp_path / "a.wav"), a, 44100)
+    save_wav(str(tmp_path / "b.wav"), b, 44100)
+
+    x, names, mask = import_data(str(tmp_path), sr=44100, return_mask=True)
+    assert x.shape == (2, 1, n2) and mask.shape == (2, 1, n2)
+    assert mask.sum(axis=-1).ravel().tolist() == [n1, n2]
+    # padding region is exactly the zeroed samples
+    np.testing.assert_array_equal(x[0, :, n1:], 0.0)
+
+    fitted = T.Normalize(mode="gaussian").fit(jnp.asarray(x), mask=jnp.asarray(mask))
+    real = np.concatenate([np.asarray(x)[0, 0, :n1], np.asarray(x)[1, 0, :n2]])
+    np.testing.assert_allclose(float(fitted.offset), real.mean(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        float(fitted.scale), real.std(ddof=1), rtol=1e-3, atol=1e-5
+    )
+
+    # single-file arity: all-ones mask, broadcastable to the array
+    xa, _, ma = import_data(str(tmp_path / "a.wav"), sr=44100, return_mask=True)
+    assert ma.shape == (1, xa.shape[1]) and float(ma.min()) == 1.0
