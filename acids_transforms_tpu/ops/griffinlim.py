@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .fft import istft, stft
+from .phase import expi
 
 __all__ = ["griffin_lim"]
 
@@ -57,7 +58,7 @@ def griffin_lim(
     than the direct GEMM — BENCH_NOTES.md)."""
     mom = momentum / (1.0 + momentum)
     if init_phase is not None:
-        angles = jnp.exp(1j * init_phase.astype(jnp.float32))
+        angles = expi(init_phase.astype(jnp.float32))
     elif rand_init:
         if key is None:
             key = jax.random.PRNGKey(0)

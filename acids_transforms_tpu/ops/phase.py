@@ -8,9 +8,11 @@ two-pass Python loop; here it is two masked cumsums).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "expi",
     "unwrap",
     "fdiff_forward",
     "fdiff_backward",
@@ -21,6 +23,20 @@ __all__ = [
     "deriv",
     "get_fft_idx",
 ]
+
+
+def expi(phase: jnp.ndarray) -> jnp.ndarray:
+    """``e^{i.phase}`` built as ``complex(cos, sin)`` of a REAL phase.
+
+    Library invariant: never the complex transcendental ``exp(1j*phase)``
+    — the old XLA CPU wheels that the standalone C++ host deploy target
+    runs (examples/cpp_host) mis-execute complex transcendentals, so any
+    chain traced through this helper exports to portable StableHLO that
+    executes correctly there.  Mathematically identical (``|e^{i.p}| = 1``
+    exactly, real/imag are the real cos/sin).
+    """
+    phase = jnp.asarray(phase)
+    return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
 
 def unwrap(p: jnp.ndarray) -> jnp.ndarray:

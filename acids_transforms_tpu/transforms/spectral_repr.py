@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..ops.fft import matmul_precision
 from ..ops.mel import square_mel_banks
 from ..ops.phase import (
+    expi,
     fdiff_backward,
     fdiff_central,
     fdiff_forward,
@@ -397,7 +398,7 @@ class SpectralRepresentation(AudioTransform):
         m, p = self._split(x)
         m = self.magnitude.invert(m)
         p = self.phase.invert(p)
-        return m * jnp.exp(1j * p)
+        return m * expi(p)
 
     # ------------------------------------------------------------- test hooks
     def test_forward(self, x: jnp.ndarray, time=None):

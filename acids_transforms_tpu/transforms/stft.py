@@ -33,6 +33,7 @@ import numpy as np
 from ..ops.fft import istft, rfft_frames, irfft_frames, stft as stft_op, taps_for_window
 from ..ops.griffinlim import griffin_lim
 from ..ops.interp import interp_linear
+from ..ops.phase import expi
 from ..ops.windows import dual_window, get_window, window_gamma
 from .base import AudioTransform
 
@@ -219,7 +220,7 @@ class STFT(AudioTransform):
                     key=self._take_key(key),
                 )
             ph = self.pghi(mag, tolerance=tolerance)
-            return self.invert(mag * jnp.exp(1j * ph))
+            return self.invert(mag * expi(ph))
         if mode == "pghi_bidir":
             # bidirectional PGHI: seed mid-signal, integrate both directions
             # as one batch-stacked kernel — ~1.7x lower single-stream
@@ -241,7 +242,7 @@ class STFT(AudioTransform):
                 self.n_fft, self.hop_length
             ):
                 ph = self.pghi(mag, tolerance=tolerance)
-                return self.invert(mag * jnp.exp(1j * ph))
+                return self.invert(mag * expi(ph))
             return pghi_invert_bidir(
                 mag,
                 self.gamma,
@@ -255,7 +256,7 @@ class STFT(AudioTransform):
             )
         if mode == "pghi_exact":
             ph = self.pghi_exact(mag, tolerance=tolerance)
-            return self.invert(mag * jnp.exp(1j * ph))
+            return self.invert(mag * expi(ph))
         if mode == "pghi_gl":
             # PGHI + Griffin-Lim hybrid: seed the projection iteration with
             # the integrated phase — converges far beyond either alone
@@ -275,10 +276,10 @@ class STFT(AudioTransform):
             phase = self._recall_phase(mag) if phase is None else phase
             if phase is None:
                 phase = 2.0 * jnp.pi * jax.random.uniform(self._take_key(key), mag.shape)
-            return self.invert(mag * jnp.exp(1j * phase))
+            return self.invert(mag * expi(phase))
         if mode == "random":
             phase = 2.0 * jnp.pi * jax.random.uniform(self._take_key(key), mag.shape)
-            return self.invert(mag * jnp.exp(1j * phase))
+            return self.invert(mag * expi(phase))
         if mode == "sinebank":
             return self.get_sinebank_inversion(mag, key=key)
         raise ValueError("inversion mode %s not valid." % mode)
@@ -638,7 +639,7 @@ class RealtimeSTFT(STFT):
             return y * self.inv_window
         else:
             raise ValueError("inversion mode %s not valid." % mode)
-        spec = mag * jnp.exp(1j * phase)
+        spec = mag * expi(phase)
         if not isinstance(spec, jax.core.Tracer):
             # eager keep_input/random sessions still maintain the PGHI frame
             # history so a later eager mode switch sees real context
@@ -663,7 +664,7 @@ class RealtimeSTFT(STFT):
             return self.pghi_gl_stream(state, x, key=key)
         if mode in ("pghi", "pghi_exact"):
             ph = self.pghi_stream(state, x, key=key)
-            spec = x * jnp.exp(1j * ph)
+            spec = x * expi(ph)
             return self._update_buffers(state, spec), self.invert(spec)
         if mode == "sinebank":
             state, y = self.sinebank_stream(state, x)
@@ -748,7 +749,7 @@ class RealtimeSTFT(STFT):
 
         def project(phase):
             """One windowed consistency projection on the streaming grid."""
-            spec = mag_ext * jnp.exp(1j * phase)
+            spec = mag_ext * expi(phase)
             frames_td = (
                 irfft_frames(spec, n_fft=self.n_fft, impl=self.impl)
                 * self.inv_window
@@ -773,7 +774,7 @@ class RealtimeSTFT(STFT):
             commit_ph = ph[..., :T_out, :]
         else:
             commit_mag, commit_ph = mag, ph
-        spec = commit_mag * jnp.exp(1j * commit_ph)
+        spec = commit_mag * expi(commit_ph)
 
         new_state = self._update_buffers(state, spec)
         if la:

@@ -18,7 +18,11 @@ Stages exported:
 * ``invert_keep_input`` — the phase-faithful inverse ``(y, phase) -> audio``
   (export.invert_with_phase_fn): the deploy equivalent of the reference's
   scripted ``phase_buffer`` keep_input inversion (reference
-  stft.py:134-143), with the phase as an explicit artifact input.
+  stft.py:134-143), with the phase as an explicit artifact input;
+* ``invert_pghi`` — PHASELESS inversion ``y -> audio`` (one-pass PGHI
+  integration): the deploy equivalent of the reference's scripted
+  ``invert_without_phase`` modes running inside a C++ host (reference
+  stft.py:130-132).
 
 Usage: python export_artifact.py <out_dir>
 """
@@ -101,6 +105,21 @@ def main(out_dir: str) -> None:
     inv = invert_with_phase_fn(chain)
     rec = _write_stage(out_dir, "invert_keep_input", inv, [jnp.asarray(y), phase])
 
+    # phaseless inversion in the deployed artifact: the scripted reference
+    # can run its inversion modes inside TorchScript in a C++ host
+    # (reference stft.py:130-132, dgt.py:164-166); the StableHLO artifact
+    # ships the flagship one-pass PGHI integration (mag -> audio, no phase
+    # input).  The whole path is real-arithmetic by library invariant
+    # (ops/phase.py:expi), so the module executes correctly on the host's
+    # XLA wheel.  (The 30-iteration GL modes export identically but are
+    # CHAOTIC — any ulp difference between compilers amplifies past a
+    # bitwise gate, tests/test_gl_parity.py — so the artifact pins the
+    # deterministic integrator.)
+    def inv_pghi(yy):
+        return chain.invert(yy, inversion_mode="pghi")
+
+    _write_stage(out_dir, "invert_pghi", inv_pghi, [jnp.asarray(y)])
+
     # realtime streaming step: the reference's TorchScript-in-C++ realtime
     # loop (reference stft.py:324-352) with the hidden ring buffers made
     # explicit state arguments — the C++ host threads them chunk to chunk
@@ -151,7 +170,10 @@ def main(out_dir: str) -> None:
     )
 
     with open(os.path.join(out_dir, "stages.txt"), "w") as f:
-        f.write("melspec 1\nmelspec_pcm 1\ninvert_keep_input 2\nstream_step 3\n")
+        f.write(
+            "melspec 1\nmelspec_pcm 1\ninvert_keep_input 2\n"
+            "invert_pghi 1\nstream_step 3\n"
+        )
 
     # round-trip quality of the exported pair (mel pseudo-inverse + exact
     # phase): report it so the artifact's contract is visible at export time
