@@ -36,6 +36,10 @@ def expi(phase: jnp.ndarray) -> jnp.ndarray:
     exactly, real/imag are the real cos/sin).
     """
     phase = jnp.asarray(phase)
+    # lax.complex accepts only f32/f64; upcast low-precision phases the way
+    # the complex transcendental this replaces did (bf16 features flow back
+    # through representation inverts)
+    phase = phase.astype(jnp.promote_types(phase.dtype, jnp.float32))
     return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
 

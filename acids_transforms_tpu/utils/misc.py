@@ -199,9 +199,9 @@ def import_data(
     ``return_mask=True`` appends a float32 validity mask (1 = real sample,
     0 = batch padding) shaped ``(1, L)`` for a single file and
     ``(B, 1, L)`` for a directory — broadcastable to the returned array
-    and accepted directly by the pure ``fit(x, mask=)`` API, so padded
-    batches fit identically to their unpadded originals
-    (transforms/base.py; tests/test_masked_fit.py).
+    and accepted directly by the pure ``fit(x, mask=)`` API, which
+    excludes the padded samples (and the frames starting in them) from
+    every fitted statistic (transforms/base.py; tests/test_masked_fit.py).
     """
     if os.path.isfile(path):
         if pcm:
@@ -252,7 +252,7 @@ def import_data(
         if not data:
             raise FileNotFoundError("no readable audio in %s" % path)
         lengths = [d.shape[1] for d in data]
-        max_size = max(d.shape[1] for d in data)
+        max_size = max(lengths)
         stereo = any(d.shape[0] == 2 for d in data)
         for i, d in enumerate(data):
             if d.shape[0] > 1:

@@ -264,3 +264,18 @@ def test_set_matmul_precision_api():
     finally:
         set_matmul_precision(orig)
     assert matmul_precision() == orig
+
+
+def test_expi_low_precision_phase():
+    """expi must upcast bf16/f16 phases like the complex transcendental it
+    replaced did (lax.complex only accepts f32/f64) — bf16 features flow
+    back through representation inverts (code-review r3)."""
+    from acids_transforms_tpu.ops.phase import expi
+
+    for dt in (jnp.bfloat16, jnp.float16, jnp.float32):
+        ph = jnp.linspace(-4.0, 4.0, 16).astype(dt)
+        z = expi(ph)
+        assert z.dtype == jnp.complex64
+        ref = jnp.cos(ph.astype(jnp.float32)) + 1j * jnp.sin(ph.astype(jnp.float32))
+        np.testing.assert_allclose(np.asarray(z), np.asarray(ref), atol=1e-7)
+    np.testing.assert_allclose(np.abs(np.asarray(expi(jnp.float32(0.3)))), 1.0, rtol=1e-7)

@@ -79,18 +79,22 @@ def main():
         "24w": ("k=24 whole-tile (1 invocation)", 24, t8),
     }
     picked = sys.argv[1:] or list(configs)
-    ref = None
+    unknown = [k for k in picked if k not in configs]
+    if unknown:
+        raise SystemExit(f"unknown configs {unknown}; choose from {list(configs)}")
+    ref = ref_label = None
     for key in picked:
         label, chain_k, tile_t = configs[key]
         fn = make_fn(chain_k, tile_t)
-        out = np.asarray(jnp.nan_to_num(fn(mag)))
+        out = np.asarray(fn(mag))
+        n_bad = int(np.size(out) - np.isfinite(out).sum())
         if ref is None:
-            ref = out
+            ref, ref_label = out, label.split()[0]
         d = float(np.max(np.abs(out - ref)))
         dt = _device_time(fn, mag, REPS)
         print(
             f"{label:32s} {dt*1e3:7.2f} ms  {frames/dt/1e3:6.1f} K frames/s"
-            f"  max|d| vs tiled k=4: {d:.2e}",
+            f"  max|d| vs {ref_label}: {d:.2e}  non-finite: {n_bad}",
             flush=True,
         )
 
