@@ -44,20 +44,46 @@ from .spectral import LANE, _round_up, _split_bf16
 
 __all__ = [
     "pghi_invert_fused", "pghi_phases_fused", "pghi_fused_available",
+    "pghi_phases_available",
     "pghi_phases_bidir", "pghi_invert_bidir", "pghi_synthesize_fused",
 ]
 
 
 def pghi_fused_available(n_fft: int, hop_length: int) -> bool:
-    # hop % 128: the synthesis reshape (B*tile_f, overlap*hop) ->
-    # (B, tile_f, overlap, hop) needs lane-aligned hop on TPU (Mosaic
-    # "unsupported shape cast" otherwise); smaller hops fall back to the
-    # sqrt-blocked XLA path
+    # Synthesis needs a lane-aligned overlap-add: either hop itself is a
+    # lane multiple (the reshape (B*tile_f, overlap*hop) ->
+    # (B, tile_f, overlap, hop) carves lanes directly), or hop divides the
+    # lane width and q = LANE/hop frames pack into one 128-sample chunk
+    # (per-frame lane rolls by r*hop, OLA at chunk granularity — the
+    # packed small-hop path in _pghi_invert_kernel).  Anything else
+    # (e.g. hop 160) falls back to the sqrt-blocked XLA path.
     return (
         n_fft % hop_length == 0
         and n_fft // hop_length >= 2
-        and hop_length % LANE == 0
+        and (
+            hop_length % LANE == 0
+            or (LANE % hop_length == 0 and n_fft % LANE == 0)
+        )
     )
+
+
+def pghi_phases_available(n_fft: int, hop_length: int) -> bool:
+    """Gate for the PHASES-ONLY kernel modes (no synthesis stage): the
+    OLA lane-alignment constraints of :func:`pghi_fused_available` don't
+    apply — hop enters the phase math only as the ``2*pi*hop/n_fft``
+    carrier scale and the gamma normalization, neither of which cares
+    about lane layout."""
+    return n_fft % hop_length == 0 and n_fft // hop_length >= 2
+
+
+def _tile_unit(hop_length: int) -> int:
+    """tile_f granularity for entries that run the synthesis stage:
+    multiples of 8 (Mosaic sublanes) and of q = LANE/hop when the packed
+    small-hop OLA groups q frames per chunk (q is a power of two, so the
+    lcm is just the max)."""
+    if hop_length % LANE and LANE % hop_length == 0:
+        return max(8, LANE // hop_length)
+    return 8
 
 
 def _seg_scan(a, b, d, Fp, reverse):
@@ -256,19 +282,53 @@ def _pghi_invert_kernel(
     hi, lo = _split_bf16(flat)
     stacked = jnp.concatenate([hi, hi, lo], axis=1)  # (B*tile_f, 6 Fp)
     td = jnp.dot(stacked, basis_ref[...], preferred_element_type=f32)
-    td = td.reshape(B, tile_f, overlap, hop)
-
-    rows = jnp.zeros((B, tile_f + overlap - 1, hop), f32)
-    for j in range(overlap):
-        rows = rows + jnp.pad(
-            td[:, :, j, :], [(0, 0), (j, overlap - 1 - j), (0, 0)]
-        )
+    if hop % LANE == 0:
+        td = td.reshape(B, tile_f, overlap, hop)
+        rows = jnp.zeros((B, tile_f + overlap - 1, hop), f32)
+        for j in range(overlap):
+            rows = rows + jnp.pad(
+                td[:, :, j, :], [(0, 0), (j, overlap - 1 - j), (0, 0)]
+            )
+        S = tile_f
+    else:
+        # packed small-hop OLA (hop | LANE): q = LANE/hop frames share one
+        # 128-sample lane chunk.  Frame q*s + r starts r*hop samples into
+        # super-frame s, so its row shifts right by r*hop inside a
+        # one-chunk-padded lane vector (the circular roll wraps only the
+        # zero pad); the summed super-frame rows then overlap-add at chunk
+        # granularity exactly like the aligned path (super-frame stride =
+        # 1 chunk = LANE samples, span = n_fft/LANE + 1 chunks).
+        q = LANE // hop
+        n_chunk = n_fft // LANE
+        S = tile_f // q
+        W = (n_chunk + 1) * LANE
+        # lane-pad the dot output DIRECTLY (lane-dim pads/concats of value
+        # slices trip Mosaic's offset check — the r3.6 lesson), then shift
+        # row t by (t % q) * hop as log2(q) conditional rolls: bit b of r
+        # contributes one uniform whole-array roll by 2^b * hop, selected
+        # per row with a sublane-dim iota mask.  Intermediate shifts stay
+        # < LANE, so the circular wrap only ever moves the zero pad.
+        tdp = jnp.pad(td, [(0, 0), (0, LANE)])  # (B*tile_f, W)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, tdp.shape, 0) % q
+        bbit = 1
+        while bbit < q:
+            rolled = pltpu.roll(tdp, shift=bbit * hop, axis=1)
+            tdp = jnp.where((ridx & bbit) != 0, rolled, tdp)
+            bbit *= 2
+        # sum each super-frame's q member rows, then carve chunk columns
+        comb = tdp.reshape(B, S, q, W).sum(axis=2)
+        comb = comb.reshape(B, S, n_chunk + 1, LANE)
+        rows = jnp.zeros((B, S + n_chunk, LANE), f32)
+        for c in range(n_chunk + 1):
+            rows = rows + jnp.pad(
+                comb[:, :, c, :], [(0, 0), (c, n_chunk - c), (0, 0)]
+            )
     # (no scatter in Mosaic: add the carried tail via a zero-padded concat)
     rows = rows + jnp.concatenate(
-        [tail_ref[...], jnp.zeros((B, tile_f, hop), f32)], axis=1
+        [tail_ref[...], jnp.zeros((B, S, rows.shape[-1]), f32)], axis=1
     )
-    tail_ref[...] = rows[:, tile_f:, :]
-    o_ref[...] = rows[:, :tile_f, :]
+    tail_ref[...] = rows[:, S:, :]
+    o_ref[...] = rows[:, :S, :]
 
 
 @functools.partial(
@@ -287,7 +347,24 @@ def _fused_call(
     n_tiles = (n_rows - 8) // tile_f
     n_bins = n_fft // 2 + 1
     eps = 1.19e-7
-    out_w = Fp if emit_phases else hop_length
+    # packed small-hop synthesis (hop | LANE): q frames per 128-sample
+    # chunk row — the output rows are chunks, the tail carry spans
+    # n_fft/LANE chunks (see _pghi_invert_kernel)
+    packed = hop_length % LANE != 0
+    if emit_phases:
+        out_w, rows_out = Fp, tile_f
+    elif packed:
+        out_w, rows_out = LANE, tile_f // (LANE // hop_length)
+    else:
+        out_w, rows_out = hop_length, tile_f
+    if emit_phases:
+        # synthesis never runs: a lane-aligned stub keeps the scratch
+        # legal for ANY hop (the phases-only gate has no lane constraint)
+        tail_shape = (8, LANE)
+    elif packed:
+        tail_shape = (B, n_fft // LANE, LANE)
+    else:
+        tail_shape = (B, overlap - 1, hop_length)
 
     kernel = functools.partial(
         _pghi_invert_kernel,
@@ -312,15 +389,15 @@ def _fused_call(
             pl.BlockSpec(basis.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (B, tile_f, out_w), lambda t: (0, t, 0),
+            (B, rows_out, out_w), lambda t: (0, t, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (B, n_tiles * tile_f, out_w), jnp.float32
+            (B, n_tiles * rows_out, out_w), jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM((B, Fp), jnp.float32),                # phi carry
-            pltpu.VMEM((B, overlap - 1, hop_length), jnp.float32),  # OLA tail
+            pltpu.VMEM(tail_shape, jnp.float32),             # OLA tail
             pltpu.VMEM((B, tile_f, 2 * Fp), jnp.float32),    # re | im
         ]
         + [
@@ -491,8 +568,9 @@ def pghi_invert_fused(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # Mosaic sublane rule: tile_f a multiple of 8 (mag halo over-fetches to
-    # 8 rows, of which 2 are used)
-    tile_f = max(8, tile_f - tile_f % 8)
+    # 8 rows, of which 2 are used); packed small hops also need q | tile_f
+    unit = _tile_unit(hop_length)
+    tile_f = max(unit, tile_f - tile_f % unit)
     batch_shape = mag.shape[:-2]
     T, F = mag.shape[-2], mag.shape[-1]
     n_bins = n_fft // 2 + 1
@@ -680,7 +758,8 @@ def pghi_synthesize_fused(
     window."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    tile_f = max(8, tile_f - tile_f % 8)
+    unit = _tile_unit(hop_length)
+    tile_f = max(unit, tile_f - tile_f % unit)
     batch_shape = mag.shape[:-2]
     T, F = mag.shape[-2], mag.shape[-1]
     n_bins = n_fft // 2 + 1

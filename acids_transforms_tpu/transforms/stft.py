@@ -295,11 +295,13 @@ class STFT(AudioTransform):
         """
         tol = float(tolerance if tolerance is not None else self.tolerance)
         from ..ops.pallas.pghi_kernel import (
-            pghi_fused_available,
+            pghi_phases_available,
             pghi_phases_fused,
         )
 
-        if jax.default_backend() == "tpu" and pghi_fused_available(
+        # phases-only gate: no synthesis stage, so the OLA lane-alignment
+        # constraints don't apply (any divisor hop rides the kernel)
+        if jax.default_backend() == "tpu" and pghi_phases_available(
             self.n_fft, self.hop_length
         ):
             return pghi_phases_fused(

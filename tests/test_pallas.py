@@ -456,7 +456,9 @@ def test_pghi_invert_fused_matches_scan_istft():
     )
 
     assert pghi_fused_available(1024, 256)
-    assert not pghi_fused_available(1024, 160)
+    assert pghi_fused_available(512, 64)  # packed small-hop synthesis
+    assert pghi_fused_available(1024, 64)
+    assert not pghi_fused_available(1024, 160)  # hop neither 128k nor | 128
     assert not pghi_fused_available(512, 512)
 
     sr = 44100
@@ -515,7 +517,9 @@ def test_pghi_phases_fused_matches_scan():
     "n_fft,hop,n_samples,batch",
     [
         (512, 256, 6000, 1),    # overlap 2, tiny T, single batch
-        (512, 64, 9000, 2),     # overlap 8
+        (512, 64, 9000, 2),     # overlap 8, packed small-hop (q=2)
+        (512, 32, 6000, 1),     # overlap 16, packed q=4
+        (1024, 64, 9000, 2),    # overlap 16, packed q=2, 2-chunk frames
         (1024, 256, 4000, 3),   # T < tile_f
     ],
 )
