@@ -486,25 +486,39 @@ def test_pghi_invert_fused_matches_scan_istft():
     assert rel < 1e-4, rel
 
 
-def test_pghi_phases_fused_matches_scan():
+@pytest.mark.parametrize(
+    "n_fft,hop",
+    [
+        (1024, 256),
+        # hop neither a multiple nor a divisor of 128: the phases-only
+        # gate (pghi_phases_available) has no lane constraint, so this
+        # rides the kernel even though the one-kernel INVERSION cannot
+        (768, 192),
+    ],
+)
+def test_pghi_phases_fused_matches_scan(n_fft, hop):
     """The phases-only kernel mode equals the serial central scan."""
     from acids_transforms_tpu.ops import pghi as P
-    from acids_transforms_tpu.ops.pallas.pghi_kernel import pghi_phases_fused
+    from acids_transforms_tpu.ops.pallas.pghi_kernel import (
+        pghi_phases_available,
+        pghi_phases_fused,
+    )
 
+    assert pghi_phases_available(n_fft, hop)
     t = np.arange(20000) / 44100
     x = np.stack([
         np.sin(2 * np.pi * 330 * t), np.sin(2 * np.pi * 550 * t)
     ]).astype(np.float32)
-    dgt = T.DGT(n_fft=1024, hop_length=256)
+    dgt = T.DGT(n_fft=n_fft, hop_length=hop)
     mag = jnp.abs(dgt.forward(jnp.asarray(x)))
     key = jax.random.PRNGKey(1)
     angles = 2.0 * jnp.pi * jax.random.uniform(key, mag.shape, dtype=mag.dtype)
     ref = np.asarray(P.pghi_scan(
-        mag, dgt.gamma, 1024, 256, tolerance=dgt.tolerance,
+        mag, dgt.gamma, n_fft, hop, tolerance=dgt.tolerance,
         parallel=False, key=key, time_stencil="central",
     ))
     got = np.asarray(pghi_phases_fused(
-        mag, dgt.gamma, 1024, 256, tolerance=float(dgt.tolerance),
+        mag, dgt.gamma, n_fft, hop, tolerance=float(dgt.tolerance),
         angles=angles,
     ))
     assert got.shape == ref.shape
