@@ -534,6 +534,7 @@ def test_pghi_phases_fused_matches_scan(n_fft, hop):
         (512, 64, 9000, 2),     # overlap 8, packed small-hop (q=2)
         (512, 32, 6000, 1),     # overlap 16, packed q=4
         (1024, 64, 9000, 2),    # overlap 16, packed q=2, 2-chunk frames
+        (256, 64, 6000, 2),     # overlap 4, packed q=2 (the dryrun shape)
         (1024, 256, 4000, 3),   # T < tile_f
     ],
 )
