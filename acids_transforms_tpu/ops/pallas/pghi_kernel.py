@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fft import _idft_matrices
+from .ola import ola_accumulate, ola_layout, ola_supported
 from .spectral import LANE, _round_up, _split_bf16
 
 __all__ = [
@@ -60,10 +61,7 @@ def pghi_fused_available(n_fft: int, hop_length: int) -> bool:
     return (
         n_fft % hop_length == 0
         and n_fft // hop_length >= 2
-        and (
-            hop_length % LANE == 0
-            or (LANE % hop_length == 0 and n_fft % LANE == 0)
-        )
+        and ola_supported(n_fft, hop_length)
     )
 
 
@@ -282,47 +280,9 @@ def _pghi_invert_kernel(
     hi, lo = _split_bf16(flat)
     stacked = jnp.concatenate([hi, hi, lo], axis=1)  # (B*tile_f, 6 Fp)
     td = jnp.dot(stacked, basis_ref[...], preferred_element_type=f32)
-    if hop % LANE == 0:
-        td = td.reshape(B, tile_f, overlap, hop)
-        rows = jnp.zeros((B, tile_f + overlap - 1, hop), f32)
-        for j in range(overlap):
-            rows = rows + jnp.pad(
-                td[:, :, j, :], [(0, 0), (j, overlap - 1 - j), (0, 0)]
-            )
-        S = tile_f
-    else:
-        # packed small-hop OLA (hop | LANE): q = LANE/hop frames share one
-        # 128-sample lane chunk.  Frame q*s + r starts r*hop samples into
-        # super-frame s, so its row shifts right by r*hop inside a
-        # one-chunk-padded lane vector (the circular roll wraps only the
-        # zero pad); the summed super-frame rows then overlap-add at chunk
-        # granularity exactly like the aligned path (super-frame stride =
-        # 1 chunk = LANE samples, span = n_fft/LANE + 1 chunks).
-        q = LANE // hop
-        n_chunk = n_fft // LANE
-        S = tile_f // q
-        W = (n_chunk + 1) * LANE
-        # lane-pad the dot output DIRECTLY (lane-dim pads/concats of value
-        # slices trip Mosaic's offset check — the r3.6 lesson), then shift
-        # row t by (t % q) * hop as log2(q) conditional rolls: bit b of r
-        # contributes one uniform whole-array roll by 2^b * hop, selected
-        # per row with a sublane-dim iota mask.  Intermediate shifts stay
-        # < LANE, so the circular wrap only ever moves the zero pad.
-        tdp = jnp.pad(td, [(0, 0), (0, LANE)])  # (B*tile_f, W)
-        ridx = jax.lax.broadcasted_iota(jnp.int32, tdp.shape, 0) % q
-        bbit = 1
-        while bbit < q:
-            rolled = pltpu.roll(tdp, shift=bbit * hop, axis=1)
-            tdp = jnp.where((ridx & bbit) != 0, rolled, tdp)
-            bbit *= 2
-        # sum each super-frame's q member rows, then carve chunk columns
-        comb = tdp.reshape(B, S, q, W).sum(axis=2)
-        comb = comb.reshape(B, S, n_chunk + 1, LANE)
-        rows = jnp.zeros((B, S + n_chunk, LANE), f32)
-        for c in range(n_chunk + 1):
-            rows = rows + jnp.pad(
-                comb[:, :, c, :], [(0, 0), (c, n_chunk - c), (0, 0)]
-            )
+    # aligned hop: carve (overlap, hop) lane blocks; hop | 128: the packed
+    # small-hop layout (q frames per 128-sample chunk) — see ops/pallas/ola.py
+    rows, S = ola_accumulate(td, B, tile_f, n_fft, hop)
     # (no scatter in Mosaic: add the carried tail via a zero-padded concat)
     rows = rows + jnp.concatenate(
         [tail_ref[...], jnp.zeros((B, S, rows.shape[-1]), f32)], axis=1
@@ -347,24 +307,16 @@ def _fused_call(
     n_tiles = (n_rows - 8) // tile_f
     n_bins = n_fft // 2 + 1
     eps = 1.19e-7
-    # packed small-hop synthesis (hop | LANE): q frames per 128-sample
-    # chunk row — the output rows are chunks, the tail carry spans
-    # n_fft/LANE chunks (see _pghi_invert_kernel)
-    packed = hop_length % LANE != 0
-    if emit_phases:
-        out_w, rows_out = Fp, tile_f
-    elif packed:
-        out_w, rows_out = LANE, tile_f // (LANE // hop_length)
-    else:
-        out_w, rows_out = hop_length, tile_f
     if emit_phases:
         # synthesis never runs: a lane-aligned stub keeps the scratch
         # legal for ANY hop (the phases-only gate has no lane constraint)
+        out_w, rows_out = Fp, tile_f
         tail_shape = (8, LANE)
-    elif packed:
-        tail_shape = (B, n_fft // LANE, LANE)
     else:
-        tail_shape = (B, overlap - 1, hop_length)
+        # aligned hops emit hop-sample rows; packed small hops emit
+        # 128-sample chunk rows (q frames each) — see ops/pallas/ola.py
+        rows_out, out_w, carry_rows = ola_layout(n_fft, hop_length, tile_f)
+        tail_shape = (B, carry_rows, out_w)
 
     kernel = functools.partial(
         _pghi_invert_kernel,

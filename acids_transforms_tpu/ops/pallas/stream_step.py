@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fft import _dft_matrices, _idft_matrices
+from .ola import ola_accumulate, ola_layout, ola_supported
 from .spectral import LANE, _round_up, _split_bf16
 
 __all__ = ["fused_roundtrip_available", "make_fused_roundtrip"]
@@ -46,8 +47,9 @@ _WIN_PAD = 8  # Element-window sublane alignment over-fetch
 
 def fused_roundtrip_available(chain, chunk_size: int) -> bool:
     """True when ``chain`` is ``[OverlapAdd, RealtimeSTFT-family]`` with
-    matching (n_fft, hop), ``hop | chunk``, ``hop % LANE == 0`` (lane
-    alignment of the hop rows) and overlap <= ``_WIN_PAD``."""
+    matching (n_fft, hop), ``hop | chunk``, an OLA-supported hop (lane
+    multiple, or dividing the lane width — the packed small-hop layout,
+    ops/pallas/ola.py) and overlap <= ``_WIN_PAD``."""
     from ...transforms.base import ComposeAudioTransform
     from ...transforms.oadd import OverlapAdd
     from ...transforms.stft import RealtimeSTFT
@@ -62,7 +64,7 @@ def fused_roundtrip_available(chain, chunk_size: int) -> bool:
         and oadd.hop_length == rt.hop_length
         and rt.n_fft % rt.hop_length == 0
         and 2 <= rt.n_fft // rt.hop_length <= _WIN_PAD
-        and rt.hop_length % LANE == 0
+        and ola_supported(rt.n_fft, rt.hop_length)
         and chunk_size % rt.hop_length == 0
         and chunk_size >= rt.n_fft
     )
@@ -101,18 +103,15 @@ def _session_kernel(
     zh, zl = _split_bf16(Z)
     zstk = jnp.concatenate([zh, zh, zl, zl], axis=1)
     td = jnp.dot(zstk, syn_basis_ref[...], preferred_element_type=f32)
-    td = td.reshape(B, T_c, overlap, hop)         # synthesis frames, chunked
-
-    acc = jnp.zeros((B, T_c + overlap - 1, hop), f32)
-    for j in range(overlap):
-        acc = acc + jnp.pad(
-            td[:, :, j, :], [(0, 0), (j, overlap - 1 - j), (0, 0)]
-        )
+    # synthesis frames -> overlap-add: aligned hops carve (overlap, hop)
+    # lane blocks; hop | 128 uses the packed small-hop chunk layout
+    # (ops/pallas/ola.py) — emitted rows are then 128-sample chunks
+    acc, S = ola_accumulate(td, B, T_c, overlap * hop, hop)
     acc = acc + jnp.concatenate(
-        [tail_ref[...], jnp.zeros((B, T_c, hop), f32)], axis=1
+        [tail_ref[...], jnp.zeros((B, S, acc.shape[-1]), f32)], axis=1
     )
-    o_ref[...] = acc[:, :T_c, :]
-    tail_ref[...] = acc[:, T_c:, :]
+    o_ref[...] = acc[:, :S, :]
+    tail_ref[...] = acc[:, S:, :]
 
 
 @functools.partial(
@@ -124,6 +123,7 @@ def _session_call(rows, ana_basis, syn_basis, n_fft, hop, T_c, n_chunks, interpr
     kernel = functools.partial(
         _session_kernel, T_c=T_c, overlap=overlap, hop=hop,
     )
+    rows_out, out_w, carry_rows = ola_layout(n_fft, hop, T_c)
 
     def fixed(m):
         return pl.BlockSpec(m.shape, lambda t: (0, 0), memory_space=pltpu.VMEM)
@@ -141,10 +141,12 @@ def _session_call(rows, ana_basis, syn_basis, n_fft, hop, T_c, n_chunks, interpr
             fixed(syn_basis),
         ],
         out_specs=pl.BlockSpec(
-            (B, T_c, hop), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+            (B, rows_out, out_w), lambda t: (0, t, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, n_chunks * T_c, hop), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B, overlap - 1, hop), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_chunks * rows_out, out_w), jnp.float32
+        ),
+        scratch_shapes=[pltpu.VMEM((B, carry_rows, out_w), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # the two bf16x4 bases alone are ~21 MB at n_fft=1024
@@ -212,7 +214,14 @@ def make_fused_roundtrip(chain, chunk_size: int, interpret: Optional[bool] = Non
         # block alone is B*T_k*n_fft f32), so cap that product: B=32 at
         # T_k=128 measured a scoped-VMEM OOM (82 MB vs the 64 MB limit)
         # where B*T_k <= 1024 compiles with headroom at every B <= 64.
-        T_k = min(_round_up(n_frames, 8), 128, max(8, _round_up(1024 // B, 8)))
+        # packed small hops need q | T_k (q frames per emitted chunk row);
+        # q is a power of two, so the sublane/packing lcm is just the max
+        unit = 8 if hop % LANE == 0 else max(8, LANE // hop)
+        T_k = min(
+            _round_up(n_frames, unit),
+            128,
+            max(unit, _round_up(1024 // B, unit)),
+        )
         n_steps = -(-n_frames // T_k)
         total_rows = carry_rows + n_steps * T_k + (_WIN_PAD - carry_rows)
         sig = jnp.concatenate(
