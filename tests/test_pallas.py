@@ -759,6 +759,37 @@ def test_pghi_bidir_quality_and_synthesis():
     assert np.abs(y_one[..., :n] - y_two[..., :n]).max() / np.abs(y_one).max() < 1e-6
 
 
+def test_pghi_synthesize_fused_packed_hop():
+    """phases_in synthesis at a packed small hop (hop | 128): the shared
+    OLA layout (ops/pallas/ola.py) matches the library ISTFT — covers the
+    bidirectional inversion's assembly stage at small hops."""
+    from acids_transforms_tpu.ops.fft import istft, stft
+    from acids_transforms_tpu.ops.pallas.pghi_kernel import (
+        pghi_invert_bidir,
+        pghi_phases_fused,
+        pghi_synthesize_fused,
+    )
+
+    dgt = T.DGT(n_fft=512, hop_length=64)
+    w, invw, gamma = dgt.window, dgt.inv_window, dgt.gamma
+    key = jax.random.PRNGKey(3)
+    t = np.arange(9000) / 44100
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    mag = jnp.abs(stft(jnp.asarray(x)[None], 512, 64, w))
+    ph = pghi_phases_fused(mag, gamma, 512, 64, key=key)
+    y_lib = np.asarray(istft(mag * jnp.exp(1j * ph), 512, 64, invw))
+    y_ker = np.asarray(pghi_synthesize_fused(mag, ph, 512, 64, invw))
+    n = min(y_lib.shape[-1], y_ker.shape[-1])
+    rel = np.abs(y_ker[..., :n] - y_lib[..., :n]).max() / np.abs(y_lib).max()
+    assert rel < 1e-4, rel
+    # the full bidirectional inversion composes at the packed hop too
+    y_bid = pghi_invert_bidir(mag, gamma, 512, 64, invw, key=key)
+    R = jnp.abs(stft(y_bid, 512, 64, w))
+    m = min(R.shape[-2], mag.shape[-2])
+    sc = float(jnp.linalg.norm(R[:, :m] - mag[:, :m]) / jnp.linalg.norm(mag))
+    assert sc < 0.2, sc
+
+
 def test_pghi_bidir_inversion_mode():
     """`inversion_mode="pghi_bidir"` works through the transform API (and
     composes — the mode is registry-known)."""
