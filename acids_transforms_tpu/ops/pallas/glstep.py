@@ -632,7 +632,7 @@ def _gl_fullk_call(
 def gl_fullk_available(n_fft: int, hop_length: int) -> bool:
     return (
         n_fft % hop_length == 0
-        and 2 <= n_fft // hop_length <= HALO - 1
+        and 2 <= n_fft // hop_length <= HALO
         and hop_length % LANE == 0
     )
 
@@ -799,7 +799,7 @@ def gl_project_available(n_fft: int, hop_length: int, taps) -> bool:
     return (
         taps is not None
         and n_fft % hop_length == 0
-        and n_fft // hop_length <= HALO - 1
+        and n_fft // hop_length <= HALO
         and hop_length % LANE == 0
     )
 

@@ -356,8 +356,15 @@ def test_gl_project_matches_roundtrip_interior():
     assert rel < 1e-4, rel
 
 
-@pytest.mark.parametrize("iters", [2, 3])
-def test_gl_chained_step_interior_matches_single_steps(iters):
+@pytest.mark.parametrize(
+    "n_fft,hop,iters",
+    [
+        (512, 128, 2),
+        (512, 128, 3),
+        (1024, 128, 2),  # overlap 8 (the relaxed <= HALO gate region)
+    ],
+)
+def test_gl_chained_step_interior_matches_single_steps(n_fft, hop, iters):
     # make_gl_momentum_step(iters=k) chains k projection+momentum+renorm
     # passes inside one invocation (r3.8/r3.9).  Interior rows
     # (>= k*(overlap-1) frames from each signal edge) must equal k chained
@@ -368,7 +375,6 @@ def test_gl_chained_step_interior_matches_single_steps(iters):
     from acids_transforms_tpu.ops.pallas.glstep import make_gl_momentum_step
     from acids_transforms_tpu.ops.windows import get_window
 
-    n_fft, hop = 512, 128
     m = n_fft // hop - 1
     w = get_window("hann", n_fft)
     taps = taps_for_window(np.asarray(w))
