@@ -26,17 +26,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .spectral import LANE
 
-__all__ = ["ola_supported", "ola_layout", "ola_accumulate"]
+__all__ = ["ola_supported", "ola_layout", "ola_accumulate", "ola_tile_unit"]
 
 
 def ola_supported(n_fft: int, hop: int) -> bool:
     return hop % LANE == 0 or (LANE % hop == 0 and n_fft % LANE == 0)
 
 
+def _check_supported(n_fft: int, hop: int) -> None:
+    # loud trace-time failure: an unsupported hop (e.g. 96 or 160) would
+    # otherwise take the packed branch with the wrong q and return
+    # silently corrupted audio in interpret mode (callers gate on
+    # ola_supported before dispatching; this backstops direct calls)
+    if not ola_supported(n_fft, hop):
+        raise ValueError(
+            f"in-kernel OLA needs hop % {LANE} == 0 or hop | {LANE} "
+            f"(with n_fft % {LANE} == 0); got n_fft={n_fft} hop={hop}"
+        )
+
+
+def ola_tile_unit(hop: int) -> int:
+    """Tile granularity for OLA-running kernels: multiples of 8 (Mosaic
+    sublanes) and of q = LANE/hop for the packed small-hop layout (q is a
+    power of two, so the lcm is just the max)."""
+    if hop % LANE and LANE % hop == 0:
+        return max(8, LANE // hop)
+    return 8
+
+
 def ola_layout(n_fft: int, hop: int, tile: int):
     """``(rows_out, out_w, carry_rows)`` for a ``tile``-frame OLA step:
     the output block is ``(B, rows_out, out_w)`` (= ``tile * hop`` samples)
     and the carried tail is ``(B, carry_rows, out_w)``."""
+    _check_supported(n_fft, hop)
     if hop % LANE == 0:
         return tile, hop, n_fft // hop - 1
     q = LANE // hop
@@ -51,6 +73,7 @@ def ola_accumulate(td, B: int, tile: int, n_fft: int, hop: int):
     carry (see :func:`ola_layout`).
     """
     f32 = jnp.float32
+    _check_supported(n_fft, hop)
     overlap = n_fft // hop
     if hop % LANE == 0:
         g = td.reshape(B, tile, overlap, hop)

@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fft import _idft_matrices
-from .ola import ola_accumulate, ola_layout, ola_supported
+from .ola import ola_accumulate, ola_layout, ola_supported, ola_tile_unit
 from .spectral import LANE, _round_up, _split_bf16
 
 __all__ = [
@@ -72,16 +72,6 @@ def pghi_phases_available(n_fft: int, hop_length: int) -> bool:
     carrier scale and the gamma normalization, neither of which cares
     about lane layout."""
     return n_fft % hop_length == 0 and n_fft // hop_length >= 2
-
-
-def _tile_unit(hop_length: int) -> int:
-    """tile_f granularity for entries that run the synthesis stage:
-    multiples of 8 (Mosaic sublanes) and of q = LANE/hop when the packed
-    small-hop OLA groups q frames per chunk (q is a power of two, so the
-    lcm is just the max)."""
-    if hop_length % LANE and LANE % hop_length == 0:
-        return max(8, LANE // hop_length)
-    return 8
 
 
 def _seg_scan(a, b, d, Fp, reverse):
@@ -116,7 +106,7 @@ def _seg_scan(a, b, d, Fp, reverse):
 def _pghi_invert_kernel(
     mag_ref, abstol_ref, angles_ref, basis_ref, o_ref,
     phi_ref, tail_ref, reim_ref, ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref,
-    *, tile_f, n_bins, Fp, n_fft, hop, overlap, T_real, fmul, eps,
+    *, tile_f, n_bins, Fp, n_fft, hop, T_real, fmul, eps,
     emit_phases=False, bidir=False, phases_in=False,
 ):
     """One grid step: ``tile_f`` frames of fill + synthesis (see module docs).
@@ -303,7 +293,6 @@ def _fused_call(
     T_real, fmul, emit_phases=False, bidir=False, phases_in=False,
 ):
     B, n_rows, Fp = mag_p.shape
-    overlap = n_fft // hop_length
     n_tiles = (n_rows - 8) // tile_f
     n_bins = n_fft // 2 + 1
     eps = 1.19e-7
@@ -321,7 +310,7 @@ def _fused_call(
     kernel = functools.partial(
         _pghi_invert_kernel,
         tile_f=tile_f, n_bins=n_bins, Fp=Fp, n_fft=n_fft, hop=hop_length,
-        overlap=overlap, T_real=T_real, fmul=float(fmul), eps=eps,
+        T_real=T_real, fmul=float(fmul), eps=eps,
         emit_phases=emit_phases, bidir=bidir, phases_in=phases_in,
     )
     out = pl.pallas_call(
@@ -521,7 +510,7 @@ def pghi_invert_fused(
         interpret = jax.default_backend() != "tpu"
     # Mosaic sublane rule: tile_f a multiple of 8 (mag halo over-fetches to
     # 8 rows, of which 2 are used); packed small hops also need q | tile_f
-    unit = _tile_unit(hop_length)
+    unit = ola_tile_unit(hop_length)
     tile_f = max(unit, tile_f - tile_f % unit)
     batch_shape = mag.shape[:-2]
     T, F = mag.shape[-2], mag.shape[-1]
@@ -710,7 +699,7 @@ def pghi_synthesize_fused(
     window."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    unit = _tile_unit(hop_length)
+    unit = ola_tile_unit(hop_length)
     tile_f = max(unit, tile_f - tile_f % unit)
     batch_shape = mag.shape[:-2]
     T, F = mag.shape[-2], mag.shape[-1]

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fft import _dft_matrices, _idft_matrices
-from .ola import ola_accumulate, ola_layout, ola_supported
+from .ola import ola_accumulate, ola_layout, ola_supported, ola_tile_unit
 from .spectral import LANE, _round_up, _split_bf16
 
 __all__ = ["fused_roundtrip_available", "make_fused_roundtrip"]
@@ -216,7 +216,7 @@ def make_fused_roundtrip(chain, chunk_size: int, interpret: Optional[bool] = Non
         # where B*T_k <= 1024 compiles with headroom at every B <= 64.
         # packed small hops need q | T_k (q frames per emitted chunk row);
         # q is a power of two, so the sublane/packing lcm is just the max
-        unit = 8 if hop % LANE == 0 else max(8, LANE // hop)
+        unit = ola_tile_unit(hop)
         T_k = min(
             _round_up(n_frames, unit),
             128,
