@@ -115,8 +115,12 @@ def fusable(chain: AudioTransform, backend: str = "auto") -> bool:
     if _match_mfcc(chain) is not None:
         return True
     if backend == "auto":
-        backend = "pallas" if _pallas_preferred(chain) else "xla"
-    return _match_melspec(chain, backend) is not None
+        if _match_melspec(chain, "xla") is not None:
+            return True
+        return _match_repr(chain, "xla") is not None
+    if _match_melspec(chain, backend) is not None:
+        return True
+    return _match_repr(chain, backend) is not None
 
 
 def _xla_fused(
@@ -333,6 +337,229 @@ def _fused_mfcc(mono, mfcc, backend: str, out_dtype=jnp.float32):
     return forward
 
 
+def _match_repr(chain: AudioTransform, backend: str = "xla"):
+    """Return ``(mono, stft_t, rep, second)`` for a fusable stacked
+    spectral-representation chain ``[Mono?] + (STFT|DGT) + (Polar|PolarIF|
+    Cartesian)``, else None.
+
+    ``second`` is the kernel's channel-2 selector: "phase" (Polar, requires
+    ``unwrap=False`` — unwrapping is a global frame cumsum), "if" (PolarIF,
+    requires the default ``method="forward"`` — the only stencil whose
+    boundary rows are frame-local; backward/central pass the *globally
+    unwrapped* last frame through, reference spectral_repr.py:316-335), or
+    "imag" (Cartesian).
+    """
+    from .transforms.spectral_repr import Cartesian, Polar, PolarIF
+
+    if not isinstance(chain, ComposeAudioTransform):
+        return None
+    ts = list(chain.transforms)
+    mono = None
+    if ts and type(ts[0]) is Mono:
+        mono = ts[0]
+        ts = ts[1:]
+    if len(ts) != 2:
+        return None
+    stft_t, rep = ts
+    if type(stft_t) not in (STFT, DGT):
+        return None
+    if type(rep) not in (Polar, PolarIF, Cartesian):
+        return None
+    if _resolve_impl(stft_t.impl, stft_t.n_fft) != "matmul":
+        return None
+    if rep.stack is not None and not (
+        isinstance(rep.stack, int) and rep.stack < 0
+    ):
+        return None  # front-counted stack dims depend on batch rank
+    if type(rep) is Cartesian:
+        second = "imag"
+    elif type(rep) is Polar:
+        if getattr(rep.phase, "unwrap", False):
+            return None
+        second = "phase"
+    else:
+        if rep.phase.method != "forward":
+            return None
+        second = "if"
+    if second != "imag":
+        mag_t = rep.magnitude
+        if mag_t.mel and mag_t.n_fft != stft_t.n_fft:
+            return None  # mismatched bank: let the chain raise its own error
+        if backend == "pallas":
+            if stft_t.n_fft % stft_t.hop_length != 0:
+                return None
+            if mag_t.contrast_mode in ("log", "log10"):
+                return None
+    elif backend == "pallas" and stft_t.n_fft % stft_t.hop_length != 0:
+        return None
+    return mono, stft_t, rep, second
+
+
+def _norm_affine(norm):
+    """(offset, scale) of a Normalize / Dummy leaf, traced-safe."""
+    from .transforms.norm import Normalize
+
+    if isinstance(norm, Normalize):
+        return norm.offset, norm.scale
+    return 0.0, 1.0
+
+
+def _stack_repr(rep, y1, y2):
+    if rep.stack is None:
+        return y1, y2
+    return jnp.stack([y1, y2], axis=rep.stack)
+
+
+def _xla_fused_repr(mono, stft_t, rep, second):
+    """XLA-fused two-channel representation forward: real/imag GEMMs feed
+    both channel epilogues directly — the complex spectrogram intermediate
+    of ``chain.forward`` never materializes.  Channel math is the
+    transforms' own (shared code paths), so output parity with the chain
+    is exact up to XLA fusion reassociation."""
+    n_fft, hop = stft_t.n_fft, stft_t.hop_length
+
+    def forward(x: jnp.ndarray):
+        x = _from_pcm(x)
+        if mono is not None:
+            x = mono.forward(x)
+        re, im = stft_real(
+            x, n_fft, hop, stft_t.window, impl=stft_t.impl,
+            taps=getattr(stft_t, "_window_taps", None),
+        )
+        if second == "imag":
+            y1 = rep.magnitude._drop_nyquist(rep.magnitude.norm.forward(re))
+            y2 = rep.phase._drop_nyquist(rep.phase.norm.forward(im))
+            return _stack_repr(rep, y1, y2)
+        mag_t = rep.magnitude
+        prec = matmul_precision()
+        mag = jnp.sqrt(
+            jnp.maximum(re * re + im * im, jnp.finfo(jnp.float32).tiny)
+        )
+        if mag_t.mel:
+            mag = jnp.matmul(mag, mag_t.mel_bank, precision=prec)
+        y1 = mag_t._drop_nyquist(mag_t.norm.forward(mag_t.contrast(mag)))
+        ph = jnp.arctan2(im, re)
+        if second == "phase":
+            y2 = ph
+        else:
+            y2 = rep.phase.get_if_from_phase(ph)
+        y2 = rep.phase._drop_nyquist(rep.phase.norm.forward(y2))
+        return _stack_repr(rep, y1, y2)
+
+    return forward
+
+
+def _pallas_fused_repr(mono, stft_t, rep, second):
+    """One-kernel two-channel representation forward
+    (ops/pallas/spectral.py:fused_spectral_repr); differentiable via the
+    XLA formulation's VJP, exactly like :func:`_pallas_fused`."""
+    import jax
+
+    from .ops.pallas.spectral import fused_spectral_repr
+
+    o1, s1 = _norm_affine(rep.magnitude.norm)
+    o2, s2 = _norm_affine(rep.phase.norm)
+    if second == "imag":
+        contrast = "none"
+        mel_bank = None
+        weighted = False
+    else:
+        mag_t = rep.magnitude
+        contrast = mag_t.contrast_mode or "none"
+        mel_bank = mag_t.mel_bank if mag_t.mel else None
+        weighted = bool(getattr(rep.phase, "weighted", False))
+    taps = getattr(stft_t, "_window_taps", None)
+
+    mel_blocks = None
+    if mel_bank is not None:
+        from .ops.pallas.spectral import mel_block_structure
+
+        if isinstance(mel_bank, jax.core.Tracer):
+            from .ops.mel import square_mel_banks
+
+            bank_np = square_mel_banks(
+                mag_t.n_fft, mag_t.sr, keep_nyquist=mag_t.keep_nyquist,
+                inverse=getattr(mag_t, "mel_inverse", "transpose"),
+            )[0]
+            mel_blocks = mel_block_structure(bank_np)
+        else:
+            mel_blocks = mel_block_structure(np.asarray(mel_bank))
+
+    def kernel_forward(x: jnp.ndarray):
+        if mono is not None:
+            if x.dtype == jnp.int16 and (
+                mono.normalize
+                or (x.ndim >= 2 and x.shape[-2] == 2 and mono.mode == "mix")
+            ):
+                x = _from_pcm(x)
+            x = mono.forward(x)
+        batch_shape = x.shape[:-1]
+        flat = x.reshape((-1, x.shape[-1]))
+        y1, y2 = fused_spectral_repr(
+            flat,
+            stft_t.n_fft,
+            stft_t.hop_length,
+            stft_t.window,
+            second,
+            mel_bank=mel_bank,
+            aff=(o1, s1, o2, s2),
+            contrast=contrast,
+            weighted=weighted,
+            taps=taps,
+            mel_blocks=mel_blocks,
+            x4=stft_t.n_fft >= 4096 and taps is not None,
+        )
+        y1 = rep.magnitude._drop_nyquist(y1.reshape(batch_shape + y1.shape[1:]))
+        y2 = rep.phase._drop_nyquist(y2.reshape(batch_shape + y2.shape[1:]))
+        return _stack_repr(rep, y1, y2)
+
+    xla_forward = _xla_fused_repr(mono, stft_t, rep, second)
+
+    @jax.custom_vjp
+    def forward(x: jnp.ndarray):
+        return kernel_forward(x)
+
+    def _fwd(x):
+        return kernel_forward(x), x
+
+    def _bwd(x, g):
+        _, vjp = jax.vjp(xla_forward, x)
+        return vjp(g)
+
+    forward.defvjp(_fwd, _bwd)
+    return forward
+
+
+def _repr_pallas_preferred(chain: AudioTransform) -> bool:
+    """Auto region for the fused representation kernel — the same measured
+    region as the magnitude kernel (:func:`_pallas_preferred`): the DFT
+    front-end dominates both, and the representation epilogue only *adds*
+    the phase channel the XLA path would also have to compute."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    match = _match_repr(chain, "pallas")
+    if match is None:
+        return False
+    return _pallas_region_ok(match[1])
+
+
+def _pallas_region_ok(stft_t) -> bool:
+    """The measured-winner shape region shared by every fused forward
+    (see :func:`_pallas_preferred` for the measurements)."""
+    overlap = stft_t.n_fft // stft_t.hop_length
+    if getattr(stft_t, "_window_taps", None) is None:
+        from .ops.pallas.spectral import _nyq_depad
+
+        return (
+            _nyq_depad(stft_t.n_fft, stft_t.hop_length)
+            and 512 <= stft_t.n_fft <= 2048
+            and overlap >= 2
+        )
+    return 512 <= stft_t.n_fft <= 4096 and overlap >= 2
+
+
 def _pallas_preferred(chain: AudioTransform) -> bool:
     """True when the chunk-factored Pallas kernel is the measured winner:
     on a TPU (elsewhere the kernel runs in interpret mode), pattern-fusable
@@ -355,26 +582,16 @@ def _pallas_preferred(chain: AudioTransform) -> bool:
     match = _match_melspec(chain, "pallas")
     if match is None:
         return False
-    stft_t = match[1]
-    overlap = stft_t.n_fft // stft_t.hop_length
-    if getattr(stft_t, "_window_taps", None) is None:
-        # non-cosine windows (the DGT gaussian) ride the full-K kernel.
-        # It beats the XLA fused path only with the nyquist-depadded lane
-        # layout (r3.6): measured 1.14x at 1024/256 b128 and 1.32x at
-        # 2048/512 b64 (tools/sweep_depad.py; pre-depad it LOST by 1.7%,
-        # BENCH_NOTES.md).  4096 runs (the r3.6c no-dup [B_hi; B_lo]
-        # operand layout brings the basis under the VMEM roof) but
-        # measures only 1.07x over XLA at 1.34e-4 vs the chain — over
-        # the mutual 1e-4 budget and inside run noise — so auto keeps
-        # 4096 gaussian on XLA (measured negative, BENCH_NOTES.md).
-        from .ops.pallas.spectral import _nyq_depad
-
-        return (
-            _nyq_depad(stft_t.n_fft, stft_t.hop_length)
-            and 512 <= stft_t.n_fft <= 2048
-            and overlap >= 2
-        )
-    return 512 <= stft_t.n_fft <= 4096 and overlap >= 2
+    # non-cosine windows (the DGT gaussian) ride the full-K kernel.  It
+    # beats the XLA fused path only with the nyquist-depadded lane layout
+    # (r3.6): measured 1.14x at 1024/256 b128 and 1.32x at 2048/512 b64
+    # (tools/sweep_depad.py; pre-depad it LOST by 1.7%, BENCH_NOTES.md).
+    # 4096 full-K runs (the r3.6c no-dup [B_hi; B_lo] operand layout
+    # brings the basis under the VMEM roof) but measures only 1.07x over
+    # XLA at 1.34e-4 vs the chain — over the mutual 1e-4 budget and
+    # inside run noise — so auto keeps 4096 gaussian on XLA (measured
+    # negative, BENCH_NOTES.md).  _pallas_region_ok encodes the region.
+    return _pallas_region_ok(match[1])
 
 
 def fuse_forward(
@@ -439,23 +656,42 @@ def fuse_forward(
                 else "xla"
             )
         return _fused_mfcc(mono, mfcc, be, out_dtype=out_dtype)
+    requested = backend
     if backend == "auto":
         backend = "pallas" if _pallas_preferred(chain) else "xla"
     match = _match_melspec(chain, backend)
     if match is None:
+        # stacked spectral representations: [Mono?] + (STFT|DGT) +
+        # (Polar | PolarIF | Cartesian) — one kernel computes both
+        # channels from a single DFT (_match_repr docstring)
+        rb = requested
+        if rb == "auto":
+            rb = "pallas" if _repr_pallas_preferred(chain) else "xla"
+        rmatch = _match_repr(chain, rb)
+        if rmatch is not None and out_dtype == jnp.float32:
+            mono_r, stft_r, rep, second = rmatch
+            if rb == "pallas":
+                return _pallas_fused_repr(mono_r, stft_r, rep, second)
+            return _xla_fused_repr(mono_r, stft_r, rep, second)
         if out_dtype == jnp.float32:
             return chain.jforward
 
         def _cast_fallback(x):
+            import jax
+
             y = chain.jforward(x)
-            if jnp.issubdtype(y.dtype, jnp.complexfloating):
-                # astype would silently drop the imaginary part — the
-                # exact silent-trap class this library forbids
-                raise ValueError(
-                    "fuse_forward(out_dtype=%s): chain produces complex "
-                    "output; cast a real representation instead" % out_dtype
-                )
-            return y.astype(out_dtype)
+            for leaf in jax.tree_util.tree_leaves(y):
+                if jnp.issubdtype(leaf.dtype, jnp.complexfloating):
+                    # astype would silently drop the imaginary part — the
+                    # exact silent-trap class this library forbids
+                    raise ValueError(
+                        "fuse_forward(out_dtype=%s): chain produces complex "
+                        "output; cast a real representation instead"
+                        % out_dtype
+                    )
+            return jax.tree_util.tree_map(
+                lambda leaf: leaf.astype(out_dtype), y
+            )
 
         return _cast_fallback
     mono, stft_t, mag_t = match

@@ -71,7 +71,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fft import _chunk_dft_matrices, _dft_matrices, _twiddles
 
-__all__ = ["fused_melspec", "fused_melspec_stats", "mel_block_structure"]
+__all__ = [
+    "fused_melspec", "fused_melspec_stats", "fused_spectral_repr",
+    "mel_block_structure",
+]
 
 LANE = 128
 
@@ -145,6 +148,48 @@ def _split_bf16(m: jnp.ndarray):
     return hi_f32.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
+def _atan_poly_coeffs(deg: int = 9) -> tuple:
+    """Power-basis coefficients ``c_k`` of ``atan(t) ~= t * sum_k c_k t^{2k}``
+    on [0, 1], least-squares fit at Chebyshev nodes.  ``atan(sqrt(s))/sqrt(s)``
+    is analytic on [0, 1] with its nearest singularity at s = -1, so the
+    coefficients decay like ``(3 + 2*sqrt(2))^-k`` — deg 9 reaches ~1e-8,
+    far inside the library's 1e-4 phase budget."""
+    n = 256
+    t = (np.cos((2 * np.arange(n) + 1) * np.pi / (2 * n)) + 1.0) / 2.0
+    t = t[t > 1e-9]
+    A = np.stack([t ** (2 * i) for i in range(deg + 1)], axis=1)
+    c, *_ = np.linalg.lstsq(A, np.arctan(t) / t, rcond=None)
+    return tuple(float(v) for v in c)
+
+
+_ATAN_C = _atan_poly_coeffs()
+
+
+def _atan2(y, x):
+    """Four-quadrant arctangent on the VPU (Mosaic lowers neither ``atan2``
+    nor ``atan``): octant range reduction + the :func:`_atan_poly_coeffs`
+    even polynomial, |err| <~ 1e-6 rad vs ``jnp.arctan2``.
+
+    ``atan2(0, 0) = 0``; the ``y == -0.0`` convention collapses to
+    ``sign(y) = +1`` (numpy would give -pi at ``(-0.0, x<0)``) — the chain's
+    nyquist/silent bins carry tiny-noise imaginary parts that make the
+    ±pi choice unstable between any two backends, so phase comparisons are
+    wrap-aware throughout (tests compare ``e^{i.phase}``)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, jnp.float32(np.finfo(np.float32).tiny))
+    u = t * t
+    p = jnp.float32(_ATAN_C[-1])
+    for c in _ATAN_C[-2::-1]:
+        p = p * u + jnp.float32(c)
+    r = t * p
+    r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, jnp.float32(np.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
 def _read_block(x_ref):
     """Read this grid step's input rows, converting int16 PCM on the VPU.
 
@@ -161,11 +206,14 @@ def _read_block(x_ref):
     return block
 
 
-def _tile_magnitude(
-    x_ref, basis_ref, scr_ref, *, overlap, hop, tile_t, power=1.0,
+def _tile_spectrum(
+    x_ref, basis_ref, scr_ref, *, overlap, hop, tile_t,
     wnyq_ref=None, n_bins=None, x4=False,
 ):
-    """Assemble this tile's frames in VMEM and return |DFT| (tile_t, Fp).
+    """Assemble this tile's frames in VMEM and return the windowed DFT as
+    ``(re, im, nyq)`` — each (tile_t, Fp) f32, ``nyq`` a (tile_t, 1) f32
+    column holding the exact real nyquist bin in the :func:`_nyq_depad`
+    layout (None otherwise).
 
     Full-K windowed DFT for non-cosine windows (the DGT gaussian): the 3
     bf16x3 passes x 2 (re/im) run as TWO GEMMs against the pre-stacked
@@ -230,16 +278,30 @@ def _tile_magnitude(
                 preferred_element_type=f32,
             )
     re, im = Z[:, :Fp], Z[:, Fp:]
-    sq = re * re + im * im
-    sq = sq if power == 2.0 else jnp.sqrt(sq)
     if n_bins is None or Fp != n_bins - 1:
-        return sq
+        return re, im, None
     # depadded layout: nyquist = exact f32 reduce of the frame (hi + lo
     # reconstructs it exactly) against the windowed (-1)^n row
     w = wnyq_ref[0, :][None, :]
     nyq = jnp.sum(
         scr_ref[:, :n_fft].astype(f32) * w, axis=1, keepdims=True
     ) + jnp.sum(scr_ref[:, n_fft:].astype(f32) * w, axis=1, keepdims=True)
+    return re, im, nyq
+
+
+def _tile_magnitude(
+    x_ref, basis_ref, scr_ref, *, overlap, hop, tile_t, power=1.0,
+    wnyq_ref=None, n_bins=None, x4=False,
+):
+    """|windowed DFT| (tile_t, Fp[+LANE]) over :func:`_tile_spectrum`."""
+    re, im, nyq = _tile_spectrum(
+        x_ref, basis_ref, scr_ref, overlap=overlap, hop=hop, tile_t=tile_t,
+        wnyq_ref=wnyq_ref, n_bins=n_bins, x4=x4,
+    )
+    sq = re * re + im * im
+    sq = sq if power == 2.0 else jnp.sqrt(sq)
+    if nyq is None:
+        return sq
     nyval = nyq * nyq if power == 2.0 else jnp.abs(nyq)
     return _append_nyq(sq, nyval)
 
@@ -334,8 +396,10 @@ def _append_nyq(sq, nyval):
     return jnp.concatenate([sq, blk], axis=1)
 
 
-def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bins, power=1.0, ablate=None, cnyq=None):
-    """The VPU half: twiddle combine + P-tap window conv + magnitude.
+def _combine_taps_complex(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bins, ablate=None, cnyq=None):
+    """The VPU half: twiddle combine + P-tap window conv -> ``(Yre, Yim,
+    Ynyq)`` — the windowed DFT tile as real/imaginary (tile_t, Fp) parts
+    plus the exact real nyquist column (depadded layout; None otherwise).
 
     ``cnyq`` (set iff the :func:`_nyq_depad` layout is active) carries the
     per-chunk nyquist column; the lanes then hold bins ``0..N-1`` only
@@ -349,9 +413,7 @@ def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bi
     depad = cnyq is not None
     if ablate == "combine":               # timing-only: skip the twiddle sum
         Xre, Xim = Cre[:tile_t], Cim[:tile_t]
-        sq = Xre * Xre + Xim * Xim
-        sq = sq if power == 2.0 else jnp.sqrt(sq)
-        return _append_nyq(sq, 0.0) if depad else sq
+        return Xre, Xim, (Xre[:, :1] * 0.0 if depad else None)
     if ablate == "noconv":                # timing-only: combine, no taps conv
         taps = (taps[0],)
     Xre = Xim = Xnyq = None
@@ -431,10 +493,8 @@ def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bi
         Yre = Yre + taps[p] * (rp_re + lp_re)
         Yim = Yim + taps[p] * (rp_im + lp_im)
 
-    sq = Yre * Yre + Yim * Yim
-    sq = sq if power == 2.0 else jnp.sqrt(sq)
     if not depad:
-        return sq
+        return Yre, Yim, None
     # nyquist output: Y[N] = c0 X[N] + sum_p c_p (X[N-p] + X[N+p]) with
     # X[N+p] = conj(X[N-p]) -> 2 Re X[N-p]; each Re is one masked reduce
     Ynyq = taps[0] * Xnyq
@@ -443,6 +503,20 @@ def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t, n_bi
             jnp.where(lane == N - p, Xre, 0.0), axis=1, keepdims=True
         )
         Ynyq = Ynyq + (2.0 * taps[p]) * re_np
+    return Yre, Yim, Ynyq
+
+
+def _combine_taps_mag(Cre, Cim, twr_ref, twi_ref, *, taps, overlap, tile_t,
+                      n_bins, power=1.0, ablate=None, cnyq=None):
+    """Magnitude over :func:`_combine_taps_complex` (the historical entry)."""
+    Yre, Yim, Ynyq = _combine_taps_complex(
+        Cre, Cim, twr_ref, twi_ref, taps=taps, overlap=overlap,
+        tile_t=tile_t, n_bins=n_bins, ablate=ablate, cnyq=cnyq,
+    )
+    sq = Yre * Yre + Yim * Yim
+    sq = sq if power == 2.0 else jnp.sqrt(sq)
+    if Ynyq is None:
+        return sq
     nyval = Ynyq * Ynyq if power == 2.0 else jnp.abs(Ynyq)
     return _append_nyq(sq, nyval)
 
@@ -668,6 +742,122 @@ def _forward_kernel_factored(
     mag = _apply_contrast(mag, contrast, eps)
     out = (mag - aff_ref[0, 0]) / aff_ref[0, 1]
     o_ref[0, :, :] = out.astype(o_ref.dtype)
+
+
+def _repr_epilogue(
+    re, im, nyq, mel_hi_ref, mel_lo_ref, aff_ref, o1_ref, o2_ref, prev_ref,
+    *, second, tile_t, contrast, eps, use_mel, weighted, t_valid,
+    mel_blocks=None, x4=False,
+):
+    """Two-channel spectral-representation epilogue over the complex tile.
+
+    Channel 1 is the magnitude pipeline (|.| -> mel -> contrast) for
+    ``second in ("phase", "if")`` or the real part for ``second == "imag"``
+    (Cartesian); channel 2 is the phase / instantaneous-frequency /
+    imaginary channel.  Both end with their own affine normalizer
+    (``aff_ref`` rows: [off1, scale1, off2, scale2]).
+
+    ``second == "if"`` implements ``unwrap -> fdiff_forward`` (the IF
+    transform's default stencil, transforms/spectral_repr.py) in its
+    frame-local form: the unwrapped consecutive difference IS the wrapped
+    principal difference, so no cross-frame cumsum is needed — row 0 passes
+    the raw angle through, interior rows are ``wrap(ph[t] - ph[t-1]) / 2``
+    (the last valid row skips the reference's pi division,
+    ``d.at[:-1].divide(pi)``).  The previous tile's last phase row is
+    carried in ``prev_ref`` VMEM scratch across the sequential grid steps;
+    the t == 0 passthrough masks the (stale) carry at batch boundaries.
+    Numerical note: the chain's unwrap accumulates a 2*pi-multiple cumsum
+    whose float32 ulp grows with the wrap count (~2.4e-4 at 2000 rad);
+    the local form has no such term — it is the MORE accurate evaluation
+    of the same math, so parity tests compare wrap-aware.
+    """
+    pi = jnp.float32(np.pi)
+    depad = nyq is not None
+    if second == "imag":
+        ch1 = _append_nyq(re, nyq) if depad else re
+        ch2 = _append_nyq(im, 0.0) if depad else im
+    else:
+        mag = jnp.sqrt(re * re + im * im)
+        if depad:
+            mag = _append_nyq(mag, jnp.abs(nyq))
+        if use_mel:
+            mag = _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks, x4=x4)
+        ch1 = _apply_contrast(mag, contrast, eps)
+        ph = _atan2(im, re)
+        if depad:
+            # the nyquist bin is exactly real: its angle is 0 or pi
+            ph = _append_nyq(ph, jnp.where(nyq < 0, pi, 0.0))
+        if second == "phase":
+            ch2 = ph
+        else:  # "if"
+            rows_local = jax.lax.broadcasted_iota(jnp.int32, ph.shape, 0)
+            rows = pl.program_id(1) * tile_t + rows_local
+            prev_b = jnp.broadcast_to(prev_ref[0:1, :], ph.shape)
+            ph_prev = pltpu.roll(ph, shift=1, axis=0)
+            ph_prev = jnp.where(rows_local == 0, prev_b, ph_prev)
+            diff = ph - ph_prev
+            ddmod = jnp.mod(diff + pi, jnp.float32(2 * np.pi)) - pi
+            ddmod = jnp.where((ddmod == -pi) & (diff > 0), pi, ddmod)
+            dw = jnp.where(jnp.abs(diff) < pi, diff, ddmod)
+            val = jnp.where(rows == 0, ph, dw * 0.5)
+            val = jnp.where(
+                rows == t_valid - 1, val, val * jnp.float32(1.0 / np.pi)
+            )
+            if weighted:
+                # parabolic frame window (IF._weight_window), a static
+                # function of the global frame index
+                n = rows.astype(jnp.float32)
+                Tf = float(t_valid)
+                w = (1.5 * Tf) / (Tf * Tf - 1.0) * (
+                    1.0 - ((n - (Tf / 2.0 - 1.0)) / (Tf / 2.0)) ** 2
+                )
+                val = val * w
+            # carry this tile's last phase row for the next grid step
+            prev_ref[0:1, :] = ph[tile_t - 1: tile_t, :]
+            ch2 = val
+    o1_ref[0, :, :] = ((ch1 - aff_ref[0, 0]) / aff_ref[0, 1]).astype(
+        o1_ref.dtype
+    )
+    o2_ref[0, :, :] = ((ch2 - aff_ref[0, 2]) / aff_ref[0, 3]).astype(
+        o2_ref.dtype
+    )
+
+
+def _repr_kernel(
+    x_ref, basis_ref, wnyq_ref, mel_hi_ref, mel_lo_ref, aff_ref,
+    o1_ref, o2_ref, scr_ref, prev_ref, *, overlap, hop, tile_t, contrast,
+    eps, use_mel, second, weighted, t_valid, mel_blocks=None, x4=False,
+    n_bins=None,
+):
+    re, im, nyq = _tile_spectrum(
+        x_ref, basis_ref, scr_ref, overlap=overlap, hop=hop, tile_t=tile_t,
+        wnyq_ref=wnyq_ref, n_bins=n_bins, x4=x4,
+    )
+    _repr_epilogue(
+        re, im, nyq, mel_hi_ref, mel_lo_ref, aff_ref, o1_ref, o2_ref,
+        prev_ref, second=second, tile_t=tile_t, contrast=contrast, eps=eps,
+        use_mel=use_mel, weighted=weighted, t_valid=t_valid,
+        mel_blocks=mel_blocks, x4=x4,
+    )
+
+
+def _repr_kernel_factored(
+    x_ref, basis_ref, twr_ref, twi_ref, mel_hi_ref, mel_lo_ref, aff_ref,
+    o1_ref, o2_ref, prev_ref, *, taps, overlap, tile_t, n_bins, contrast,
+    eps, use_mel, second, weighted, t_valid, mel_blocks=None, x4=False,
+):
+    depad = basis_ref.shape[1] // 2 == n_bins - 1
+    Cre, Cim, cnyq = _chunk_dots(x_ref, basis_ref, x4=x4, nyq=depad)
+    re, im, nyq = _combine_taps_complex(
+        Cre, Cim, twr_ref, twi_ref, taps=taps, overlap=overlap,
+        tile_t=tile_t, n_bins=n_bins, cnyq=cnyq,
+    )
+    _repr_epilogue(
+        re, im, nyq, mel_hi_ref, mel_lo_ref, aff_ref, o1_ref, o2_ref,
+        prev_ref, second=second, tile_t=tile_t, contrast=contrast, eps=eps,
+        use_mel=use_mel, weighted=weighted, t_valid=t_valid,
+        mel_blocks=mel_blocks, x4=x4,
+    )
 
 
 def _stats_kernel(
@@ -941,6 +1131,127 @@ def _fused_call(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "n_fft", "hop_length", "contrast", "interpret", "tile_t", "taps",
+        "n_bins", "second", "weighted", "t_valid", "mel_blocks", "x4",
+    ),
+)
+def _repr_call(
+    x_rows, WC, WS, TWR, TWI, WNYQ, mel_p, aff,
+    n_fft, hop_length, contrast, interpret, tile_t, taps, n_bins,
+    second, weighted, t_valid, mel_blocks=None, x4=False,
+):
+    """One pallas_call of the two-channel representation kernel.
+
+    Same weight plumbing as :func:`_fused_call`; emits (channel1, channel2)
+    — see :func:`_repr_epilogue`.  ``second == "if"`` forces sequential
+    ("arbitrary") grid semantics on the batch dim too, because the IF
+    recurrence carries the previous tile's last phase row in scratch."""
+    B, n_rows_total, hop = x_rows.shape
+    overlap = n_fft // hop_length
+    halo = _round_up(overlap - 1, 8)
+    n_tiles = (n_rows_total - halo) // tile_t
+    Fp = WC.shape[1]
+    depad = Fp == n_bins - 1
+    Fp_mag = Fp + LANE if depad else Fp
+    use_mel = mel_p is not None and second != "imag"
+    Mp = mel_p.shape[1] if use_mel else Fp_mag
+    if mel_p is None or second == "imag":
+        mel_p = jnp.zeros((Fp_mag, Fp_mag), jnp.float32)  # unused placeholder
+
+    nodup = taps is None and n_fft >= NODUP_MIN_NFFT
+    wc_hi, wc_lo = _split_bf16(WC)
+    ws_hi, ws_lo = _split_bf16(WS)
+    mel_hi, mel_lo = _split_bf16(mel_p)
+    if use_mel and mel_blocks is not None:
+        mel_hi = (
+            _stack_mel_nodup(mel_hi, mel_lo) if nodup
+            else _stack_mel(mel_hi, mel_lo)
+        )
+        mel_lo = jnp.zeros((8, LANE), jnp.bfloat16)
+    elif use_mel and nodup:
+        mel_hi = jnp.concatenate([mel_hi, mel_lo], axis=0)
+        mel_lo = jnp.zeros((8, LANE), jnp.bfloat16)
+    eps = float(np.finfo(np.float32).eps)
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+
+    semantics = (
+        ("arbitrary", "arbitrary") if second == "if"
+        else ("parallel", "arbitrary")
+    )
+    common = dict(
+        grid=(B, n_tiles),
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_t, Mp), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_t, Fp_mag), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_tiles * tile_t, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles * tile_t, Fp_mag), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=semantics,
+            vmem_limit_bytes=(
+                118 * 1024 * 1024 if nodup else 96 * 1024 * 1024
+            ),
+        ),
+        interpret=interpret,
+    )
+    mel_aff_specs = [
+        fixed(mel_hi.shape),
+        fixed(mel_lo.shape),
+        pl.BlockSpec((1, 4), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    prev_scratch = pltpu.VMEM((8, Fp_mag), jnp.float32)
+
+    if taps is not None:
+        basis = _stack_basis(wc_hi, wc_lo, ws_hi, ws_lo)
+        kernel = functools.partial(
+            _repr_kernel_factored,
+            taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
+            contrast=contrast, eps=eps, use_mel=use_mel, second=second,
+            weighted=weighted, t_valid=t_valid, mel_blocks=mel_blocks, x4=x4,
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=[_x_spec(tile_t, halo, hop)]
+            + [fixed((3 * hop, 2 * Fp))]
+            + [fixed((TWR.shape[0], Fp))] * 2 + mel_aff_specs,
+            scratch_shapes=[prev_scratch],
+            **common,
+        )(x_rows, basis, TWR, TWI, mel_hi, mel_lo, aff)
+
+    basis = (
+        _stack_basis_nodup(wc_hi, wc_lo, ws_hi, ws_lo) if nodup
+        else _stack_basis(wc_hi, wc_lo, ws_hi, ws_lo)
+    )
+    kernel = functools.partial(
+        _repr_kernel,
+        overlap=overlap, hop=hop, tile_t=tile_t, contrast=contrast, eps=eps,
+        use_mel=use_mel, second=second, weighted=weighted, t_valid=t_valid,
+        mel_blocks=mel_blocks, x4=x4, n_bins=n_bins,
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[_x_spec(tile_t, halo, hop)]
+        + [fixed(basis.shape), fixed(WNYQ.shape)] + mel_aff_specs,
+        scratch_shapes=[
+            pltpu.VMEM((tile_t, 2 * n_fft), jnp.bfloat16), prev_scratch,
+        ],
+        **common,
+    )(x_rows, basis, WNYQ, mel_hi, mel_lo, aff)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "n_fft", "hop_length", "contrast", "interpret", "tile_t", "t_valid",
         "taps", "n_bins",
     ),
@@ -1110,6 +1421,91 @@ def fused_melspec(
         ablate, mel_blocks, x4, jnp.dtype(out_dtype),
     )
     return out[:, :T, :M]
+
+
+def fused_spectral_repr(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    window: jnp.ndarray,
+    second: str,
+    mel_bank: Optional[jnp.ndarray] = None,
+    aff=(0.0, 1.0, 0.0, 1.0),
+    contrast: str = "log1p",
+    weighted: bool = False,
+    center: bool = True,
+    interpret: Optional[bool] = None,
+    tile_t: Optional[int] = None,
+    taps: Optional[tuple] = None,
+    mel_blocks: Optional[tuple] = None,
+    x4: bool = False,
+) -> tuple:
+    """Fused two-channel spectral representation ``(B, L) -> (y1, y2)``.
+
+    One kernel pass computes BOTH channels of the stacked representation
+    transforms (transforms/spectral_repr.py:SpectralRepresentation) from a
+    single windowed DFT — the complex spectrogram never exists in HBM:
+
+    - ``second="phase"`` (Polar): y1 = normalized mel/contrast magnitude,
+      y2 = normalized ``angle`` (in-kernel :func:`_atan2`).
+    - ``second="if"`` (PolarIF): y2 = normalized instantaneous frequency,
+      the frame-local form of ``unwrap + fdiff_forward`` (the IF
+      transform's default stencil; ``weighted`` applies the parabolic
+      frame window).  Only the "forward" stencil is local — backward /
+      central boundary rows need the globally-unwrapped last frame and
+      stay on the XLA path (fuse.py declines them).
+    - ``second="imag"`` (Cartesian): y1 = normalized real part, y2 =
+      normalized imaginary part (mel/contrast unused).
+
+    ``aff = (off1, scale1, off2, scale2)`` are the two Normalize affines.
+    Returns float32 ``(y1[(B, T, M)], y2[(B, T, F)])``; trimming, the
+    keep_nyquist bin-drop and the representation's ``stack`` are the
+    caller's (fuse.py's).  Everything else — int16 PCM ingest, the
+    chunk-factored vs full-K dispatch via ``taps``, the depadded nyquist
+    layout, banded mel — matches :func:`fused_melspec`.
+    """
+    if second not in ("phase", "if", "imag"):
+        raise ValueError("second must be 'phase', 'if' or 'imag'")
+    if x.ndim == 1:
+        y1, y2 = fused_spectral_repr(
+            x[None], n_fft, hop_length, window, second, mel_bank, aff,
+            contrast, weighted, center, interpret, tile_t, taps,
+            mel_blocks, x4,
+        )
+        return y1[0], y2[0]
+    interpret = _check_args(x, n_fft, hop_length, interpret)
+    x_rows, T, tile_t, halo, _ = _prepare_rows(
+        x, n_fft, hop_length, center, tile_t
+    )
+
+    if taps is not None:
+        F, Fp, WC, WS, TWR, TWI = _factored_weights(n_fft, hop_length)
+        WNYQ = jnp.zeros((8, 8), jnp.float32)  # unused placeholder
+    else:
+        F, Fp, WC, WS, WNYQ = _weights(n_fft, window)
+        TWR = TWI = jnp.zeros((8, Fp), jnp.float32)  # unused placeholders
+    Fp_mag = Fp + LANE if Fp == F - 1 else Fp
+    use_mel = mel_bank is not None and second != "imag"
+    if use_mel:
+        M = mel_bank.shape[1]
+        Mp = _round_up(M, LANE)
+        mel_p = jnp.pad(
+            jnp.asarray(mel_bank),
+            [(0, Fp_mag - mel_bank.shape[0]), (0, Mp - M)],
+        )
+        if mel_blocks is None and not isinstance(mel_bank, jax.core.Tracer):
+            mel_blocks = mel_block_structure(mel_bank)
+    else:
+        M, mel_p = F, None
+        mel_blocks = None
+
+    aff = jnp.asarray(aff, dtype=jnp.float32).reshape(1, 4)
+    y1, y2 = _repr_call(
+        x_rows, WC, WS, TWR, TWI, WNYQ, mel_p, aff,
+        n_fft, hop_length, contrast, interpret, tile_t, taps, F,
+        second, bool(weighted), T, mel_blocks, x4,
+    )
+    return y1[:, :T, :M], y2[:, :T, :F]
 
 
 def fused_melspec_stats(

@@ -290,7 +290,12 @@ class IF(_Representation):
         return w[:, None]
 
     def get_if(self, x: jnp.ndarray) -> jnp.ndarray:
-        p = unwrap(jnp.angle(x))
+        return self.get_if_from_phase(jnp.angle(x))
+
+    def get_if_from_phase(self, p: jnp.ndarray) -> jnp.ndarray:
+        """IF over an already-extracted (wrapped) phase — the entry the
+        fused forward uses (fuse.py) so both paths share one code path."""
+        p = unwrap(p)
         if self.method == "backward":
             d = fdiff_backward(p)
             d = d.at[..., 1:, :].divide(-jnp.pi)
