@@ -531,10 +531,23 @@ def _pallas_fused_repr(mono, stft_t, rep, second):
 
 
 def _repr_pallas_preferred(chain: AudioTransform) -> bool:
-    """Auto region for the fused representation kernel — the same measured
-    region as the magnitude kernel (:func:`_pallas_preferred`): the DFT
-    front-end dominates both, and the representation epilogue only *adds*
-    the phase channel the XLA path would also have to compute."""
+    """Auto region for the fused representation kernel, measured per
+    representation (tools/sweep_repr.py / sweep_repr2.py, v5e):
+
+    - PolarIF ("if"): the kernel wins 2.0-3.3x at EVERY swept shape (512,
+      1024, 2048 taps; 1024 full-K) because the XLA path pays a global
+      ``unwrap`` frame cumsum the frame-local stencil eliminates — auto
+      accepts the whole kernel availability region.
+    - Polar ("phase") / Cartesian ("imag"): the win rides on DFT reuse
+      alone and grows with n_fft — taps 1024 (1.27x / 1.14x) and 2048
+      (2.18x / 2.06x) win; 512 (0.97x / 0.80x) and the DGT full-K at
+      1024 (0.97x / 0.81x) lose, and 4096 is unmeasured — auto accepts
+      taps windows at 1024 <= n_fft <= 2048 only.
+
+    Accuracy across the region is oracle-validated (tools/oracle_repr.py):
+    the kernel-vs-chain diff (1.3e-4 at 1024 bipolar) is the sum of two
+    independent ~5e-5 errors, and the kernel lands at least as close to
+    the float64 reference as the chain on both channels."""
     import jax
 
     if jax.default_backend() != "tpu":
@@ -542,7 +555,14 @@ def _repr_pallas_preferred(chain: AudioTransform) -> bool:
     match = _match_repr(chain, "pallas")
     if match is None:
         return False
-    return _pallas_region_ok(match[1])
+    stft_t, second = match[1], match[3]
+    if second == "if":
+        return _pallas_region_ok(stft_t)
+    return (
+        getattr(stft_t, "_window_taps", None) is not None
+        and 1024 <= stft_t.n_fft <= 2048
+        and stft_t.n_fft // stft_t.hop_length >= 2
+    )
 
 
 def _pallas_region_ok(stft_t) -> bool:

@@ -221,3 +221,30 @@ def test_fused_repr_differentiable():
     # (loss grad = 2*m), not a VJP mismatch
     rel = float(jnp.max(jnp.abs(g_k - g_x)) / (jnp.max(jnp.abs(g_x)) + 1e-12))
     assert rel < 1e-3
+
+
+def test_repr_auto_gate_policy(monkeypatch):
+    # the measured dispatch policy (tools/sweep_repr*.py, v5e): PolarIF
+    # rides the kernel across its availability region; Polar/Cartesian
+    # only on taps windows at 1024 <= n_fft <= 2048
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    mk = lambda n: {"mode": "bipolar", "n_fft": n}
+    cases = [
+        (T.STFT(n_fft=1024, hop_length=256), T.PolarIF(magnitude_args=mk(1024)), True),
+        (T.STFT(n_fft=512, hop_length=128), T.PolarIF(magnitude_args=mk(512)), True),
+        (T.DGT(n_fft=1024, hop_length=256), T.PolarIF(magnitude_args=mk(1024)), True),
+        (T.STFT(n_fft=1024, hop_length=256), T.Polar(magnitude_args=mk(1024)), True),
+        (T.STFT(n_fft=2048, hop_length=512), T.Polar(magnitude_args=mk(2048)), True),
+        (T.STFT(n_fft=512, hop_length=128), T.Polar(magnitude_args=mk(512)), False),
+        (T.DGT(n_fft=1024, hop_length=256), T.Polar(magnitude_args=mk(1024)), False),
+        (T.STFT(n_fft=1024, hop_length=256), T.Cartesian(), True),
+        (T.STFT(n_fft=512, hop_length=128), T.Cartesian(), False),
+        (T.DGT(n_fft=1024, hop_length=256), T.Cartesian(), False),
+        (T.STFT(n_fft=4096, hop_length=1024), T.Polar(magnitude_args=mk(4096)), False),
+    ]
+    for spec, rep, expect in cases:
+        chain = T.Mono() + spec + rep
+        got = fuse._repr_pallas_preferred(chain)
+        assert got == expect, (type(spec).__name__, spec.n_fft, type(rep).__name__, got)
