@@ -360,6 +360,38 @@ def _fused_call(
     return out
 
 
+def _slab_b(n_fft, hop_length, tile_f, emit_phases=False, phases_in=False):
+    """Largest batch slab whose :func:`_fused_call` fits scoped VMEM.
+
+    Every block rides the batch whole, so the kernel's scoped-VMEM stack
+    grows linearly in B; the historical fixed slab of 64 OOMs at
+    1024/256 (synthesize: measured 115.3M vs the 100M limit; the full
+    recurrence crashes the compile helper outright at B >= 48).  The
+    per-B byte model below sums the double-buffered input/output blocks
+    and the scratch rows; the 56 MB budget is fitted to the measured
+    scoped sizes (synth 1024/256 B64 = 115.3M, invert 512/128 B64 =
+    110.8M, phases 512/128 B64 = 101.7M — the compiler's accounting
+    runs ~1.2-1.6x the raw block sum, and 56 MB keeps every accepted
+    slab's extrapolated scoped size under ~90M while still admitting
+    the measured-OK 512-shape slabs at >= 40)."""
+    n_bins = n_fft // 2 + 1
+    Fp = _round_up(n_bins, LANE)
+    if emit_phases:
+        rows_out, out_w, carry_rows = tile_f, Fp, 8
+    else:
+        rows_out, out_w, carry_rows = ola_layout(n_fft, hop_length, tile_f)
+    per_b = 4 * (
+        2 * (tile_f + 8) * Fp          # mag halo block, double-buffered
+        + 2 * tile_f * Fp              # angles block
+        + 2 * rows_out * out_w         # output block
+        + Fp                           # phi carry
+        + carry_rows * out_w           # OLA tail
+        + tile_f * 2 * Fp              # re | im scratch
+        + (0 if phases_in else 5 * tile_f * Fp)  # recurrence fields
+    )
+    return max(8, min(64, (56 * 1024 * 1024 // per_b) // 8 * 8))
+
+
 def _prep_mag(mag, n_fft, hop_length, tolerance, tile_f, key, angles):
     """Shared padded-frame layout + abstol rows + silent-bin angles."""
     T, F = mag.shape[-2], mag.shape[-1]
@@ -423,16 +455,17 @@ def pghi_phases_fused(
     B_total = 1
     for d in batch_shape:
         B_total *= d
-    if B_total > 64:  # bound the per-step VMEM footprint (batch rides whole)
+    slab = _slab_b(n_fft, hop_length, tile_f, emit_phases=True)
+    if B_total > slab:  # bound the per-step VMEM footprint (batch rides whole)
         parts = [
             pghi_phases_fused(
-                mag.reshape((-1, T, F))[i: i + 64], gamma, n_fft, hop_length,
+                mag.reshape((-1, T, F))[i: i + slab], gamma, n_fft, hop_length,
                 tolerance=tolerance,
                 key=None if key is None else jax.random.fold_in(key, i),
                 tile_f=tile_f, interpret=interpret,
-                angles=None if angles is None else angles.reshape((-1, T, F))[i: i + 64],
+                angles=None if angles is None else angles.reshape((-1, T, F))[i: i + slab],
             )
-            for i in range(0, B_total, 64)
+            for i in range(0, B_total, slab)
         ]
         return jnp.concatenate(parts, axis=0).reshape(batch_shape + (T, F))
     m_p, abstol_rows, angles_p, B, T, F, Fp = _prep_mag(
@@ -519,19 +552,20 @@ def pghi_invert_fused(
     Fp = _round_up(n_bins, LANE)
     m = mag.reshape((-1, T, F)).astype(jnp.float32)
     B = m.shape[0]
-    if B > 64:
+    slab = _slab_b(n_fft, hop_length, tile_f)
+    if B > slab:
         # the batch rides whole in every block; split large batches so the
         # per-step VMEM footprint stays bounded (kernel state is per-row,
         # so slicing the batch is exact)
         parts = [
             pghi_invert_fused(
-                m[i: i + 64], gamma, n_fft, hop_length, window,
+                m[i: i + slab], gamma, n_fft, hop_length, window,
                 tolerance=tolerance, length=length,
                 key=None if key is None else jax.random.fold_in(key, i),
                 tile_f=tile_f, interpret=interpret,
-                angles=None if angles is None else angles.reshape((-1, T, F))[i: i + 64],
+                angles=None if angles is None else angles.reshape((-1, T, F))[i: i + slab],
             )
-            for i in range(0, B, 64)
+            for i in range(0, B, slab)
         ]
         return jnp.concatenate(parts, axis=0).reshape(
             batch_shape + parts[0].shape[-1:]
@@ -592,15 +626,16 @@ def pghi_phases_bidir(
             mag, gamma, n_fft, hop_length, tolerance=tolerance, key=key,
             tile_f=tile_f, interpret=interpret, angles=angles,
         )
-    if B > 32:  # the stacked (2B) batch rides whole in every block
+    slab = max(8, _slab_b(n_fft, hop_length, tile_f, emit_phases=True) // 2)
+    if B > slab:  # the stacked (2B) batch rides whole in every block
         parts = [
             pghi_phases_bidir(
-                m[i: i + 32], gamma, n_fft, hop_length, tolerance=tolerance,
+                m[i: i + slab], gamma, n_fft, hop_length, tolerance=tolerance,
                 key=None if key is None else jax.random.fold_in(key, i),
                 tile_f=tile_f, interpret=interpret,
-                angles=None if angles is None else angles.reshape((-1, T, F))[i: i + 32],
+                angles=None if angles is None else angles.reshape((-1, T, F))[i: i + slab],
             )
-            for i in range(0, B, 32)
+            for i in range(0, B, slab)
         ]
         return jnp.concatenate(parts, axis=0).reshape(batch_shape + (T, F))
 
@@ -706,14 +741,15 @@ def pghi_synthesize_fused(
     n_bins = n_fft // 2 + 1
     m = mag.reshape((-1, T, F)).astype(jnp.float32)
     B = m.shape[0]
-    if B > 64:
+    slab = _slab_b(n_fft, hop_length, tile_f, phases_in=True)
+    if B > slab:
         parts = [
             pghi_synthesize_fused(
-                m[i: i + 64], phases.reshape((-1, T, F))[i: i + 64],
+                m[i: i + slab], phases.reshape((-1, T, F))[i: i + slab],
                 n_fft, hop_length, window, length=length, tile_f=tile_f,
                 interpret=interpret,
             )
-            for i in range(0, B, 64)
+            for i in range(0, B, slab)
         ]
         return jnp.concatenate(parts, axis=0).reshape(
             batch_shape + parts[0].shape[-1:]
