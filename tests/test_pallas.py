@@ -576,6 +576,37 @@ def test_pghi_invert_fused_edge_shapes(n_fft, hop, n_samples, batch):
     assert rel < 1e-4, (n_fft, hop, rel)
 
 
+def test_pghi_fused_batch_slab_split_exact(monkeypatch):
+    """Batches above the VMEM slab split exactly: kernel state is per-row,
+    so a forced tiny slab (monkeypatched ``_slab_b``) must reproduce the
+    unsplit call bit-for-bit when the silent-bin angles are pinned."""
+    from acids_transforms_tpu.ops.pallas import pghi_kernel as K
+
+    n_fft, hop, B = 512, 256, 12
+    t = np.arange(6000) / 44100
+    x = np.stack(
+        [np.sin(2 * np.pi * (110 * (b + 1)) * t) for b in range(B)]
+    ).astype(np.float32)
+    dgt = T.DGT(n_fft=n_fft, hop_length=hop)
+    mag = jnp.abs(dgt.forward(jnp.asarray(x)))
+    angles = 2.0 * jnp.pi * jax.random.uniform(
+        jax.random.PRNGKey(7), mag.shape, dtype=mag.dtype
+    )
+    kw = dict(tolerance=float(dgt.tolerance), angles=angles)
+
+    ph_whole = np.asarray(
+        K.pghi_phases_fused(mag, dgt.gamma, n_fft, hop, **kw))
+    rec_whole = np.asarray(
+        K.pghi_invert_fused(mag, dgt.gamma, n_fft, hop, dgt.inv_window, **kw))
+    monkeypatch.setattr(K, "_slab_b", lambda *a, **k: 8)
+    ph_split = np.asarray(
+        K.pghi_phases_fused(mag, dgt.gamma, n_fft, hop, **kw))
+    rec_split = np.asarray(
+        K.pghi_invert_fused(mag, dgt.gamma, n_fft, hop, dgt.inv_window, **kw))
+    np.testing.assert_array_equal(ph_split, ph_whole)
+    np.testing.assert_array_equal(rec_split, rec_whole)
+
+
 def test_griffin_lim_fullk_quality_parity():
     """The full-K momentum-GL kernel (no cosine taps: the DGT gaussian/dual
     window) converges like the XLA loop — spectral convergence within a few
