@@ -51,13 +51,15 @@ __all__ = [
 
 
 def pghi_fused_available(n_fft: int, hop_length: int) -> bool:
-    # Synthesis needs a lane-aligned overlap-add: either hop itself is a
-    # lane multiple (the reshape (B*tile_f, overlap*hop) ->
-    # (B, tile_f, overlap, hop) carves lanes directly), or hop divides the
-    # lane width and q = LANE/hop frames pack into one 128-sample chunk
-    # (per-frame lane rolls by r*hop, OLA at chunk granularity — the
-    # packed small-hop path in _pghi_invert_kernel).  Anything else
-    # (e.g. hop 160) falls back to the sqrt-blocked XLA path.
+    # Synthesis needs a lane-expressible overlap-add: either hop itself is
+    # a lane multiple (the reshape (B*tile_f, overlap*hop) ->
+    # (B, tile_f, overlap, hop) carves lanes directly), or the lcm-packed
+    # layout applies — q = 128/gcd(hop, 128) frames share a super-frame of
+    # q*hop samples (a whole number of 128-lane chunks), members shift by
+    # masked rolls and the OLA runs at chunk granularity with super-frame
+    # stride q*hop/128 (ops/pallas/ola.py).  That covers every hop % 8 == 0
+    # at n_fft % 128 == 0 (e.g. 64, 96, 160, 192); anything else falls
+    # back to the sqrt-blocked XLA path.
     return (
         n_fft % hop_length == 0
         and n_fft // hop_length >= 2
@@ -270,8 +272,8 @@ def _pghi_invert_kernel(
     hi, lo = _split_bf16(flat)
     stacked = jnp.concatenate([hi, hi, lo], axis=1)  # (B*tile_f, 6 Fp)
     td = jnp.dot(stacked, basis_ref[...], preferred_element_type=f32)
-    # aligned hop: carve (overlap, hop) lane blocks; hop | 128: the packed
-    # small-hop layout (q frames per 128-sample chunk) — see ops/pallas/ola.py
+    # aligned hop: carve (overlap, hop) lane blocks; hop % 8 == 0: the
+    # lcm-packed layout (q frames per super-frame) — see ops/pallas/ola.py
     rows, S = ola_accumulate(td, B, tile_f, n_fft, hop)
     # (no scatter in Mosaic: add the carried tail via a zero-padded concat)
     rows = rows + jnp.concatenate(

@@ -48,8 +48,8 @@ _WIN_PAD = 8  # Element-window sublane alignment over-fetch
 def fused_roundtrip_available(chain, chunk_size: int) -> bool:
     """True when ``chain`` is ``[OverlapAdd, RealtimeSTFT-family]`` with
     matching (n_fft, hop), ``hop | chunk``, an OLA-supported hop (lane
-    multiple, or dividing the lane width — the packed small-hop layout,
-    ops/pallas/ola.py) and overlap <= ``_WIN_PAD``."""
+    multiple, or ``hop % 8 == 0`` at lane-multiple n_fft — the lcm-packed
+    layout, ops/pallas/ola.py) and overlap <= ``_WIN_PAD``."""
     from ...transforms.base import ComposeAudioTransform
     from ...transforms.oadd import OverlapAdd
     from ...transforms.stft import RealtimeSTFT
@@ -104,7 +104,7 @@ def _session_kernel(
     zstk = jnp.concatenate([zh, zh, zl, zl], axis=1)
     td = jnp.dot(zstk, syn_basis_ref[...], preferred_element_type=f32)
     # synthesis frames -> overlap-add: aligned hops carve (overlap, hop)
-    # lane blocks; hop | 128 uses the packed small-hop chunk layout
+    # lane blocks; hop % 8 == 0 uses the lcm-packed chunk layout
     # (ops/pallas/ola.py) — emitted rows are then 128-sample chunks
     acc, S = ola_accumulate(td, B, T_c, overlap * hop, hop)
     acc = acc + jnp.concatenate(

@@ -348,6 +348,50 @@ def bench_configs(x: np.ndarray):
     except Exception as e:  # keep the JSON line intact but never silently
         print(f"bench: dgt_forward metric failed: {e!r}", file=sys.stderr)
 
+    # fused two-channel representation (r3.16): PolarIF is the headline
+    # representation win — the chain/XLA path pays a global `unwrap`
+    # frame cumsum that the kernel's frame-local stencil eliminates.
+    # Honesty gates are wrap-aware (sweep_repr.py method): channel 1
+    # max-rel < 1e-4 (unipolar norm), channel 2 as a magnitude-weighted
+    # circular distance < 2e-3 (raw IF diffs alias by 2*pi).
+    try:
+        pif_chain = T.Mono() + T.STFT(n_fft=N_FFT, hop_length=HOP) + T.PolarIF(
+            magnitude_args={"mode": "unipolar", "n_fft": N_FFT}
+        )
+        pif_chain = pif_chain.fit(xb64[:2])
+        pif_fwd = fuse_forward(pif_chain)
+        rep = pif_chain[-1]
+
+        @jax.jit
+        def pif_gates(v):
+            y_r = pif_chain.forward(v)
+            y_f = pif_fwd(v)
+            ax = rep.stack
+            m_r, p_r = jnp.take(y_r, 0, axis=ax), jnp.take(y_r, 1, axis=ax)
+            m_f, p_f = jnp.take(y_f, 0, axis=ax), jnp.take(y_f, 1, axis=ax)
+            mag_rel = jnp.max(jnp.abs(m_r - m_f)) / jnp.max(jnp.abs(m_r))
+            pa, pb = rep.phase.invert(p_r), rep.phase.invert(p_f)
+            w = jnp.abs(rep.magnitude.invert(m_r))
+            w = w / jnp.max(w)
+            circ = 2.0 * jnp.abs(jnp.sin(0.5 * (pa - pb)))
+            # frames live on the unstacked channel's -2 axis (the stacked
+            # output's -2 is the 2-channel dim itself)
+            return mag_rel, jnp.max(w * circ), m_r.shape[-2]
+
+        g1, g2, t_pif = pif_gates(xb64[:2])
+        if float(g1) < 1e-4 and float(g2) < 2e-3:
+            dt_pif = _device_time(pif_fwd, xb64, N_ITER_TPU // 2)
+            out["polarif_fused_frames_per_sec"] = round(
+                64 * int(t_pif) / dt_pif, 1
+            )
+        else:
+            print(
+                f"bench: polarif gates failed mag={float(g1):.2e} "
+                f"circ={float(g2):.2e}", file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"bench: polarif metric failed: {e!r}", file=sys.stderr)
+
     # GL on the hann STFT (the reference's default inversion context) —
     # rides the fused projection kernel on TPU (ops/pallas/glstep.py)
     stft_gl = T.STFT(n_fft=N_FFT, hop_length=HOP)
@@ -454,6 +498,7 @@ def _delta_check(result: dict) -> dict:
         "pallas_i16in_frames_per_sec", "fused_fit_frames_per_sec",
         "fused_mfcc_frames_per_sec", "pghi_invert_frames_per_sec",
         "dgt_forward_frames_per_sec", "pghi_bidir_b1_inversions_per_sec",
+        "polarif_fused_frames_per_sec",
         "griffin_lim_frames_per_sec", "streaming_frames_per_sec",
         "streaming_64stream_frames_per_sec",
         "midside_snr_db", "mulaw_snr_db", "window_snr_db",

@@ -462,9 +462,12 @@ def test_pghi_invert_fused_matches_scan_istft():
     )
 
     assert pghi_fused_available(1024, 256)
-    assert pghi_fused_available(512, 64)  # packed small-hop synthesis
+    assert pghi_fused_available(512, 64)   # lcm-packed, st=1 (hop | 128)
     assert pghi_fused_available(1024, 64)
-    assert not pghi_fused_available(1024, 160)  # hop neither 128k nor | 128
+    assert pghi_fused_available(768, 192)  # lcm-packed, q=2 st=3
+    assert pghi_fused_available(640, 160)  # lcm-packed, q=4 st=5
+    assert not pghi_fused_available(1024, 160)  # hop does not divide n_fft
+    assert not pghi_fused_available(640, 20)    # q = 32 > packing cap
     assert not pghi_fused_available(512, 512)
 
     sr = 44100
@@ -496,9 +499,9 @@ def test_pghi_invert_fused_matches_scan_istft():
     "n_fft,hop",
     [
         (1024, 256),
-        # hop neither a multiple nor a divisor of 128: the phases-only
-        # gate (pghi_phases_available) has no lane constraint, so this
-        # rides the kernel even though the one-kernel INVERSION cannot
+        # hop neither a multiple nor a divisor of 128 (the phases-only
+        # gate has no lane constraint; since the lcm-packed OLA this
+        # shape rides the one-kernel INVERSION too — edge-shapes test)
         (768, 192),
     ],
 )
@@ -537,10 +540,12 @@ def test_pghi_phases_fused_matches_scan(n_fft, hop):
     "n_fft,hop,n_samples,batch",
     [
         (512, 256, 6000, 1),    # overlap 2, tiny T, single batch
-        (512, 64, 9000, 2),     # overlap 8, packed small-hop (q=2)
-        (512, 32, 6000, 1),     # overlap 16, packed q=4
-        (1024, 64, 9000, 2),    # overlap 16, packed q=2, 2-chunk frames
+        (512, 64, 9000, 2),     # overlap 8, lcm-packed q=2 st=1 (hop | 128)
+        (512, 32, 6000, 1),     # overlap 16, packed q=4 st=1
+        (1024, 64, 9000, 2),    # overlap 16, packed q=2 st=1, 2-chunk frames
         (256, 64, 6000, 2),     # overlap 4, packed q=2 (the dryrun shape)
+        (768, 192, 9000, 2),    # overlap 4, lcm-packed q=2 st=3
+        (640, 160, 6000, 1),    # overlap 4, lcm-packed q=4 st=5
         (1024, 256, 4000, 3),   # T < tile_f
     ],
 )

@@ -283,14 +283,16 @@ def test_fused_roundtrip_matches_generic(sig):
     yg32 = np.asarray(scan_roundtrip(chain, xw, 4096, backend="generic"))
     yf32 = np.asarray(scan_roundtrip(chain, xw, 4096, backend="fused"))
     assert np.abs(yg32 - yf32).max() / np.abs(yg32).max() < 1e-4
-    # packed small-hop layout (hop | 128, ops/pallas/ola.py): 512/64 rides
+    # lcm-packed layouts (ops/pallas/ola.py): 512/64 (st=1, hop | 128) and
+    # 768/192 (st=3 — hop neither a multiple nor a divisor of 128) ride
     # the session kernel too
-    chain64 = T.OverlapAdd(512, 64) + T.RealtimeSTFT(n_fft=512, hop_length=64)
-    assert fused_roundtrip_available(chain64, 2048)
-    yg64 = np.asarray(scan_roundtrip(chain64, xb, 2048, backend="generic"))
-    yf64 = np.asarray(scan_roundtrip(chain64, xb, 2048, backend="fused"))
-    assert yf64.shape == yg64.shape
-    assert np.abs(yg64 - yf64).max() / np.abs(yg64).max() < 1e-4
+    for nf, hp, ck in [(512, 64, 2048), (768, 192, 1536)]:
+        chain_p = T.OverlapAdd(nf, hp) + T.RealtimeSTFT(n_fft=nf, hop_length=hp)
+        assert fused_roundtrip_available(chain_p, ck)
+        yg_p = np.asarray(scan_roundtrip(chain_p, xb, ck, backend="generic"))
+        yf_p = np.asarray(scan_roundtrip(chain_p, xb, ck, backend="fused"))
+        assert yf_p.shape == yg_p.shape
+        assert np.abs(yg_p - yf_p).max() / np.abs(yg_p).max() < 1e-4, (nf, hp)
     # gates: phaseless modes, mismatched params, non-divisor chunks decline
     assert not fused_roundtrip_available(
         T.OverlapAdd(1024, 256) + T.RealtimeSTFT(n_fft=512, hop_length=128), 4096

@@ -1,9 +1,12 @@
-"""Packed small-hop PGHI kernel vs the sqrt-blocked XLA fallback (v5e).
+"""Packed/lcm-packed PGHI kernel vs the sqrt-blocked XLA fallback (v5e).
 
 The fused PGHI kernel historically required hop % 128 == 0; the packed
-small-hop synthesis (q = 128/hop frames per lane chunk) extends it to any
-hop dividing 128.  This sweep validates the kernel output against
-scan+ISTFT on-chip and times both paths at small-hop DGT shapes.
+small-hop synthesis (q = 128/hop frames per lane chunk) extended it to any
+hop dividing 128, and the lcm-packed OLA (ops/pallas/ola.py) to any
+hop % 8 == 0 at lane-multiple n_fft (q = 128/gcd(hop,128) frames per
+super-frame of q*hop samples, OLA at super-frame stride q*hop/128 chunks).
+This sweep validates the kernel output against scan+ISTFT on-chip and
+times both paths at small-hop and unaligned-hop DGT shapes.
 
 Run (background, one TPU process at a time):
   PYTHONPATH=/root/repo:/root/.axon_site \
@@ -47,7 +50,11 @@ def main():
     )
     x = (0.7 * x / np.abs(x).max()).astype(np.float32)
 
-    for n_fft, hop in [(512, 64), (1024, 64), (512, 32)]:
+    shapes = [(512, 64), (1024, 64), (512, 32)]
+    if "--lcm" in sys.argv:
+        # the lcm-packed region: hops neither multiples nor divisors of 128
+        shapes = [(768, 192), (640, 160), (768, 96), (1536, 192)]
+    for n_fft, hop in shapes:
         assert pghi_fused_available(n_fft, hop), (n_fft, hop)
         dgt = T.DGT(n_fft=n_fft, hop_length=hop)
         xb = jnp.asarray(np.broadcast_to(x, (BATCH, x.shape[-1])).copy())
