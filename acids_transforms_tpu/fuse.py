@@ -749,8 +749,49 @@ def _match_fit(chain: AudioTransform):
     return mono, stft_t, mag_t
 
 
+def _match_repr_fit(chain: AudioTransform):
+    """Like :func:`_match_fit` for stacked spectral-representation chains.
+
+    Reuses the Pallas forward matcher (framing constraints plus the
+    log/log10 contrast gate — the same bf16x3-amplification argument as
+    :func:`_match_fit` applies to the channel-1 statistics) and mirrors
+    its full-K n_fft cap."""
+    match = _match_repr(chain, backend="pallas")
+    if match is None:
+        return None
+    stft_t = match[1]
+    if getattr(stft_t, "_window_taps", None) is None and stft_t.n_fft > 2048:
+        return None
+    return match
+
+
+def _norm_from_stats(norm, st: dict, count):
+    """Fitted copy of a :class:`Normalize` from kernel-reduced statistics
+    (``st``: sum/sumsq/min/max scalars), matching ``Normalize.fit``."""
+    if norm.mode == "unipolar":
+        offset = st["min"]
+        scale = st["max"] - st["min"]
+    elif norm.mode == "bipolar":
+        offset = (st["max"] + st["min"]) / 2.0
+        scale = st["max"] - offset
+    else:  # gaussian
+        n = jnp.asarray(count, jnp.float32)
+        offset = st["sum"] / n
+        var = jnp.maximum(st["sumsq"] - n * offset * offset, 0.0)
+        # single-pass sumsq - n*mean^2 cancels catastrophically when
+        # std << mean and the clamp can hit exactly 0; floor the scale
+        # so Normalize.forward never divides by zero (the two-pass
+        # chain.fit path returns a small positive std here)
+        scale = jnp.maximum(
+            jnp.sqrt(var / jnp.maximum(n - 1.0, 1.0)), 1e-12
+        )
+    new_norm = norm.replace(offset=offset, scale=scale)
+    new_norm.needs_scaling = False
+    return new_norm
+
+
 def fit_fusable(chain: AudioTransform) -> bool:
-    return _match_fit(chain) is not None
+    return _match_fit(chain) is not None or _match_repr_fit(chain) is not None
 
 
 def fuse_fit(chain: AudioTransform) -> Callable[[jnp.ndarray], AudioTransform]:
@@ -765,60 +806,103 @@ def fuse_fit(chain: AudioTransform) -> Callable[[jnp.ndarray], AudioTransform]:
     The XLA fit path cannot express this (its reduction consumer still
     forces the framed GEMM operand out to HBM).
 
+    Stacked spectral-representation chains (``[Mono?] + (STFT|DGT) +
+    (Polar|PolarIF|Cartesian)``) fit BOTH channel normalizers from one
+    kernel pass (ops/pallas/spectral.py:fused_repr_stats) — channel 1 on
+    the non-mel contrasted magnitude (the reference ``scale_data`` quirk)
+    or the real part, channel 2 on the wrapped phase / frame-local IF /
+    imaginary part.  Caveat for channel 2: a SILENT bin's phase is
+    ``atan2`` of denormal noise — ill-conditioned in *both* paths — so on
+    signals whose spectrum has large silent regions the fitted phase/IF
+    affines can differ from ``chain.fit`` at the O(1e-3 * scale) level
+    (measured: tones-only 6e-4, any broadband content 4e-5); the
+    magnitude channel is unconditionally within kernel accuracy.
+
     Chains that don't match the pattern fall back to ``chain.jfit``.
     """
-    match = _match_fit(chain)
-    if match is None:
-        return chain.jfit
-    mono, stft_t, mag_t = match
-    from .ops.pallas.spectral import fused_melspec_stats
     from .transforms.norm import Normalize
 
-    norm = mag_t.norm
-    if not isinstance(norm, Normalize) or norm.mode is None:
-        return chain.jfit  # nothing to fit on this pattern
+    def _fittable(norm):
+        return isinstance(norm, Normalize) and norm.mode is not None
+
+    match = _match_fit(chain)
+    if match is not None:
+        mono, stft_t, mag_t = match
+        from .ops.pallas.spectral import fused_melspec_stats
+
+        norm = mag_t.norm
+        if not _fittable(norm):
+            return chain.jfit  # nothing to fit on this pattern
+
+        taps = getattr(stft_t, "_window_taps", None)
+
+        def fit(x: jnp.ndarray, mask=None) -> AudioTransform:
+            if mask is not None:
+                # bucket-padding masks need the masked reductions of the
+                # exact cascade (transforms/norm.py fit) — the kernel
+                # epilogue only masks its own tile padding
+                return chain.fit(x, mask=mask)
+            y = mono.forward(x) if mono is not None else x
+            flat = y.reshape((-1, y.shape[-1]))
+            st = fused_melspec_stats(
+                flat,
+                stft_t.n_fft,
+                stft_t.hop_length,
+                stft_t.window,
+                mag_t.contrast_mode or "none",
+                taps=taps,
+            )
+            new_mag = mag_t.replace(
+                norm=_norm_from_stats(norm, st, st["count"])
+            )
+            # Mono/STFT fits are no-ops in the matched pattern; only the
+            # Magnitude's norm carries fitted state.
+            children = [new_mag if t is mag_t else t for t in chain.transforms]
+            return ComposeAudioTransform(transforms=children, sr=chain.sr)
+
+        return fit
+
+    rmatch = _match_repr_fit(chain)
+    if rmatch is None:
+        return chain.jfit
+    mono, stft_t, rep, second = rmatch
+    if not (_fittable(rep.magnitude.norm) or _fittable(rep.phase.norm)):
+        return chain.jfit  # both channels Dummy-normed: nothing to fit
+    from .ops.pallas.spectral import fused_repr_stats
 
     taps = getattr(stft_t, "_window_taps", None)
+    contrast = (
+        "none" if second == "imag"
+        else (rep.magnitude.contrast_mode or "none")
+    )
+    weighted = bool(getattr(rep.phase, "weighted", False))
 
-    def fit(x: jnp.ndarray, mask=None) -> AudioTransform:
+    def fit_repr(x: jnp.ndarray, mask=None) -> AudioTransform:
         if mask is not None:
-            # bucket-padding masks need the masked reductions of the exact
-            # cascade (transforms/norm.py fit) — the kernel epilogue only
-            # masks its own tile padding
             return chain.fit(x, mask=mask)
         y = mono.forward(x) if mono is not None else x
         flat = y.reshape((-1, y.shape[-1]))
-        st = fused_melspec_stats(
+        st = fused_repr_stats(
             flat,
             stft_t.n_fft,
             stft_t.hop_length,
             stft_t.window,
-            mag_t.contrast_mode or "none",
+            second,
+            contrast=contrast,
+            weighted=weighted,
             taps=taps,
         )
-        if norm.mode == "unipolar":
-            offset = st["min"]
-            scale = st["max"] - st["min"]
-        elif norm.mode == "bipolar":
-            offset = (st["max"] + st["min"]) / 2.0
-            scale = st["max"] - offset
-        else:  # gaussian
-            n = jnp.asarray(st["count"], jnp.float32)
-            offset = st["sum"] / n
-            var = jnp.maximum(st["sumsq"] - n * offset * offset, 0.0)
-            # single-pass sumsq - n*mean^2 cancels catastrophically when
-            # std << mean and the clamp can hit exactly 0; floor the scale
-            # so Normalize.forward never divides by zero (the two-pass
-            # chain.fit path returns a small positive std here)
-            scale = jnp.maximum(
-                jnp.sqrt(var / jnp.maximum(n - 1.0, 1.0)), 1e-12
+        new_mag, new_ph = rep.magnitude, rep.phase
+        if _fittable(new_mag.norm):
+            new_mag = new_mag.replace(
+                norm=_norm_from_stats(new_mag.norm, st["ch1"], st["count"])
             )
-        new_norm = norm.replace(offset=offset, scale=scale)
-        new_norm.needs_scaling = False
-        new_mag = mag_t.replace(norm=new_norm)
-        # Mono/STFT fits are no-ops in the matched pattern; only the
-        # Magnitude's norm carries fitted state.
-        children = [new_mag if t is mag_t else t for t in chain.transforms]
+        if _fittable(new_ph.norm):
+            new_ph = new_ph.replace(
+                norm=_norm_from_stats(new_ph.norm, st["ch2"], st["count"])
+            )
+        new_rep = rep.replace(magnitude=new_mag, phase=new_ph)
+        children = [new_rep if t is rep else t for t in chain.transforms]
         return ComposeAudioTransform(transforms=children, sr=chain.sr)
 
-    return fit
+    return fit_repr

@@ -672,9 +672,11 @@ def _mel3(mag, mel_hi_ref, mel_lo_ref, mel_blocks=None, x4=False):
     return jnp.concatenate(cols, axis=-1)
 
 
-def _stats_update(mag, s_ref, *, tile_t, t_valid):
+def _stats_update(mag, s_ref, *, tile_t, t_valid, off=0):
     """Accumulate masked (sum, sumsq, min, max) of this tile's ``mag`` into
-    the single (8, Fp) stats block shared by every grid step."""
+    rows ``off..off+4`` of the (8, Fp) stats block shared by every grid
+    step.  ``off=0`` also zeroes the upper half on the first step (a second
+    channel's ``off=4`` update, if any, overwrites it right after)."""
     t = pl.program_id(1)
     row = t * tile_t + jax.lax.broadcasted_iota(jnp.int32, mag.shape, 0)
     valid = row < t_valid
@@ -693,13 +695,14 @@ def _stats_update(mag, s_ref, *, tile_t, t_valid):
 
     @pl.when(first)
     def _init():
-        s_ref[:4, :] = part
-        s_ref[4:, :] = jnp.zeros_like(s_ref[4:, :])
+        s_ref[off: off + 4, :] = part
+        if off == 0:
+            s_ref[4:, :] = jnp.zeros_like(s_ref[4:, :])
 
     @pl.when(jnp.logical_not(first))
     def _accum():
-        prev = s_ref[:4, :]
-        s_ref[:4, :] = jnp.concatenate(
+        prev = s_ref[off: off + 4, :]
+        s_ref[off: off + 4, :] = jnp.concatenate(
             [
                 prev[0:2] + part[0:2],
                 jnp.minimum(prev[2:3], part[2:3]),
@@ -744,18 +747,24 @@ def _forward_kernel_factored(
     o_ref[0, :, :] = out.astype(o_ref.dtype)
 
 
-def _repr_epilogue(
-    re, im, nyq, mel_hi_ref, mel_lo_ref, aff_ref, o1_ref, o2_ref, prev_ref,
+def _repr_channels(
+    re, im, nyq, mel_hi_ref, mel_lo_ref, prev_ref,
     *, second, tile_t, contrast, eps, use_mel, weighted, t_valid,
     mel_blocks=None, x4=False,
 ):
-    """Two-channel spectral-representation epilogue over the complex tile.
+    """Pre-affine (channel1, channel2) of the two-channel representation.
+
+    Shared by the forward epilogue (:func:`_repr_epilogue`, which applies
+    the two normalizer affines and stores) and the fused-fit stats kernels
+    (which reduce the raw channels — matching ``_Representation.fit``,
+    whose statistics are taken on the pre-norm extraction; with
+    ``use_mel=False`` channel 1 is the *non-mel* contrasted magnitude,
+    the reference ``Magnitude.scale_data`` quirk).
 
     Channel 1 is the magnitude pipeline (|.| -> mel -> contrast) for
     ``second in ("phase", "if")`` or the real part for ``second == "imag"``
     (Cartesian); channel 2 is the phase / instantaneous-frequency /
-    imaginary channel.  Both end with their own affine normalizer
-    (``aff_ref`` rows: [off1, scale1, off2, scale2]).
+    imaginary channel.
 
     ``second == "if"`` implements ``unwrap -> fdiff_forward`` (the IF
     transform's default stencil, transforms/spectral_repr.py) in its
@@ -815,6 +824,22 @@ def _repr_epilogue(
             # carry this tile's last phase row for the next grid step
             prev_ref[0:1, :] = ph[tile_t - 1: tile_t, :]
             ch2 = val
+    return ch1, ch2
+
+
+def _repr_epilogue(
+    re, im, nyq, mel_hi_ref, mel_lo_ref, aff_ref, o1_ref, o2_ref, prev_ref,
+    *, second, tile_t, contrast, eps, use_mel, weighted, t_valid,
+    mel_blocks=None, x4=False,
+):
+    """Two-channel forward epilogue: :func:`_repr_channels` followed by the
+    two affine normalizers (``aff_ref`` rows: [off1, scale1, off2, scale2])
+    and the HBM stores."""
+    ch1, ch2 = _repr_channels(
+        re, im, nyq, mel_hi_ref, mel_lo_ref, prev_ref, second=second,
+        tile_t=tile_t, contrast=contrast, eps=eps, use_mel=use_mel,
+        weighted=weighted, t_valid=t_valid, mel_blocks=mel_blocks, x4=x4,
+    )
     o1_ref[0, :, :] = ((ch1 - aff_ref[0, 0]) / aff_ref[0, 1]).astype(
         o1_ref.dtype
     )
@@ -886,6 +911,48 @@ def _stats_kernel_factored(
     )
     mag = _apply_contrast(mag, contrast, eps)
     _stats_update(mag, s_ref, tile_t=tile_t, t_valid=t_valid)
+
+
+def _repr_stats_kernel(
+    x_ref, basis_ref, wnyq_ref, s_ref, scr_ref, prev_ref, *,
+    overlap, hop, tile_t, contrast, eps, second, weighted, t_valid,
+    n_bins=None,
+):
+    """Two-channel fused-fit epilogue (full-K): rows 0-3 of the stats block
+    hold channel 1, rows 4-7 channel 2.  ``use_mel=False`` always — fit
+    statistics are taken on the non-mel contrasted magnitude
+    (``Magnitude.fit``, the reference ``scale_data`` quirk)."""
+    re, im, nyq = _tile_spectrum(
+        x_ref, basis_ref, scr_ref, overlap=overlap, hop=hop, tile_t=tile_t,
+        wnyq_ref=wnyq_ref, n_bins=n_bins,
+    )
+    ch1, ch2 = _repr_channels(
+        re, im, nyq, None, None, prev_ref, second=second, tile_t=tile_t,
+        contrast=contrast, eps=eps, use_mel=False, weighted=weighted,
+        t_valid=t_valid,
+    )
+    _stats_update(ch1, s_ref, tile_t=tile_t, t_valid=t_valid, off=0)
+    _stats_update(ch2, s_ref, tile_t=tile_t, t_valid=t_valid, off=4)
+
+
+def _repr_stats_kernel_factored(
+    x_ref, basis_ref, twr_ref, twi_ref, s_ref, prev_ref, *,
+    taps, overlap, tile_t, n_bins, contrast, eps, second, weighted, t_valid,
+):
+    """Two-channel fused-fit epilogue over the chunk-factored formulation."""
+    depad = basis_ref.shape[1] // 2 == n_bins - 1
+    Cre, Cim, cnyq = _chunk_dots(x_ref, basis_ref, nyq=depad)
+    re, im, nyq = _combine_taps_complex(
+        Cre, Cim, twr_ref, twi_ref, taps=taps, overlap=overlap,
+        tile_t=tile_t, n_bins=n_bins, cnyq=cnyq,
+    )
+    ch1, ch2 = _repr_channels(
+        re, im, nyq, None, None, prev_ref, second=second, tile_t=tile_t,
+        contrast=contrast, eps=eps, use_mel=False, weighted=weighted,
+        t_valid=t_valid,
+    )
+    _stats_update(ch1, s_ref, tile_t=tile_t, t_valid=t_valid, off=0)
+    _stats_update(ch2, s_ref, tile_t=tile_t, t_valid=t_valid, off=4)
 
 
 def _nyq_depad(n_fft: int, hop: int = 2) -> bool:
@@ -1326,6 +1393,93 @@ def _stats_call(
     )(x_rows, basis, WNYQ)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_fft", "hop_length", "contrast", "interpret", "tile_t", "t_valid",
+        "taps", "n_bins", "second", "weighted",
+    ),
+)
+def _repr_stats_call(
+    x_rows, WC, WS, TWR, TWI, WNYQ,
+    n_fft, hop_length, contrast, interpret, tile_t, t_valid, taps, n_bins,
+    second, weighted,
+):
+    """Two-channel stats pallas_call: same plumbing as :func:`_stats_call`
+    plus the IF carry scratch; the (8, Fp) output packs channel 1 in rows
+    0-3 and channel 2 in rows 4-7 (see :func:`_stats_update`)."""
+    B, n_rows_total, hop = x_rows.shape
+    overlap = n_fft // hop_length
+    halo = _round_up(overlap - 1, 8)
+    n_tiles = (n_rows_total - halo) // tile_t
+    Fp = WC.shape[1]
+    Fp_mag = Fp + LANE if Fp == n_bins - 1 else Fp
+
+    wc_hi, wc_lo = _split_bf16(WC)
+    ws_hi, ws_lo = _split_bf16(WS)
+    eps = float(np.finfo(np.float32).eps)
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+
+    common = dict(
+        grid=(B, n_tiles),
+        out_specs=pl.BlockSpec(
+            (8, Fp_mag), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, Fp_mag), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    prev_scratch = pltpu.VMEM((8, Fp_mag), jnp.float32)
+
+    if taps is not None:
+        basis = _stack_basis(wc_hi, wc_lo, ws_hi, ws_lo)
+        kernel = functools.partial(
+            _repr_stats_kernel_factored,
+            taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
+            contrast=contrast, eps=eps, second=second, weighted=weighted,
+            t_valid=t_valid,
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=[_x_spec(tile_t, halo, hop)]
+            + [fixed((3 * hop, 2 * Fp))]
+            + [fixed((TWR.shape[0], Fp))] * 2,
+            scratch_shapes=[prev_scratch],
+            **common,
+        )(x_rows, basis, TWR, TWI)
+
+    nodup = n_fft >= NODUP_MIN_NFFT
+    basis = (
+        _stack_basis_nodup(wc_hi, wc_lo, ws_hi, ws_lo) if nodup
+        else _stack_basis(wc_hi, wc_lo, ws_hi, ws_lo)
+    )
+    if nodup:
+        common["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=118 * 1024 * 1024,
+        )
+    kernel = functools.partial(
+        _repr_stats_kernel,
+        overlap=overlap, hop=hop, tile_t=tile_t,
+        contrast=contrast, eps=eps, second=second, weighted=weighted,
+        t_valid=t_valid, n_bins=n_bins,
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[_x_spec(tile_t, halo, hop)]
+        + [fixed(basis.shape), fixed(WNYQ.shape)],
+        scratch_shapes=[
+            pltpu.VMEM((tile_t, 2 * n_fft), jnp.bfloat16), prev_scratch,
+        ],
+        **common,
+    )(x_rows, basis, WNYQ)
+
+
 def _check_args(x, n_fft, hop_length, interpret):
     if n_fft % hop_length != 0:
         raise ValueError("fused kernels require hop | n_fft")
@@ -1552,3 +1706,62 @@ def fused_melspec_stats(
         "max": s[3, :F].max(),
         "count": B * T * F,
     }
+
+
+def fused_repr_stats(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    window: jnp.ndarray,
+    second: str,
+    contrast: str = "log1p",
+    weighted: bool = False,
+    center: bool = True,
+    interpret: Optional[bool] = None,
+    tile_t: Optional[int] = None,
+    taps: Optional[tuple] = None,
+) -> dict:
+    """One-pass fused fit statistics for BOTH channels of a stacked
+    spectral representation (:func:`fused_spectral_repr` channel math).
+
+    Returns ``{"ch1": {...}, "ch2": {...}, "count"}`` where each channel
+    dict holds ``sum/sumsq/min/max`` scalars over the whole
+    (batch, frames, bins) extraction without materializing the complex
+    spectrogram (or the framed signal) in HBM.  Channel 1 matches what the
+    transforms fit on: the **non-mel** contrasted magnitude for
+    Polar/PolarIF (``Magnitude.fit``, the reference ``scale_data`` quirk,
+    spectral_repr.py:242-245) or the real part for Cartesian; channel 2 is
+    the wrapped phase / frame-local IF / imaginary part — element-for-
+    element the values ``_Representation.fit`` reduces (the IF row layout
+    equals ``unwrap + fdiff_forward`` exactly, see
+    :func:`_repr_channels`)."""
+    if second not in ("phase", "if", "imag"):
+        raise ValueError("second must be 'phase', 'if' or 'imag'")
+    if x.ndim == 1:
+        x = x[None]
+    x = x.reshape((-1, x.shape[-1]))
+    interpret = _check_args(x, n_fft, hop_length, interpret)
+    x_rows, T, tile_t, halo, _ = _prepare_rows(x, n_fft, hop_length, center, tile_t)
+    if taps is not None:
+        F, Fp, WC, WS, TWR, TWI = _factored_weights(n_fft, hop_length)
+        WNYQ = jnp.zeros((8, 8), jnp.float32)
+    else:
+        F, Fp, WC, WS, WNYQ = _weights(n_fft, window)
+        TWR = TWI = jnp.zeros((8, Fp), jnp.float32)
+
+    s = _repr_stats_call(
+        x_rows, WC, WS, TWR, TWI, WNYQ,
+        n_fft, hop_length, contrast, interpret, tile_t, T, taps, F,
+        second, bool(weighted),
+    )
+    B = x.shape[0]
+
+    def chan(r0):
+        return {
+            "sum": s[r0, :F].sum(),
+            "sumsq": s[r0 + 1, :F].sum(),
+            "min": s[r0 + 2, :F].min(),
+            "max": s[r0 + 3, :F].max(),
+        }
+
+    return {"ch1": chan(0), "ch2": chan(4), "count": B * T * F}

@@ -972,3 +972,91 @@ def test_pallas_fused_bf16_is_differentiable(test_files):
     g = jax.grad(loss)(jnp.asarray(sig))
     assert g.shape == sig.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+def _repr_fit_chain(kind):
+    spec = dict(
+        polar=lambda: T.STFT(n_fft=512, hop_length=128) + T.Polar(
+            magnitude_args={"mode": "bipolar", "n_fft": 512}
+        ),
+        polarif=lambda: T.Mono() + T.STFT(n_fft=1024, hop_length=256)
+        + T.PolarIF(magnitude_args={"mode": "unipolar", "n_fft": 1024}),
+        polarif_weighted=lambda: T.STFT(n_fft=1024, hop_length=256)
+        + T.PolarIF(
+            magnitude_args={"mode": "gaussian", "n_fft": 1024},
+            phase_args={"mode": "gaussian", "weighted": True},
+        ),
+        cartesian_dgt=lambda: T.DGT(n_fft=512, hop_length=128) + T.Cartesian(),
+    )
+    return spec[kind]()
+
+
+@pytest.mark.parametrize(
+    "kind", ["polar", "polarif", "polarif_weighted", "cartesian_dgt"]
+)
+def test_fuse_fit_repr_matches_chain_fit(kind):
+    """fuse_fit on a stacked-representation chain fits BOTH channel norms
+    from one kernel stats pass, matching chain.fit (fuse.py docstring:
+    broadband content — silent-bin phases are atan2 of denormal noise,
+    ill-conditioned in both paths)."""
+    from acids_transforms_tpu.fuse import fit_fusable, fuse_fit
+
+    chain = _repr_fit_chain(kind)
+    assert fit_fusable(chain)
+    rng = np.random.default_rng(7)
+    t = np.arange(30000) / 44100
+    x = (
+        np.sin(2 * np.pi * 220 * t)
+        + 0.3 * np.sin(2 * np.pi * 1321 * t)
+        + 0.05 * rng.standard_normal(t.size)
+    ).astype(np.float32)
+    xb = jnp.asarray(np.stack([x, 0.6 * x]))
+    fitted_ref = chain.fit(xb)
+    fitted_fus = fuse_fit(chain)(xb)
+    rep_r, rep_f = fitted_ref[-1], fitted_fus[-1]
+    for ch in ("magnitude", "phase"):
+        nr, nf = getattr(rep_r, ch).norm, getattr(rep_f, ch).norm
+        assert type(nr) is type(nf)
+        if not hasattr(nr, "offset"):
+            continue  # Dummy channel: untouched
+        s = abs(float(nr.scale)) + 1e-12
+        assert abs(float(nf.offset) - float(nr.offset)) / s < 1e-3, (kind, ch)
+        assert abs(float(nf.scale) - float(nr.scale)) / s < 1e-3, (kind, ch)
+        assert nf.needs_scaling is False
+    # the fitted chains forward identically (within kernel accuracy)
+    spec_like = xb if isinstance(chain[0], T.Mono) else xb
+    y_r = np.asarray(fitted_ref.jforward(spec_like))
+    y_f = np.asarray(fitted_fus.jforward(spec_like))
+    assert np.abs(y_r - y_f).max() / (np.abs(y_r).max() + 1e-12) < 1e-3
+
+
+def test_fuse_fit_repr_gates():
+    """Repr fit gates mirror the melspec fit's: log contrasts and the
+    full-K n_fft cap decline (exact-cascade fallback), masks fall back to
+    chain.fit, unwrap-Polar never matches."""
+    from acids_transforms_tpu.fuse import _match_repr_fit, fuse_fit
+
+    log_chain = T.STFT(n_fft=512, hop_length=128) + T.Polar(
+        magnitude_args={"mode": "bipolar", "n_fft": 512, "contrast": "log"}
+    )
+    assert _match_repr_fit(log_chain) is None
+    # bound-method equality: same underlying jfit, fresh binding per access
+    assert fuse_fit(log_chain) == log_chain.jfit
+    big_fullk = T.DGT(n_fft=4096, hop_length=1024) + T.Cartesian()
+    assert _match_repr_fit(big_fullk) is None
+    unwrap_polar = T.STFT(n_fft=512, hop_length=128) + T.Polar(
+        magnitude_args={"mode": "bipolar", "n_fft": 512},
+        phase_args={"mode": "bipolar", "unwrap": True},
+    )
+    assert _match_repr_fit(unwrap_polar) is None
+    # mask path: exact masked cascade (bit-equal to chain.fit)
+    chain = _repr_fit_chain("polar")
+    x = jnp.asarray(
+        np.sin(2 * np.pi * 330 * np.arange(8192) / 44100).astype(np.float32)
+    )[None]
+    mask = jnp.ones((1, 8192), bool).at[:, 6000:].set(False)
+    f_ref = chain.fit(x, mask=mask)
+    f_fus = fuse_fit(chain)(x, mask=mask)
+    nr, nf = f_ref[-1].magnitude.norm, f_fus[-1].magnitude.norm
+    assert float(nr.offset) == float(nf.offset)
+    assert float(nr.scale) == float(nf.scale)
