@@ -242,3 +242,44 @@ def test_serving_dgt_chain_roundtrip():
     )
     rec = srv.invert(y)  # DGT's configured default mode (pghi)
     assert np.isfinite(np.asarray(rec)).all()
+
+
+def test_serving_stacked_representation_roundtrip():
+    """A stacked two-channel representation chain (PolarIF) through the
+    serving wrapper: the fused dispatch (fusable covers repr chains), the
+    eval_shape frame ladder over the stacked (-2) channel layout, and the
+    bucketed invert (IF integration -> complex -> ISTFT) must all work."""
+    # mel=False: the exactness claim below needs the invertible magnitude
+    # (the default mel pseudo-inverse is lossy by the square bank's rank)
+    chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.PolarIF(
+        magnitude_args={"mode": "unipolar", "mel": False, "n_fft": 512}
+    )
+    fit_x = jnp.asarray(RNG.standard_normal((2, 2, 8192)).astype(np.float32))
+    chain = chain.fit(fit_x)
+    srv = CompiledTransform(chain, buckets=(8192,), batch_sizes=(2,))
+    x = RNG.standard_normal((2, 2, 7000)).astype(np.float32)
+    y = srv.forward(jnp.asarray(x))
+    ref = chain.forward(jnp.asarray(x))
+    assert y.shape == ref.shape
+    t_interior = (7000 - 256) // 128
+    np.testing.assert_allclose(
+        np.asarray(y)[..., :t_interior, :, :],
+        np.asarray(ref)[..., :t_interior, :, :],
+        atol=1e-4, rtol=1e-3,
+    )
+    rec = srv.invert(y)
+    assert np.isfinite(np.asarray(rec)).all()
+    # phase-faithful IF round trip: the served invert reconstructs audio
+    # whose spectrogram matches the input's (Mono.invert re-adds the
+    # channel dim — flatten it before comparing spectra)
+    stft_t = T.STFT(n_fft=512, hop_length=128)
+    mono_x = T.Mono().forward(jnp.asarray(x))
+    rec2 = jnp.asarray(rec).reshape(mono_x.shape[0], -1)[:, : mono_x.shape[-1]]
+    mag_rec = jnp.abs(stft_t.forward(rec2))
+    mag_ref = jnp.abs(stft_t.forward(mono_x))
+    n = min(mag_rec.shape[-2], mag_ref.shape[-2]) - 4
+    sc = float(
+        jnp.linalg.norm(mag_rec[:, 2:n, :] - mag_ref[:, 2:n, :])
+        / jnp.linalg.norm(mag_ref[:, 2:n, :])
+    )
+    assert sc < 1e-4, sc

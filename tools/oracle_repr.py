@@ -30,7 +30,7 @@ import numpy as np
 
 from bench import _load_audio
 
-CASES = [(1024, 256), (2048, 512)]
+CASES = [(1024, 256), (2048, 512), (4096, 1024)]
 
 
 def oracle(xb, n_fft, hop, w64):
@@ -72,13 +72,14 @@ def main():
 
         # --- kernel: phase + if channels (identity affine, no contrast)
         xj = jnp.asarray(xb)
+        x4 = n_fft >= 4096  # what fuse.py dispatches in the 4096 region
         m_k, p_k = fused_spectral_repr(
             xj, n_fft, hop, w, "phase", mel_bank=None,
-            aff=(0.0, 1.0, 0.0, 1.0), contrast="none", taps=taps,
+            aff=(0.0, 1.0, 0.0, 1.0), contrast="none", taps=taps, x4=x4,
         )
         _, if_k = fused_spectral_repr(
             xj, n_fft, hop, w, "if", mel_bank=None,
-            aff=(0.0, 1.0, 0.0, 1.0), contrast="none", taps=taps,
+            aff=(0.0, 1.0, 0.0, 1.0), contrast="none", taps=taps, x4=x4,
         )
         m_k = np.asarray(jax.device_get(m_k))[:, :T]
         p_k = np.asarray(jax.device_get(p_k))[:, :T]

@@ -46,6 +46,15 @@ def main():
         ("stft_2048_512_cart", "stft", 2048, 512, 64, "imag", (False,)),
         ("stft_1024_256_cart", "stft", 1024, 256, 128, "imag", (False,)),
     ]
+    if "--4096" in sys.argv:
+        # the last unmeasured auto-region corner: taps 4096 (the forward
+        # melspec auto accepts it with the x4 split — does the two-channel
+        # kernel's extra phase DMA keep the win?)
+        cases = [
+            ("stft_4096_1024_polar", "stft", 4096, 1024, 32, "phase", (True,)),
+            ("stft_4096_1024_if", "stft", 4096, 1024, 32, "if", (True,)),
+            ("stft_4096_1024_cart", "stft", 4096, 1024, 32, "imag", (False,)),
+        ]
     rep_mk = {
         "phase": lambda n: T.Polar(magnitude_args={"mode": "bipolar", "n_fft": n}),
         "if": lambda n: T.PolarIF(magnitude_args={"mode": "bipolar", "n_fft": n}),
