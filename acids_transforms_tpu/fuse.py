@@ -539,15 +539,17 @@ def _repr_pallas_preferred(chain: AudioTransform) -> bool:
       ``unwrap`` frame cumsum the frame-local stencil eliminates — auto
       accepts the whole kernel availability region.
     - Polar ("phase") / Cartesian ("imag"): the win rides on DFT reuse
-      alone and grows with n_fft — taps 1024 (1.27x / 1.14x) and 2048
-      (2.18x / 2.06x) win; 512 (0.97x / 0.80x) and the DGT full-K at
-      1024 (0.97x / 0.81x) lose, and 4096 is unmeasured — auto accepts
-      taps windows at 1024 <= n_fft <= 2048 only.
+      alone and grows with n_fft — taps 1024 (1.27x / 1.14x), 2048
+      (2.18x / 2.06x) and 4096 with the x4 split (2.26x / 2.38x; PolarIF
+      2.95x) win; 512 (0.97x / 0.80x) and the DGT full-K at 1024
+      (0.97x / 0.81x) lose — auto accepts taps windows at
+      1024 <= n_fft <= 4096.
 
     Accuracy across the region is oracle-validated (tools/oracle_repr.py):
     the kernel-vs-chain diff (1.3e-4 at 1024 bipolar) is the sum of two
     independent ~5e-5 errors, and the kernel lands at least as close to
-    the float64 reference as the chain on both channels."""
+    the float64 reference as the chain on both channels (at 4096/x4:
+    mag 9.9e-7 vs 7.9e-6, phase 9.4e-7 vs 1.3e-6, IF both under 4e-6)."""
     import jax
 
     if jax.default_backend() != "tpu":
@@ -560,7 +562,7 @@ def _repr_pallas_preferred(chain: AudioTransform) -> bool:
         return _pallas_region_ok(stft_t)
     return (
         getattr(stft_t, "_window_taps", None) is not None
-        and 1024 <= stft_t.n_fft <= 2048
+        and 1024 <= stft_t.n_fft <= 4096
         and stft_t.n_fft // stft_t.hop_length >= 2
     )
 

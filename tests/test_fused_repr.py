@@ -226,7 +226,7 @@ def test_fused_repr_differentiable():
 def test_repr_auto_gate_policy(monkeypatch):
     # the measured dispatch policy (tools/sweep_repr*.py, v5e): PolarIF
     # rides the kernel across its availability region; Polar/Cartesian
-    # only on taps windows at 1024 <= n_fft <= 2048
+    # only on taps windows at 1024 <= n_fft <= 4096 (r3.18b)
     import jax
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
@@ -242,7 +242,9 @@ def test_repr_auto_gate_policy(monkeypatch):
         (T.STFT(n_fft=1024, hop_length=256), T.Cartesian(), True),
         (T.STFT(n_fft=512, hop_length=128), T.Cartesian(), False),
         (T.DGT(n_fft=1024, hop_length=256), T.Cartesian(), False),
-        (T.STFT(n_fft=4096, hop_length=1024), T.Polar(magnitude_args=mk(4096)), False),
+        (T.STFT(n_fft=4096, hop_length=1024), T.Polar(magnitude_args=mk(4096)), True),
+        (T.STFT(n_fft=4096, hop_length=1024), T.Cartesian(), True),
+        (T.STFT(n_fft=8192, hop_length=2048), T.Cartesian(), False),
     ]
     for spec, rep, expect in cases:
         chain = T.Mono() + spec + rep
