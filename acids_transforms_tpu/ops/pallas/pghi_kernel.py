@@ -41,7 +41,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fft import _idft_matrices
 from .ola import ola_accumulate, ola_layout, ola_supported, ola_tile_unit
-from .spectral import LANE, _round_up, _split_bf16
+from .spectral import LANE, _append_nyq, _round_up, _split_bf16
+
+# UP-fill lane depad (r3.19): run the forward segmented fill at
+# Fd = Fp - 128 lanes (one fewer Hillis-Steele stage, 20% narrower ops)
+# and recover the nyquist lane by composing lane Fd-1's inclusive
+# composite with the nyquist's own affine map.  Only the UP direction —
+# the DOWN fill's chain *includes* the nyquist at its head, whose
+# pre-compose epilogue eats the savings (BENCH_NOTES.md r3.13 scoping).
+# MEASURED NEGATIVE (r3.19, v5e A/B with ACIDS_PGHI_UP_DEPAD=1): -1.8%
+# at 1024/256 B=8, -9.6% at 512/128 B=8, a wash at B=1 — the per-frame
+# epilogue (two full-width masked reduces + two lane concats) costs more
+# than the narrower scan saves, and the gap widens as Fp shrinks.  Kept
+# as an env-gated opt-in so the A/B stays reproducible; output matches
+# the full-width scan (identical rel vs the serial oracle).
+import os as _os
+
+UP_DEPAD = _os.environ.get("ACIDS_PGHI_UP_DEPAD", "0") == "1"
 
 __all__ = [
     "pghi_invert_fused", "pghi_phases_fused", "pghi_fused_available",
@@ -214,6 +230,10 @@ def _pghi_invert_kernel(
         # sentinel (resolved in-loop), silent bins carry their random phase
         sig_ref[...] = sig.astype(f32)
 
+        Fd = Fp - LANE
+        up_depad = UP_DEPAD and Fd == n_bins - 1 and (Fd & (Fd - 1)) == 0
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (B, Fp), 1)
+
         def frame_step(t, _):
             anc_f = anc_ref[:, t, :]
             anchored = anc_f > 0.5
@@ -222,13 +242,56 @@ def _pghi_invert_kernel(
             phi_t = phi_ref[...] + ct_ref[:, t, :]
 
             a0 = 1.0 - anc_f
-            b_up = jnp.where(anchored, phi_t, sup_ref[:, t, :])
             b_dn = jnp.where(anchored, phi_t, sdn_ref[:, t, :])
-            d0 = a0  # 0 at anchors, 1 elsewhere
-            a_u, f_up, d_up = _seg_scan(a0, b_up, d0, Fp, reverse=False)
-            a_d, f_dn, d_dn = _seg_scan(a0, b_dn, d0, Fp, reverse=True)
+            # d0 = a0: 0 at anchors, 1 elsewhere
+            a_d, f_dn, d_dn = _seg_scan(a0, b_dn, a0, Fp, reverse=True)
             big = jnp.float32(10 * Fp)
-            du = jnp.where(a_u == 0, d_up, big)
+            if up_depad:
+                # depadded UP fill: operands read as (B, Fd) ref slices
+                # (value slices feeding rolls trip Mosaic's offset check)
+                anc_d = anc_ref[:, t, :Fd]
+                anchored_d = anc_d > 0.5
+                phi_t_d = phi_ref[:, :Fd] + ct_ref[:, t, :Fd]
+                a0_d = 1.0 - anc_d
+                b_up_d = jnp.where(anchored_d, phi_t_d, sup_ref[:, t, :Fd])
+                a_u_d, f_up_d, d_up_d = _seg_scan(
+                    a0_d, b_up_d, a0_d, Fd, reverse=False
+                )
+                lane_d = jax.lax.broadcasted_iota(jnp.int32, (B, Fd), 1)
+
+                def last_d(v):  # lane Fd-1 of the depadded scan, (B, 1)
+                    return jnp.sum(
+                        jnp.where(lane_d == Fd - 1, v, 0.0), -1, keepdims=True
+                    )
+
+                def col_ny(v):  # the nyquist column of a full-width row
+                    return jnp.sum(
+                        jnp.where(lane2 == n_bins - 1, v, 0.0),
+                        -1, keepdims=True,
+                    )
+
+                # nyquist's own map composed onto lane Fd-1's inclusive
+                # composite — exactly the full-width scan's lane-n_bins-1
+                # result (affine composition; associativity reorder only)
+                anc_ny = col_ny(anc_f)
+                a_own = 1.0 - anc_ny
+                b_own = jnp.where(
+                    anc_ny > 0.5, col_ny(phi_t), col_ny(sup_ref[:, t, :])
+                )
+                b_ny = last_d(f_up_d) * a_own + b_own
+                a_ny = last_d(a_u_d) * a_own
+                d_ny = last_d(d_up_d) * a_own + a_own
+                f_up = _append_nyq(f_up_d, b_ny)
+                # pad lanes get du = 0 <= dd -> filled = f_up = 0 there:
+                # don't-care (sig masks them to the random angles below)
+                du = _append_nyq(
+                    jnp.where(a_u_d == 0, d_up_d, big),
+                    jnp.where(a_ny == 0, d_ny, big),
+                )
+            else:
+                b_up = jnp.where(anchored, phi_t, sup_ref[:, t, :])
+                a_u, f_up, d_up = _seg_scan(a0, b_up, a0, Fp, reverse=False)
+                du = jnp.where(a_u == 0, d_up, big)
             dd = jnp.where(a_d == 0, d_dn, big)
             filled = jnp.where(du <= dd, f_up, f_dn)
             any_anchor = jnp.any(anchored, axis=-1, keepdims=True)

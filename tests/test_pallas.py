@@ -1060,3 +1060,34 @@ def test_fuse_fit_repr_gates():
     nr, nf = f_ref[-1].magnitude.norm, f_fus[-1].magnitude.norm
     assert float(nr.offset) == float(nf.offset)
     assert float(nr.scale) == float(nf.scale)
+
+
+def test_pghi_up_depad_optin_matches_default(monkeypatch):
+    """The env-gated UP-fill lane depad (a measured scheduling negative,
+    BENCH_NOTES r3.19) must stay numerically equivalent to the full-width
+    fill: same anchors, same composition, associativity-only reordering."""
+    from acids_transforms_tpu.ops.pallas import pghi_kernel as K
+
+    t = np.arange(9000) / 44100
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    dgt = T.DGT(n_fft=512, hop_length=128)
+    mag = jnp.abs(dgt.forward(jnp.asarray(x)[None]))
+    key = jax.random.PRNGKey(5)
+    angles = 2.0 * jnp.pi * jax.random.uniform(key, mag.shape, mag.dtype)
+
+    def run():
+        # fresh traces: the jitted caller captures UP_DEPAD at trace time
+        jax.clear_caches()
+        return np.asarray(
+            K.pghi_phases_fused(
+                mag, dgt.gamma, 512, 128, tolerance=float(dgt.tolerance),
+                angles=angles,
+            )
+        )
+
+    monkeypatch.setattr(K, "UP_DEPAD", False)
+    ph_full = run()
+    monkeypatch.setattr(K, "UP_DEPAD", True)
+    ph_depad = run()
+    jax.clear_caches()
+    assert np.abs(ph_full - ph_depad).max() < 1e-4
