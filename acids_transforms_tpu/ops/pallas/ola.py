@@ -37,9 +37,12 @@ from .spectral import LANE, _round_up
 
 __all__ = ["ola_supported", "ola_layout", "ola_accumulate", "ola_tile_unit"]
 
-# largest frames-per-super-frame the packed layout accepts: q = 16 means
-# hop % 8 == 0 (tile granularity 16, shift-pad <= 15*hop) — beyond that
-# the roll ladder and pad overhead stop paying for themselves
+# largest frames-per-super-frame the general lcm packing accepts: q = 16
+# means hop % 8 == 0 (tile granularity 16, shift-pad <= 15*hop) — beyond
+# that the roll ladder and pad overhead stop paying for themselves.
+# Divisor hops (hop | 128) are EXEMPT from the cap: their super-frame is
+# one chunk (st = 1, shift pad < 128) at any q, and the pre-r3.17 layout
+# accepted them — capping would silently narrow support for hop <= 4.
 _MAX_Q = 16
 
 
@@ -57,8 +60,10 @@ def _packing(n_fft: int, hop: int):
 def ola_supported(n_fft: int, hop: int) -> bool:
     if hop % LANE == 0:
         return True
+    if n_fft % LANE != 0:
+        return False
     q = LANE // math.gcd(hop, LANE)
-    return n_fft % LANE == 0 and q <= _MAX_Q
+    return LANE % hop == 0 or q <= _MAX_Q
 
 
 def _check_supported(n_fft: int, hop: int) -> None:

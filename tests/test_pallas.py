@@ -1024,9 +1024,8 @@ def test_fuse_fit_repr_matches_chain_fit(kind):
         assert abs(float(nf.scale) - float(nr.scale)) / s < 1e-3, (kind, ch)
         assert nf.needs_scaling is False
     # the fitted chains forward identically (within kernel accuracy)
-    spec_like = xb if isinstance(chain[0], T.Mono) else xb
-    y_r = np.asarray(fitted_ref.jforward(spec_like))
-    y_f = np.asarray(fitted_fus.jforward(spec_like))
+    y_r = np.asarray(fitted_ref.jforward(xb))
+    y_f = np.asarray(fitted_fus.jforward(xb))
     assert np.abs(y_r - y_f).max() / (np.abs(y_r).max() + 1e-12) < 1e-3
 
 
