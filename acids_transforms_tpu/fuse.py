@@ -98,6 +98,11 @@ def _match_melspec(chain: AudioTransform, backend: str = "xla"):
         return None
     if _resolve_impl(stft_t.impl, stft_t.n_fft) != "matmul":
         return None  # the fused formulation is the GEMM DFT
+    if mag_t.mel and mag_t.n_fft != stft_t.n_fft:
+        # mismatched bank: let the chain raise its own matmul shape error —
+        # the Pallas path would otherwise zero-pad the short bank and
+        # return silently wrong features (fused_melspec pads weights)
+        return None
     if backend == "pallas":
         # Mosaic kernel constraints (ops/pallas/spectral.py); Mono options
         # and the nyquist drop run outside the kernel
@@ -121,6 +126,44 @@ def fusable(chain: AudioTransform, backend: str = "auto") -> bool:
     if _match_melspec(chain, backend) is not None:
         return True
     return _match_repr(chain, backend) is not None
+
+
+def _from_pcm_for_mono(mono: Mono, x: jnp.ndarray) -> jnp.ndarray:
+    """int16 PCM entering a ``Mono`` stage: mixing/normalizing needs float
+    arithmetic, so convert up front; every other Mono config is a
+    slice/squeeze (dtype-preserving), so the PCM dtype survives to the
+    kernel's in-kernel convert and its halved input DMA."""
+    if x.dtype == jnp.int16 and (
+        mono.normalize
+        or (x.ndim >= 2 and x.shape[-2] == 2 and mono.mode == "mix")
+    ):
+        return _from_pcm(x)
+    return x
+
+
+def _mel_blocks_for(mag_t: Magnitude):
+    """Banded-block structure of the transform's mel bank, tracer-safe.
+
+    When the bank leaf is concrete the structure is computed from the
+    ACTUAL bank (a user may have swapped the leaf for a custom filterbank —
+    skipping blocks the default config predicts empty would silently zero
+    its contributions); only under serving's jit, where the leaf is a
+    tracer the factory can't inspect, does the static default-config
+    structure serve (leaf swaps through serving must keep the default band
+    structure — see ``serving.refresh()``)."""
+    import jax
+
+    from .ops.pallas.spectral import mel_block_structure
+
+    if isinstance(mag_t.mel_bank, jax.core.Tracer):
+        from .ops.mel import square_mel_banks
+
+        bank_np = square_mel_banks(
+            mag_t.n_fft, mag_t.sr, keep_nyquist=mag_t.keep_nyquist,
+            inverse=getattr(mag_t, "mel_inverse", "transpose"),
+        )[0]
+        return mel_block_structure(bank_np)
+    return mel_block_structure(np.asarray(mag_t.mel_bank))
 
 
 def _xla_fused(
@@ -180,40 +223,12 @@ def _pallas_fused(
 
     # banded-block mel structure — the square bank is bidiagonal, so the
     # kernel skips ~2/3 of its mel GEMM blocks exactly
-    # (ops/pallas/spectral.py:_mel3).  When the bank leaf is concrete the
-    # structure is computed from the ACTUAL bank (a user may have swapped
-    # the leaf for a custom filterbank — skipping blocks the default config
-    # predicts empty would silently zero its contributions); only under
-    # serving's jit, where the leaf is a tracer the factory can't inspect,
-    # does the static default-config structure serve (leaf swaps through
-    # serving must keep the default band structure — see refresh()).
-    mel_blocks = None
-    if mag_t.mel:
-        from .ops.pallas.spectral import mel_block_structure
-
-        if isinstance(mag_t.mel_bank, jax.core.Tracer):
-            from .ops.mel import square_mel_banks
-
-            bank_np = square_mel_banks(
-                mag_t.n_fft, mag_t.sr, keep_nyquist=mag_t.keep_nyquist,
-                inverse=getattr(mag_t, "mel_inverse", "transpose"),
-            )[0]
-            mel_blocks = mel_block_structure(bank_np)
-        else:
-            mel_blocks = mel_block_structure(np.asarray(mag_t.mel_bank))
+    # (ops/pallas/spectral.py:_mel3); tracer-safe via _mel_blocks_for
+    mel_blocks = _mel_blocks_for(mag_t) if mag_t.mel else None
 
     def kernel_forward(x: jnp.ndarray) -> jnp.ndarray:
         if mono is not None:
-            if x.dtype == jnp.int16 and (
-                mono.normalize
-                or (x.ndim >= 2 and x.shape[-2] == 2 and mono.mode == "mix")
-            ):
-                # mixing/normalizing needs float arithmetic; every other
-                # Mono config is a slice/squeeze (dtype-preserving), so the
-                # PCM dtype survives to the kernel's in-kernel convert and
-                # its halved input DMA
-                x = _from_pcm(x)
-            x = mono.forward(x)
+            x = mono.forward(_from_pcm_for_mono(mono, x))
         batch_shape = x.shape[:-1]
         flat = x.reshape((-1, x.shape[-1]))
         y = fused_melspec(
@@ -304,12 +319,7 @@ def _fused_mfcc(mono, mfcc, backend: str, out_dtype=jnp.float32):
 
     def forward(x: jnp.ndarray) -> jnp.ndarray:
         if mono is not None:
-            if x.dtype == jnp.int16 and (
-                mono.normalize
-                or (x.ndim >= 2 and x.shape[-2] == 2 and mono.mode == "mix")
-            ):
-                x = _from_pcm(x)  # see _pallas_fused.kernel_forward
-            x = mono.forward(x)
+            x = mono.forward(_from_pcm_for_mono(mono, x))
         if backend == "pallas":
             batch_shape = x.shape[:-1]
             flat = x.reshape((-1, x.shape[-1]))
@@ -470,29 +480,11 @@ def _pallas_fused_repr(mono, stft_t, rep, second):
         weighted = bool(getattr(rep.phase, "weighted", False))
     taps = getattr(stft_t, "_window_taps", None)
 
-    mel_blocks = None
-    if mel_bank is not None:
-        from .ops.pallas.spectral import mel_block_structure
-
-        if isinstance(mel_bank, jax.core.Tracer):
-            from .ops.mel import square_mel_banks
-
-            bank_np = square_mel_banks(
-                mag_t.n_fft, mag_t.sr, keep_nyquist=mag_t.keep_nyquist,
-                inverse=getattr(mag_t, "mel_inverse", "transpose"),
-            )[0]
-            mel_blocks = mel_block_structure(bank_np)
-        else:
-            mel_blocks = mel_block_structure(np.asarray(mel_bank))
+    mel_blocks = _mel_blocks_for(rep.magnitude) if mel_bank is not None else None
 
     def kernel_forward(x: jnp.ndarray):
         if mono is not None:
-            if x.dtype == jnp.int16 and (
-                mono.normalize
-                or (x.ndim >= 2 and x.shape[-2] == 2 and mono.mode == "mix")
-            ):
-                x = _from_pcm(x)
-            x = mono.forward(x)
+            x = mono.forward(_from_pcm_for_mono(mono, x))
         batch_shape = x.shape[:-1]
         flat = x.reshape((-1, x.shape[-1]))
         y1, y2 = fused_spectral_repr(
@@ -695,6 +687,19 @@ def fuse_forward(
             if rb == "pallas":
                 return _pallas_fused_repr(mono_r, stft_r, rep, second)
             return _xla_fused_repr(mono_r, stft_r, rep, second)
+        if requested == "pallas":
+            # an explicit kernel request must fail loudly — a silent
+            # chain.jforward substitution would corrupt kernel validation
+            # and timing runs (mirrors streaming.scan_roundtrip's loud
+            # backend="fused" rejection)
+            raise ValueError(
+                "backend='pallas' requested but no Pallas-fused forward "
+                "covers this chain (needs a [Mono?] + (STFT|DGT) + "
+                "(Magnitude | Polar | PolarIF | Cartesian) or MFCC pattern "
+                "inside the Mosaic constraints: hop | n_fft, non-log "
+                "contrast, f32 output for representations); use "
+                "backend='auto' to fall back"
+            )
         if out_dtype == jnp.float32:
             return chain.jforward
 
@@ -796,7 +801,9 @@ def fit_fusable(chain: AudioTransform) -> bool:
     return _match_fit(chain) is not None or _match_repr_fit(chain) is not None
 
 
-def fuse_fit(chain: AudioTransform) -> Callable[[jnp.ndarray], AudioTransform]:
+def fuse_fit(
+    chain: AudioTransform, backend: str = "auto"
+) -> Callable[[jnp.ndarray], AudioTransform]:
     """Return a one-kernel-pass ``fit`` for a melspec chain.
 
     The returned callable maps raw audio to a fitted copy of ``chain``
@@ -820,8 +827,28 @@ def fuse_fit(chain: AudioTransform) -> Callable[[jnp.ndarray], AudioTransform]:
     (measured: tones-only 6e-4, any broadband content 4e-5); the
     magnitude channel is unconditionally within kernel accuracy.
 
-    Chains that don't match the pattern fall back to ``chain.jfit``.
+    Like the fused forwards, matched chains accept **int16 PCM** input
+    (``x / 32768``, the ``import_data`` convention): chains with a ``Mono``
+    mix convert at entry, already-mono PCM rides the stats kernel's
+    in-kernel convert — the fitted statistics equal fitting the
+    pre-converted float audio.
+
+    ``backend="auto"`` (default) takes the kernel-stats path only on TPU —
+    off-TPU it would run the Pallas interpreter, orders of magnitude
+    slower than the exact cascade, so auto returns ``chain.jfit`` there
+    (the same gate every other auto dispatcher applies).
+    ``backend="pallas"`` forces the kernel-stats path on any platform
+    (interpret mode off-TPU — the validation tool the tests use).
+    Chains that don't match the pattern fall back to ``chain.jfit``
+    on either backend.
     """
+    if backend not in ("auto", "pallas"):
+        raise ValueError("unknown fuse_fit backend %r" % backend)
+    if backend == "auto":
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return chain.jfit
     from .transforms.norm import Normalize
 
     def _fittable(norm):
@@ -844,7 +871,9 @@ def fuse_fit(chain: AudioTransform) -> Callable[[jnp.ndarray], AudioTransform]:
                 # exact cascade (transforms/norm.py fit) — the kernel
                 # epilogue only masks its own tile padding
                 return chain.fit(x, mask=mask)
-            y = mono.forward(x) if mono is not None else x
+            # int16 PCM through a Mono mix needs the float convert the
+            # fused forwards apply (already-mono PCM converts in-kernel)
+            y = mono.forward(_from_pcm_for_mono(mono, x)) if mono is not None else x
             flat = y.reshape((-1, y.shape[-1]))
             st = fused_melspec_stats(
                 flat,
@@ -882,7 +911,7 @@ def fuse_fit(chain: AudioTransform) -> Callable[[jnp.ndarray], AudioTransform]:
     def fit_repr(x: jnp.ndarray, mask=None) -> AudioTransform:
         if mask is not None:
             return chain.fit(x, mask=mask)
-        y = mono.forward(x) if mono is not None else x
+        y = mono.forward(_from_pcm_for_mono(mono, x)) if mono is not None else x
         flat = y.reshape((-1, y.shape[-1]))
         st = fused_repr_stats(
             flat,

@@ -69,8 +69,30 @@ class CompiledTransform:
         frame_axis: Optional[int] = None,
     ):
         self.transform = transform
-        self.buckets = tuple(buckets) if buckets else default_buckets(max_seconds=30.0)
+        # sorted like batch_sizes: _bucket's ladder-exceeded error reads
+        # buckets[-1] as the max, which lies for unsorted user ladders
+        self.buckets = (
+            tuple(sorted(buckets)) if buckets
+            else default_buckets(max_seconds=30.0)
+        )
         self.batch_sizes = tuple(sorted(batch_sizes))
+        # tuple-output chains (stack=None representations) have no single
+        # frame axis / trimmable shape — reject at construction with the
+        # fix, not at first forward with an opaque AttributeError
+        from .transforms.spectral_repr import SpectralRepresentation
+
+        children = (
+            list(transform.transforms)
+            if hasattr(transform, "transforms") else [transform]
+        )
+        for t in children:
+            if isinstance(t, SpectralRepresentation) and t.stack is None:
+                raise ValueError(
+                    "CompiledTransform cannot serve tuple-output "
+                    "representations (%s with stack=None); construct it "
+                    "with stack=-2 (the default) or another axis"
+                    % type(t).__name__
+                )
         self.inversion_mode = inversion_mode
         #: frame axis of the chain output (negative); chain-folded from
         #: ``output_frame_axis`` unless given explicitly.
@@ -192,7 +214,17 @@ class CompiledTransform:
         key = (fn is self._inv, x.shape, str(x.dtype))
         if key not in self._shape_cache:
             aval = jax.ShapeDtypeStruct(x.shape, x.dtype)
-            self._shape_cache[key] = jax.eval_shape(fn, self._frozen, aval).shape
+            out = jax.eval_shape(fn, self._frozen, aval)
+            if not hasattr(out, "shape"):
+                # non-array chain output (e.g. a tuple from a custom
+                # transform) — the ctor rejects the known producers, this
+                # backstops the rest with the reason instead of an
+                # AttributeError
+                raise ValueError(
+                    "CompiledTransform needs a single-array chain output, "
+                    "got %s" % type(out).__name__
+                )
+            self._shape_cache[key] = out.shape
         return self._shape_cache[key]
 
     @staticmethod

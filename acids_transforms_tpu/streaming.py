@@ -94,23 +94,23 @@ def scan_roundtrip(
 
     import jax
 
+    if backend not in ("auto", "fused", "generic"):
+        # an unknown string would otherwise silently run the generic scan —
+        # the same silent-substitution trap the explicit gates below reject
+        raise ValueError(
+            "unknown scan_roundtrip backend %r (use 'auto', 'fused' or "
+            "'generic')" % backend
+        )
     batch_elems = 1
     for d in x.shape[:-1]:
         batch_elems *= d
-    # "auto" only takes the kernel where it compiles (TPU) — off-TPU it
-    # would run the Pallas interpreter, orders of magnitude slower than the
-    # generic scan; explicit "fused" still works anywhere (interpret mode
-    # is the validation tool the tests use)
-    fused_ok = (
-        inversion_mode is None
-        # the fused kernel carries the batch whole; measured crossover: at
-        # B>=128 the generic scan wins (7.1M vs 5.7M frames/s at B=128,
-        # 8.5M vs 6.7M at B=256 — shrinking grid steps pay more fixed cost
-        # than XLA's op dispatch), so auto hands large fleets to XLA
-        and batch_elems <= 64
-        and fused_roundtrip_available(chain, chunk_size)
+    # availability (can the kernel run?) is separate from the auto perf
+    # heuristic (should it?): explicit "fused" may run at ANY batch —
+    # the kernel covers B >= 128, auto just prefers XLA there
+    available = inversion_mode is None and fused_roundtrip_available(
+        chain, chunk_size
     )
-    if backend == "fused" and not fused_ok:
+    if backend == "fused" and not available:
         # explicit requests fail loudly (mirrors serving's loud fallback):
         # a silent generic-scan substitution would corrupt kernel
         # validation and timing runs
@@ -118,12 +118,22 @@ def scan_roundtrip(
             "backend='fused' requested but the fused roundtrip kernel does "
             "not cover this call (needs a direct [OverlapAdd, RealtimeSTFT] "
             "chain, complex inversion_mode=None, chunk_size a hop multiple, "
-            "lane-aligned hop, batch <= 64); use backend='auto' to fall "
-            "back to the generic scan"
+            "an OLA-supported hop); use backend='auto' to fall back to the "
+            "generic scan"
         )
-    if fused_ok and (
+    # "auto" only takes the kernel where it compiles (TPU) — off-TPU it
+    # would run the Pallas interpreter, orders of magnitude slower than the
+    # generic scan — and only below the measured batch crossover: at
+    # B>=128 the generic scan wins (7.1M vs 5.7M frames/s at B=128,
+    # 8.5M vs 6.7M at B=256 — shrinking grid steps pay more fixed cost
+    # than XLA's op dispatch), so auto hands large fleets to XLA
+    if available and (
         backend == "fused"
-        or (backend == "auto" and jax.default_backend() == "tpu")
+        or (
+            backend == "auto"
+            and batch_elems <= 64
+            and jax.default_backend() == "tpu"
+        )
     ):
         return make_fused_roundtrip(chain, chunk_size)(x)
 

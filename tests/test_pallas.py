@@ -201,7 +201,9 @@ def test_fuse_fit_matches_chain_fit(test_files, mode):
         mode=mode, contrast="log1p", mel=True, n_fft=512
     )
     assert fit_fusable(chain)
-    fitted_fused = fuse_fit(chain)(jnp.asarray(sig))
+    # backend="pallas": force the kernel-stats path (interpret off-TPU;
+    # auto falls back to jfit on CPU by design)
+    fitted_fused = fuse_fit(chain, backend="pallas")(jnp.asarray(sig))
     fitted_ref = chain.fit(jnp.asarray(sig))
     norm_f = fitted_fused[-1].norm
     norm_r = fitted_ref[-1].norm
@@ -237,7 +239,7 @@ def test_fuse_fit_declines_log_contrast(test_files):
             mode="unipolar", contrast=contrast, mel=True, n_fft=512
         )
         assert not fit_fusable(chain)
-        fitted = fuse_fit(chain)(jnp.asarray(sig))  # falls back to jfit
+        fitted = fuse_fit(chain, backend="pallas")(jnp.asarray(sig))  # falls back to jfit
         ref = chain.fit(jnp.asarray(sig))
         assert np.allclose(
             float(fitted[-1].norm.offset), float(ref[-1].norm.offset)
@@ -262,6 +264,8 @@ def test_pallas_fused_is_differentiable(test_files):
 def test_fuse_fit_fallback_unmatched():
     chain = T.Stereo() + T.STFT()
     assert not fit_fusable(chain)
+    assert fuse_fit(chain, backend="pallas") == chain.jfit
+    # auto on a non-TPU host returns jfit regardless (interpreter gate)
     assert fuse_fit(chain) == chain.jfit
 
 
@@ -1012,7 +1016,7 @@ def test_fuse_fit_repr_matches_chain_fit(kind):
     ).astype(np.float32)
     xb = jnp.asarray(np.stack([x, 0.6 * x]))
     fitted_ref = chain.fit(xb)
-    fitted_fus = fuse_fit(chain)(xb)
+    fitted_fus = fuse_fit(chain, backend="pallas")(xb)
     rep_r, rep_f = fitted_ref[-1], fitted_fus[-1]
     for ch in ("magnitude", "phase"):
         nr, nf = getattr(rep_r, ch).norm, getattr(rep_f, ch).norm
@@ -1040,7 +1044,7 @@ def test_fuse_fit_repr_gates():
     )
     assert _match_repr_fit(log_chain) is None
     # bound-method equality: same underlying jfit, fresh binding per access
-    assert fuse_fit(log_chain) == log_chain.jfit
+    assert fuse_fit(log_chain, backend="pallas") == log_chain.jfit
     big_fullk = T.DGT(n_fft=4096, hop_length=1024) + T.Cartesian()
     assert _match_repr_fit(big_fullk) is None
     unwrap_polar = T.STFT(n_fft=512, hop_length=128) + T.Polar(
@@ -1055,7 +1059,7 @@ def test_fuse_fit_repr_gates():
     )[None]
     mask = jnp.ones((1, 8192), bool).at[:, 6000:].set(False)
     f_ref = chain.fit(x, mask=mask)
-    f_fus = fuse_fit(chain)(x, mask=mask)
+    f_fus = fuse_fit(chain, backend="pallas")(x, mask=mask)
     nr, nf = f_ref[-1].magnitude.norm, f_fus[-1].magnitude.norm
     assert float(nr.offset) == float(nf.offset)
     assert float(nr.scale) == float(nf.scale)
@@ -1090,3 +1094,40 @@ def test_pghi_up_depad_optin_matches_default(monkeypatch):
     ph_depad = run()
     jax.clear_caches()
     assert np.abs(ph_full - ph_depad).max() < 1e-4
+
+
+def test_review_r3_gates_and_contracts(test_files):
+    """r3 review fixes, pinned: (a) mel-bank/n_fft mismatch declines the
+    Pallas matcher (it would zero-pad the short bank and return silently
+    wrong features); (b) explicit backend='pallas' on an uncovered chain
+    raises instead of silently returning chain.jforward; (c) fuse_fit on a
+    Mono PCM chain converts int16 before the mix (stats equal the
+    pre-converted float fit); (d) fuse_fit validates its backend."""
+    sig, _ = test_files
+    mismatched = T.STFT(n_fft=2048, hop_length=512) + T.Magnitude(
+        mode="unipolar", mel=True, n_fft=1024
+    )
+    assert not fusable(mismatched, "pallas")
+    assert not fusable(mismatched, "xla")
+
+    log_chain = (T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", contrast="log", mel=False, n_fft=512
+    )).fit(jnp.asarray(sig))
+    with pytest.raises(ValueError, match="backend='pallas'"):
+        fuse_forward(log_chain, backend="pallas")
+
+    xi = np.clip(
+        np.round(sig[:1] * 32768.0), -32768, 32767
+    ).astype(np.int16)
+    xf = xi.astype(np.float32) / 32768.0
+    pcm_chain = T.Mono() + T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", contrast="log1p", mel=True, n_fft=512
+    )
+    ff = fuse_fit(pcm_chain, backend="pallas")
+    n_i = ff(jnp.asarray(xi))[-1].norm
+    n_f = ff(jnp.asarray(xf))[-1].norm
+    assert abs(float(n_i.offset) - float(n_f.offset)) < 1e-6
+    assert abs(float(n_i.scale) - float(n_f.scale)) < 1e-6
+
+    with pytest.raises(ValueError, match="backend"):
+        fuse_fit(pcm_chain, backend="fused")

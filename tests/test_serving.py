@@ -283,3 +283,21 @@ def test_serving_stacked_representation_roundtrip():
         / jnp.linalg.norm(mag_ref[:, 2:n, :])
     )
     assert sc < 1e-4, sc
+
+
+def test_serving_ctor_contracts():
+    """r3 review fixes: tuple-output representations are rejected at
+    construction with the fix in the message, and unsorted bucket ladders
+    are sorted (the ladder-exceeded error reads buckets[-1] as the max)."""
+    with pytest.raises(ValueError, match="stack"):
+        CompiledTransform(
+            T.STFT(n_fft=512, hop_length=128) + T.Polar(stack=None),
+            buckets=(8192,),
+        )
+    chain = (T.STFT(n_fft=512, hop_length=128) + T.Magnitude(
+        mode="unipolar", mel=False, n_fft=512
+    )).fit(jnp.asarray(RNG.standard_normal((2, 8192)).astype(np.float32)))
+    srv = CompiledTransform(chain, buckets=(16384, 8192), batch_sizes=(2,))
+    assert srv.buckets == (8192, 16384)
+    with pytest.raises(ValueError, match="16384"):
+        srv.forward(jnp.zeros((2, 20000), jnp.float32))

@@ -377,3 +377,19 @@ def test_streaming_pghi_gl_scan_compiled(sig):
     chain = T.OverlapAdd(512, 128) + T.RealtimeDGT(n_fft=512, hop_length=128)
     mag_chain_out = scan_roundtrip(chain, sig, chunk_size=2048, inversion_mode="pghi_gl")
     assert np.isfinite(np.asarray(mag_chain_out)).all()
+
+
+def test_scan_roundtrip_backend_contracts(sig):
+    """r3 review fixes: unknown backend strings raise (a typo would
+    silently measure the generic scan), and explicit backend='fused' runs
+    above the auto batch crossover (the cap is a perf heuristic, not an
+    availability limit)."""
+    x = jnp.asarray(sig[:8192])
+    chain = T.OverlapAdd(1024, 256) + T.RealtimeSTFT(n_fft=1024, hop_length=256)
+    with pytest.raises(ValueError, match="unknown scan_roundtrip backend"):
+        scan_roundtrip(chain, x, 4096, backend="pallas")
+    xb = jnp.broadcast_to(x, (66, x.shape[-1]))  # above the 64 auto cap
+    y_f = np.asarray(scan_roundtrip(chain, xb, 4096, backend="fused"))
+    y_g = np.asarray(scan_roundtrip(chain, xb, 4096, backend="generic"))
+    assert y_f.shape == y_g.shape
+    assert np.abs(y_f - y_g).max() / np.abs(y_g).max() < 1e-4
