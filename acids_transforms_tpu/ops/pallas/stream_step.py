@@ -33,6 +33,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -40,7 +41,10 @@ from ..fft import _dft_matrices, _idft_matrices
 from .ola import ola_accumulate, ola_layout, ola_supported, ola_tile_unit
 from .spectral import LANE, _round_up, _split_bf16
 
-__all__ = ["fused_roundtrip_available", "make_fused_roundtrip"]
+__all__ = [
+    "fused_roundtrip_available", "make_fused_roundtrip",
+    "fused_pghi_roundtrip_available", "make_fused_pghi_roundtrip",
+]
 
 _WIN_PAD = 8  # Element-window sublane alignment over-fetch
 
@@ -237,6 +241,363 @@ def make_fused_roundtrip(chain, chunk_size: int, interpret: Optional[bool] = Non
             rows, ana_basis, syn_basis, n_fft, hop, T_k, n_steps, interpret
         )
         out = out.reshape(batch_shape + (n_steps * T_k * hop,))
+        return out[..., : n_chunks * chunk_size]
+
+    return run
+
+
+# ===================================================== phaseless (RT-PGHI)
+def fused_pghi_roundtrip_available(chain, chunk_size: int) -> bool:
+    """True when the PHASELESS (``inversion_mode="pghi"``) session rides the
+    fused kernel: the :func:`fused_roundtrip_available` layout constraints,
+    plus integer overlap (PGHI's carrier math) and a chunk frame count
+    divisible by the OLA tile unit (the grid step is exactly one chunk —
+    the streaming threshold ``tol * max(chunk)`` is a per-chunk statistic,
+    so frames cannot regroup across chunk boundaries)."""
+    from ...transforms.base import ComposeAudioTransform
+    from ...transforms.oadd import OverlapAdd
+    from ...transforms.stft import RealtimeSTFT
+
+    if not isinstance(chain, ComposeAudioTransform) or len(chain) != 2:
+        return False
+    oadd, rt = chain.transforms
+    if not isinstance(oadd, OverlapAdd) or not isinstance(rt, RealtimeSTFT):
+        return False
+    T_c = chunk_size // max(rt.hop_length, 1)
+    return (
+        fused_roundtrip_available(chain, chunk_size)
+        and rt.n_fft % rt.hop_length == 0
+        and T_c % ola_tile_unit(rt.hop_length) == 0
+        and getattr(rt, "gamma", None) is not None
+    )
+
+
+def _session_pghi_kernel(
+    rows_ref, ana_basis_ref, syn_basis_ref, angles_ref,
+    o_ref, mprev_ref, phi_ref, tail_ref, reim_ref,
+    ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref,
+    *, T_c, overlap, hop, n_fft, Fp, n_bins, fmul, tol,
+):
+    """One grid step = one chunk of the phaseless realtime session.
+
+    Analysis (stacked bf16x4 windowed DFT) -> per-chunk threshold ->
+    backward-stencil phase gradients (the RT-PGHI stencil, reference
+    dgt.py:378-397 via ops/pghi.py:phase_gradients) -> the serial anchored
+    fill (the offline PGHI kernel's frame_step, ops/pallas/pghi_kernel.py)
+    -> windowed iDFT synthesis -> overlap-add.  VMEM scratch carries the
+    previous chunk's last TWO magnitude rows (the RT-PGHI ``mag_buffer``),
+    the last phase row (``phase_buffer``), and the OLA tail — the whole
+    streaming state, resident across sequential grid steps.  Semantics
+    equal the generic chain scan (``pghi_scan(time_stencil="backward",
+    prev_mag, prev_phase)`` per chunk) up to a per-bin 2*pi phase
+    convention (the generic carry re-wraps through ``angle``), which the
+    synthesis trig cannot see.
+
+    Parity contract: in interpret mode the output matches the generic
+    scan sample-level (< 1e-3 rel — both DFT formulations evaluate in
+    f32).  On the compiled chip the kernel's bf16x4 DFT and the generic
+    path's bf16x3 GEMM disagree by ~1e-5 in magnitude, which can FLIP
+    anchor/threshold decisions at exact boundaries — phases then differ
+    at those bins while reconstruction QUALITY is identical (measured
+    spectral convergence equal to 3 decimals at every swept shape,
+    BENCH_NOTES.md r3.20).  The same class of contract as the fused GL
+    kernels' quality-parity gates.
+    """
+    from .pghi_kernel import _seg_scan
+
+    f32 = jnp.float32
+    pi = jnp.float32(np.pi)
+    t = pl.program_id(0)
+    B = rows_ref.shape[0]
+    eps = jnp.float32(1.19e-7)
+
+    @pl.when(t == 0)
+    def _init():
+        mprev_ref[...] = jnp.zeros_like(mprev_ref)
+        phi_ref[...] = jnp.zeros_like(phi_ref)
+        tail_ref[...] = jnp.zeros_like(tail_ref)
+
+    # ---- analysis: frames -> windowed DFT (see _session_kernel)
+    rows = rows_ref[...]
+    n_rows = rows.shape[1]
+    parts = [
+        pltpu.roll(rows, shift=(n_rows - j) % n_rows, axis=1)[:, :T_c, :]
+        for j in range(overlap)
+    ]
+    frames = jnp.concatenate(parts, axis=2)
+    flat = frames.reshape(B * T_c, overlap * hop)
+    fh, fl = _split_bf16(flat)
+    stacked = jnp.concatenate([fh, fh, fl, fl], axis=1)
+    Z = jnp.dot(stacked, ana_basis_ref[...], preferred_element_type=f32)
+    Z3 = Z.reshape(B, T_c, 2 * Fp)
+    re, im = Z3[:, :, :Fp], Z3[:, :, Fp:]
+    # pad lanes: the ana basis columns are zero there -> mag == 0 (silent)
+    mag = jnp.sqrt(re * re + im * im)
+
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (B, T_c, Fp), 2)
+    in_bins = lane3 < n_bins
+
+    # ---- per-CHUNK threshold (streaming semantics: each chunk's own max).
+    # Two single-axis reduces ending in a full-lane (B, Fp) row — the
+    # (B, 1, 1) two-axis keepdims reduce trips a Mosaic layout CHECK at
+    # B > 1 (layout.h:320); the (B, Fp) broadcast row is the proven
+    # pattern (ops/pallas/pghi_kernel.py abstol rows)
+    mx_l = jnp.max(mag, axis=1)                       # (B, Fp)
+    mx_row = jnp.max(mx_l, axis=-1, keepdims=True)    # (B, 1)
+    abs_row = jnp.maximum(
+        jnp.float32(tol) * jnp.broadcast_to(mx_row, (B, Fp)), eps
+    )
+
+    # ---- gradients, backward time stencil over [prev2; prev1; chunk]
+    def lane_central(Yv):
+        lv = jax.lax.broadcasted_iota(jnp.int32, Yv.shape, Yv.ndim - 1)
+        up = jnp.where(
+            lv == n_bins - 1, Yv, pltpu.roll(Yv, shift=Fp - 1, axis=Yv.ndim - 1)
+        )
+        dn = jnp.where(lv == 0, Yv, pltpu.roll(Yv, shift=1, axis=Yv.ndim - 1))
+        return (up - dn) / 2.0
+
+    Y = jnp.log(jnp.maximum(mag, eps))
+    Yp = jnp.log(jnp.maximum(mprev_ref[...], eps))  # (B, 2, Fp) prev rows
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (B, T_c, Fp), 1)
+    Yp0 = jnp.broadcast_to(Yp[:, 0:1, :], (B, T_c, Fp))
+    Yp1 = jnp.broadcast_to(Yp[:, 1:2, :], (B, T_c, Fp))
+    Ym1 = jnp.where(row3 == 0, Yp1, pltpu.roll(Y, shift=1, axis=1))
+    Ym2 = pltpu.roll(Y, shift=2, axis=1)
+    Ym2 = jnp.where(row3 == 0, Yp0, jnp.where(row3 == 1, Yp1, Ym2))
+    dY_dt = (3.0 * Y - 4.0 * Ym1 + Ym2) / 2.0
+    fs = -jnp.float32(fmul) * dY_dt + pi
+
+    carrier = (2.0 * np.pi * hop / n_fft) * lane3.astype(f32)
+    ts = lane_central(Y) / jnp.float32(fmul) + carrier
+    ts_prev_row = lane_central(Yp[:, 1:2, :]) / jnp.float32(fmul) + (
+        (2.0 * np.pi * hop / n_fft)
+        * jax.lax.broadcasted_iota(jnp.int32, (B, 1, Fp), 2).astype(f32)
+    )
+    ts_prev = jnp.where(
+        row3 == 0,
+        jnp.broadcast_to(ts_prev_row, (B, T_c, Fp)),
+        pltpu.roll(ts, shift=1, axis=1),
+    )
+    ct_ref[...] = (ts_prev + ts) / 2.0
+
+    # frequency-fill trapezoid steps, both directions (see pghi_kernel)
+    lane_eq0 = lane3 == 0
+    lane_eqN = lane3 == n_bins - 1
+    sup_ref[...] = jnp.where(
+        lane_eq0, 0.0, (fs + pltpu.roll(fs, shift=1, axis=2)) / 2.0
+    )
+    sdn_ref[...] = jnp.where(
+        lane_eqN, 0.0, -(fs + pltpu.roll(fs, shift=Fp - 1, axis=2)) / 2.0
+    )
+
+    # ---- anchors (RT semantics: previous frame = carried row at t=0)
+    mp1 = jnp.broadcast_to(mprev_ref[:, 1:2, :], (B, T_c, Fp))
+    prev_m = jnp.where(row3 == 0, mp1, pltpu.roll(mag, shift=1, axis=1))
+    absb = jnp.broadcast_to(abs_row[:, None, :], (B, T_c, Fp))
+    sig = (mag > absb) & in_bins
+    prev_sig = (prev_m > absb) & in_bins
+    m_dn = jnp.where(lane_eq0, -1.0, pltpu.roll(mag, shift=1, axis=2))
+    m_up = jnp.where(lane_eqN, -1.0, pltpu.roll(mag, shift=Fp - 1, axis=2))
+    anchored = sig & prev_sig & (mag >= m_dn) & (mag >= m_up)
+    no_anchor = ~jnp.any(anchored, axis=-1, keepdims=True)
+    m_masked = jnp.where(in_bins, mag, -1.0)
+    is_gmax = m_masked == jnp.max(m_masked, axis=-1, keepdims=True)
+    anchored = anchored | (no_anchor & sig & is_gmax)
+    anc_ref[...] = anchored.astype(f32)
+    sig_ref[...] = sig.astype(f32)
+
+    # ---- serial fill (the offline kernel's frame_step, central parts only)
+    def frame_step(tt, _):
+        anc_f = anc_ref[:, tt, :]
+        anch = anc_f > 0.5
+        phi_t = phi_ref[...] + ct_ref[:, tt, :]
+        a0 = 1.0 - anc_f
+        b_up = jnp.where(anch, phi_t, sup_ref[:, tt, :])
+        b_dn = jnp.where(anch, phi_t, sdn_ref[:, tt, :])
+        a_u, f_up, d_up = _seg_scan(a0, b_up, a0, Fp, reverse=False)
+        a_d, f_dn, d_dn = _seg_scan(a0, b_dn, a0, Fp, reverse=True)
+        big = jnp.float32(10 * Fp)
+        du = jnp.where(a_u == 0, d_up, big)
+        dd = jnp.where(a_d == 0, d_dn, big)
+        filled = jnp.where(du <= dd, f_up, f_dn)
+        any_anchor = jnp.any(anch, axis=-1, keepdims=True)
+        filled = jnp.where(any_anchor, filled, 0.0)
+        phi = jnp.where(anch, phi_t, filled)
+        phi = jnp.where(sig_ref[:, tt, :] > 0.5, phi, angles_ref[:, tt, :])
+        phi_ref[...] = phi
+        reim_ref[:, pl.ds(tt, 1), :Fp] = phi[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, T_c, frame_step, 0, unroll=False)
+    phis = reim_ref[...][:, :, :Fp]
+
+    # ---- carry the RT-PGHI state: last two magnitude rows
+    mprev_ref[...] = mag[:, T_c - 2: T_c, :]
+
+    # ---- synthesis + OLA (see _session_kernel)
+    mm = jnp.where(in_bins, mag, 0.0)
+    reim_ref[...] = jnp.concatenate(
+        [mm * jnp.cos(phis), mm * jnp.sin(phis)], axis=2
+    )
+    flat_s = reim_ref[...].reshape(B * T_c, 2 * Fp)
+    zh, zl = _split_bf16(flat_s)
+    zstk = jnp.concatenate([zh, zh, zl, zl], axis=1)
+    td = jnp.dot(zstk, syn_basis_ref[...], preferred_element_type=f32)
+    acc, S = ola_accumulate(td, B, T_c, overlap * hop, hop)
+    acc = acc + jnp.concatenate(
+        [tail_ref[...], jnp.zeros((B, S, acc.shape[-1]), f32)], axis=1
+    )
+    o_ref[...] = acc[:, :S, :]
+    tail_ref[...] = acc[:, S:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_fft", "hop", "T_c", "n_chunks", "Fp", "n_bins", "fmul", "tol",
+        "interpret",
+    ),
+)
+def _session_pghi_call(
+    rows, ana_basis, syn_basis, angles,
+    n_fft, hop, T_c, n_chunks, Fp, n_bins, fmul, tol, interpret,
+):
+    B = rows.shape[0]
+    overlap = n_fft // hop
+    kernel = functools.partial(
+        _session_pghi_kernel,
+        T_c=T_c, overlap=overlap, hop=hop, n_fft=n_fft, Fp=Fp,
+        n_bins=n_bins, fmul=fmul, tol=tol,
+    )
+    rows_out, out_w, carry_rows = ola_layout(n_fft, hop, T_c)
+
+    def fixed(m):
+        return pl.BlockSpec(m.shape, lambda t: (0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(B), pl.Element(T_c + _WIN_PAD), pl.Element(hop)),
+                lambda t: (0, t * T_c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            fixed(ana_basis),
+            fixed(syn_basis),
+            pl.BlockSpec(
+                (B, T_c, Fp), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, rows_out, out_w), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_chunks * rows_out, out_w), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, 2, Fp), jnp.float32),        # mag carry (2 rows)
+            pltpu.VMEM((B, Fp), jnp.float32),           # phase carry
+            pltpu.VMEM((B, carry_rows, out_w), jnp.float32),  # OLA tail
+            pltpu.VMEM((B, T_c, 2 * Fp), jnp.float32),  # phi | re | im
+        ]
+        + [pltpu.VMEM((B, T_c, Fp), jnp.float32) for _ in range(5)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(rows, ana_basis, syn_basis, angles)
+
+
+def make_fused_pghi_roundtrip(
+    chain, chunk_size: int, key=None, interpret: Optional[bool] = None
+):
+    """Whole-session fused PHASELESS roundtrip ``fn(x) -> rec`` for a
+    recognized ``[OverlapAdd, RealtimeSTFT-family]`` chain with
+    ``inversion_mode="pghi"`` (see :func:`_session_pghi_kernel`).
+
+    Output matches ``scan_roundtrip(chain, x, chunk, inversion_mode="pghi",
+    key=key)`` chunk for chunk: the silent-bin random phases replicate the
+    generic scan's exact key pipeline (per-chunk split, then the Compose
+    ``step_invert`` child split), so the draws are bit-equal.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    oadd, rt = chain.transforms
+    n_fft, hop = rt.n_fft, rt.hop_length
+    overlap = n_fft // hop
+    T_c = chunk_size // hop
+    F = n_fft // 2 + 1
+    Fp = _round_up(F, LANE)
+    carry_rows = overlap - 1
+    fmul = float(rt.gamma) / (hop * n_fft)
+    tol = float(rt.tolerance)
+
+    import numpy as np
+
+    C_np, S_np = _dft_matrices(n_fft)
+    w = jnp.asarray(rt.window, jnp.float32)[:, None]
+    WC = w * jnp.asarray(np.pad(C_np, [(0, 0), (0, Fp - F)]))
+    WS = w * jnp.asarray(np.pad(S_np, [(0, 0), (0, Fp - F)]))
+    wc_hi, wc_lo = _split_bf16(WC)
+    ws_hi, ws_lo = _split_bf16(WS)
+    top = jnp.concatenate([wc_hi, ws_hi], axis=1)
+    mid = jnp.concatenate([wc_lo, ws_lo], axis=1)
+    ana_basis = jnp.concatenate([top, mid, top, mid], axis=0)
+
+    A, Bm = _idft_matrices(n_fft)
+    inv_w = jnp.asarray(rt.inv_window, jnp.float32)[None, :]
+    gain = jnp.asarray(oadd.gain_compensation, jnp.float32)
+    AB = jnp.concatenate(
+        [
+            jnp.pad(jnp.asarray(A), [(0, Fp - F), (0, 0)]) * inv_w / gain,
+            jnp.pad(jnp.asarray(Bm), [(0, Fp - F), (0, 0)]) * inv_w / gain,
+        ],
+        axis=0,
+    )
+    ab_hi, ab_lo = _split_bf16(AB)
+    syn_basis = jnp.concatenate([ab_hi, ab_lo, ab_hi, ab_lo], axis=0)
+
+    def run(x: jnp.ndarray) -> jnp.ndarray:
+        batch_shape = x.shape[:-1]
+        L = x.shape[-1]
+        n_chunks = -(-L // chunk_size)
+        xb = x.reshape((-1, L))
+        B = xb.shape[0]
+        # replicate scan_roundtrip's key pipeline exactly: one key per
+        # chunk, then Compose.step_invert splits per child walking from
+        # the tail — the RealtimeSTFT (index 1 of 2) draws split(k)[1]
+        sess_key = jax.random.PRNGKey(0) if key is None else key
+        chunk_keys = jax.random.split(sess_key, n_chunks)
+        child_keys = jax.vmap(lambda k: jax.random.split(k)[1])(chunk_keys)
+        angles = jax.vmap(
+            lambda k: 2.0 * jnp.pi * jax.random.uniform(
+                k, batch_shape + (T_c, F), dtype=jnp.float32
+            )
+        )(child_keys)  # (n_chunks, ..., T_c, F)
+        angles = jnp.moveaxis(angles, 0, -3) if angles.ndim > 3 else angles
+        angles = angles.reshape((B, n_chunks * T_c, F))
+        angles = jnp.pad(angles, [(0, 0), (0, 0), (0, Fp - F)])
+
+        total_rows = carry_rows + n_chunks * T_c + (_WIN_PAD - carry_rows)
+        sig = jnp.concatenate(
+            [
+                jnp.zeros((B, carry_rows * hop), x.dtype),
+                xb,
+                jnp.zeros(
+                    (B, total_rows * hop - carry_rows * hop - L), x.dtype
+                ),
+            ],
+            axis=-1,
+        )
+        rows = sig.reshape(B, total_rows, hop)
+        out = _session_pghi_call(
+            rows, ana_basis, syn_basis, angles,
+            n_fft, hop, T_c, n_chunks, Fp, F, fmul, tol, interpret,
+        )
+        out = out.reshape(batch_shape + (n_chunks * T_c * hop,))
         return out[..., : n_chunks * chunk_size]
 
     return run

@@ -88,7 +88,9 @@ def scan_roundtrip(
     scan.
     """
     from .ops.pallas.stream_step import (
+        fused_pghi_roundtrip_available,
         fused_roundtrip_available,
+        make_fused_pghi_roundtrip,
         make_fused_roundtrip,
     )
 
@@ -110,31 +112,40 @@ def scan_roundtrip(
     available = inversion_mode is None and fused_roundtrip_available(
         chain, chunk_size
     )
-    if backend == "fused" and not available:
+    # phaseless sessions: inversion_mode="pghi" rides its own whole-session
+    # kernel (analysis + RT-PGHI fill + synthesis; the serial per-frame
+    # recurrence is dispatch-bound in the generic scan — measured 12.3K
+    # frames/s vs the kernel's, BENCH_NOTES.md r3.20)
+    pghi_available = (
+        inversion_mode == "pghi"
+        and fused_pghi_roundtrip_available(chain, chunk_size)
+    )
+    if backend == "fused" and not (available or pghi_available):
         # explicit requests fail loudly (mirrors serving's loud fallback):
         # a silent generic-scan substitution would corrupt kernel
         # validation and timing runs
         raise ValueError(
-            "backend='fused' requested but the fused roundtrip kernel does "
-            "not cover this call (needs a direct [OverlapAdd, RealtimeSTFT] "
-            "chain, complex inversion_mode=None, chunk_size a hop multiple, "
-            "an OLA-supported hop); use backend='auto' to fall back to the "
-            "generic scan"
+            "backend='fused' requested but no fused session kernel covers "
+            "this call (needs a direct [OverlapAdd, RealtimeSTFT] chain "
+            "with inversion_mode None or 'pghi', chunk_size a hop "
+            "multiple, an OLA-supported hop); use backend='auto' to fall "
+            "back to the generic scan"
         )
-    # "auto" only takes the kernel where it compiles (TPU) — off-TPU it
+    # "auto" only takes the kernels where they compile (TPU) — off-TPU they
     # would run the Pallas interpreter, orders of magnitude slower than the
-    # generic scan — and only below the measured batch crossover: at
-    # B>=128 the generic scan wins (7.1M vs 5.7M frames/s at B=128,
-    # 8.5M vs 6.7M at B=256 — shrinking grid steps pay more fixed cost
-    # than XLA's op dispatch), so auto hands large fleets to XLA
-    if available and (
-        backend == "fused"
-        or (
-            backend == "auto"
-            and batch_elems <= 64
-            and jax.default_backend() == "tpu"
-        )
-    ):
+    # generic scan — and (complex roundtrips) only below the measured batch
+    # crossover: at B>=128 the generic scan wins (7.1M vs 5.7M frames/s at
+    # B=128, 8.5M vs 6.7M at B=256 — shrinking grid steps pay more fixed
+    # cost than XLA's op dispatch), so auto hands large fleets to XLA
+    take = backend == "fused" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    # batch cap: every block carries the batch whole — auto stays under the
+    # complex path's measured crossover / the pghi kernel's VMEM comfort
+    small = batch_elems <= 64
+    if pghi_available and take and (backend == "fused" or small):
+        return make_fused_pghi_roundtrip(chain, chunk_size, key=key)(x)
+    if available and take and (backend == "fused" or small):
         return make_fused_roundtrip(chain, chunk_size)(x)
 
     chunks = chunk_signal(x, chunk_size)

@@ -432,6 +432,53 @@ def bench_configs(x: np.ndarray):
         lambda v: scan_roundtrip(rt_chain, v, 4096), xj[:L], max(N_ITER_TPU // 10, 5)
     )
     out["streaming_frames_per_sec"] = round(L / HOP / dt, 1)
+    # phaseless realtime sessions (RT-PGHI): the whole-session fused
+    # kernel (r3.20) vs the dispatch-bound generic scan.  Honesty guard:
+    # reconstruction quality (spectral convergence vs the true magnitudes)
+    # must match the generic scan within 10% relative — on-chip anchor
+    # decisions can flip at threshold boundaries between the two DFT
+    # formulations, so sample-level equality is the wrong gate
+    # (ops/pallas/stream_step.py parity contract).
+    try:
+        ch_p = T.OverlapAdd(N_FFT, HOP) + T.RealtimeSTFT(
+            n_fft=N_FFT, hop_length=HOP, inversion_mode="pghi"
+        )
+        xb8 = jnp.broadcast_to(xj[:L], (8, L))
+        kp = jax.random.PRNGKey(0)
+        delay = (N_FFT // HOP - 1) * HOP
+        st_q = T.STFT(n_fft=N_FFT, hop_length=HOP)
+        ref_mag_p = jnp.abs(st_q.forward(xb8[..., : L - delay]))
+
+        @jax.jit
+        def sc_of(y):
+            m = jnp.abs(st_q.forward(y[..., delay:L]))
+            n = min(m.shape[-2], ref_mag_p.shape[-2]) - 2
+            return jnp.linalg.norm(
+                m[..., 2:n, :] - ref_mag_p[..., 2:n, :]
+            ) / jnp.linalg.norm(ref_mag_p[..., 2:n, :])
+
+        y_pf = scan_roundtrip(ch_p, xb8, 4096, inversion_mode="pghi", key=kp)
+        y_pg = scan_roundtrip(
+            ch_p, xb8, 4096, inversion_mode="pghi", key=kp, backend="generic"
+        )
+        sc_f, sc_g = float(sc_of(y_pf)), float(sc_of(y_pg))
+        if sc_f <= sc_g * 1.1 + 1e-3:
+            dt_p = _device_time(
+                lambda v: scan_roundtrip(
+                    ch_p, v, 4096, inversion_mode="pghi", key=kp
+                ),
+                xb8, max(N_ITER_TPU // 20, 3),
+            )
+            out["streaming_pghi_frames_per_sec"] = round(8 * L / HOP / dt_p, 1)
+            out["streaming_pghi_spectral_convergence"] = round(sc_f, 4)
+        else:
+            print(
+                f"bench: streaming pghi quality gate failed "
+                f"sc_fused={sc_f:.4f} sc_generic={sc_g:.4f}", file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"bench: streaming_pghi metric failed: {e!r}", file=sys.stderr)
+
     # production serving: 64 concurrent realtime sessions in one fused
     # session kernel (the grid-step frame count scales down with batch so
     # per-step VMEM stays bounded — r3.9)
@@ -500,7 +547,7 @@ def _delta_check(result: dict) -> dict:
         "dgt_forward_frames_per_sec", "pghi_bidir_b1_inversions_per_sec",
         "polarif_fused_frames_per_sec",
         "griffin_lim_frames_per_sec", "streaming_frames_per_sec",
-        "streaming_64stream_frames_per_sec",
+        "streaming_64stream_frames_per_sec", "streaming_pghi_frames_per_sec",
         "midside_snr_db", "mulaw_snr_db", "window_snr_db",
         "if_phase_snr_db", "streaming_snr_db",
     ]
@@ -510,6 +557,7 @@ def _delta_check(result: dict) -> dict:
     # BENCH_NOTES.md methodology) — flag only drops beyond that band
     threshold = {"streaming_frames_per_sec": -35.0,
                  "streaming_64stream_frames_per_sec": -35.0,
+                 "streaming_pghi_frames_per_sec": -35.0,
                  "griffin_lim_frames_per_sec": -20.0,
                  # B=1 latency: even noisier than the batched metrics
                  "pghi_bidir_b1_inversions_per_sec": -35.0}

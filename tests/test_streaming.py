@@ -393,3 +393,88 @@ def test_scan_roundtrip_backend_contracts(sig):
     y_g = np.asarray(scan_roundtrip(chain, xb, 4096, backend="generic"))
     assert y_f.shape == y_g.shape
     assert np.abs(y_f - y_g).max() / np.abs(y_g).max() < 1e-4
+
+
+@pytest.mark.parametrize(
+    "n_fft,hop,chunk",
+    [
+        (1024, 256, 4096),   # the bench shape
+        (512, 128, 2048),    # smaller, overlap 4
+        (512, 64, 2048),     # lcm-packed OLA (st=1)
+        (768, 192, 1536),    # lcm-packed OLA (st=3)
+    ],
+)
+def test_fused_pghi_session_matches_generic(sig, n_fft, hop, chunk):
+    """The whole-session phaseless (RT-PGHI) kernel equals the generic
+    chain scan — same per-chunk thresholds, backward-stencil gradients,
+    anchored fill, and bit-equal silent-bin random draws (the wrapper
+    replicates scan_roundtrip's key pipeline)."""
+    from acids_transforms_tpu.ops.pallas.stream_step import (
+        fused_pghi_roundtrip_available,
+        make_fused_pghi_roundtrip,
+    )
+
+    x = jnp.asarray(sig[: 4 * chunk])
+    chain = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop, inversion_mode="pghi"
+    )
+    assert fused_pghi_roundtrip_available(chain, chunk)
+    key = jax.random.PRNGKey(11)
+    y_gen = np.asarray(
+        scan_roundtrip(
+            chain, x, chunk, inversion_mode="pghi", key=key,
+            backend="generic",
+        )
+    )
+    y_ker = np.asarray(make_fused_pghi_roundtrip(chain, chunk, key=key)(x))
+    assert y_ker.shape == y_gen.shape
+    rel = np.abs(y_ker - y_gen).max() / (np.abs(y_gen).max() + 1e-9)
+    assert rel < 1e-3, (n_fft, hop, rel)
+    # batched input too
+    xb = jnp.stack([x, 0.5 * x])
+    yg = np.asarray(
+        scan_roundtrip(
+            chain, xb, chunk, inversion_mode="pghi", key=key,
+            backend="generic",
+        )
+    )
+    yk = np.asarray(make_fused_pghi_roundtrip(chain, chunk, key=key)(xb))
+    assert np.abs(yk - yg).max() / (np.abs(yg).max() + 1e-9) < 1e-3
+
+
+def test_fused_pghi_session_gates(sig):
+    """Availability: phaseless kernel needs integer overlap, OLA support,
+    a chunk whose frame count matches the tile unit; other phaseless modes
+    and mid-chain processing keep the generic scan; explicit
+    backend='fused' with mode='pghi' dispatches the phaseless kernel."""
+    from acids_transforms_tpu.ops.pallas.stream_step import (
+        fused_pghi_roundtrip_available,
+    )
+
+    ch = T.OverlapAdd(1024, 256) + T.RealtimeSTFT(
+        n_fft=1024, hop_length=256, inversion_mode="pghi"
+    )
+    assert fused_pghi_roundtrip_available(ch, 4096)
+    # overlap beyond the window halo -> unavailable (shared layout gate)
+    ch_deep = T.OverlapAdd(1024, 64) + T.RealtimeSTFT(
+        n_fft=1024, hop_length=64
+    )
+    assert not fused_pghi_roundtrip_available(ch_deep, 4096)
+    # chunk frame count not a tile-unit multiple -> unavailable
+    assert not fused_pghi_roundtrip_available(ch, 256 * 12)
+    # dispatch: backend='fused' + mode='pghi' runs the kernel (interpret
+    # here) and matches generic
+    x = jnp.asarray(sig[:8192])
+    key = jax.random.PRNGKey(3)
+    y_f = np.asarray(
+        scan_roundtrip(ch, x, 4096, inversion_mode="pghi", key=key,
+                       backend="fused")
+    )
+    y_g = np.asarray(
+        scan_roundtrip(ch, x, 4096, inversion_mode="pghi", key=key,
+                       backend="generic")
+    )
+    assert np.abs(y_f - y_g).max() / (np.abs(y_g).max() + 1e-9) < 1e-3
+    # a mode without a kernel still rejects explicit 'fused'
+    with pytest.raises(ValueError, match="fused"):
+        scan_roundtrip(ch, x, 4096, inversion_mode="random", backend="fused")
