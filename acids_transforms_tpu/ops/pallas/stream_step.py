@@ -44,6 +44,7 @@ from .spectral import LANE, _round_up, _split_bf16
 __all__ = [
     "fused_roundtrip_available", "make_fused_roundtrip",
     "fused_pghi_roundtrip_available", "make_fused_pghi_roundtrip",
+    "fused_pghi_gl_roundtrip_available", "make_fused_pghi_gl_roundtrip",
 ]
 
 _WIN_PAD = 8  # Element-window sublane alignment over-fetch
@@ -303,13 +304,8 @@ def _session_pghi_kernel(
     BENCH_NOTES.md r3.20).  The same class of contract as the fused GL
     kernels' quality-parity gates.
     """
-    from .pghi_kernel import _seg_scan
-
-    f32 = jnp.float32
-    pi = jnp.float32(np.pi)
     t = pl.program_id(0)
     B = rows_ref.shape[0]
-    eps = jnp.float32(1.19e-7)
 
     @pl.when(t == 0)
     def _init():
@@ -317,8 +313,27 @@ def _session_pghi_kernel(
         phi_ref[...] = jnp.zeros_like(phi_ref)
         tail_ref[...] = jnp.zeros_like(tail_ref)
 
-    # ---- analysis: frames -> windowed DFT (see _session_kernel)
+    mag = _analyze_mag(rows_ref, ana_basis_ref, T_c, overlap, hop, Fp)
+    phis = _rt_pghi_phases(
+        mag, angles_ref, mprev_ref, phi_ref, reim_ref,
+        ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref,
+        T_c=T_c, hop=hop, n_fft=n_fft, Fp=Fp, n_bins=n_bins,
+        fmul=fmul, tol=tol,
+    )
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (B, T_c, Fp), 2)
+    mm = jnp.where(lane3 < n_bins, mag, 0.0)
+    _synth_and_emit(
+        mm, phis, reim_ref, syn_basis_ref, o_ref, tail_ref,
+        T_c=T_c, overlap=overlap, hop=hop, Fp=Fp,
+    )
+
+
+def _analyze_mag(rows_ref, ana_basis_ref, T_c, overlap, hop, Fp):
+    """Chunk analysis: frames -> stacked bf16x4 windowed DFT -> magnitudes
+    (pad lanes: the ana basis columns are zero there -> mag == 0)."""
+    f32 = jnp.float32
     rows = rows_ref[...]
+    B = rows.shape[0]
     n_rows = rows.shape[1]
     parts = [
         pltpu.roll(rows, shift=(n_rows - j) % n_rows, axis=1)[:, :T_c, :]
@@ -331,8 +346,48 @@ def _session_pghi_kernel(
     Z = jnp.dot(stacked, ana_basis_ref[...], preferred_element_type=f32)
     Z3 = Z.reshape(B, T_c, 2 * Fp)
     re, im = Z3[:, :, :Fp], Z3[:, :, Fp:]
-    # pad lanes: the ana basis columns are zero there -> mag == 0 (silent)
-    mag = jnp.sqrt(re * re + im * im)
+    return jnp.sqrt(re * re + im * im)
+
+
+def _synth_and_emit(
+    mm, phis, reim_ref, syn_basis_ref, o_ref, tail_ref,
+    *, T_c, overlap, hop, Fp,
+):
+    """Windowed iDFT synthesis + overlap-add with the carried tail
+    (see :func:`_session_kernel`)."""
+    f32 = jnp.float32
+    B = mm.shape[0]
+    reim_ref[...] = jnp.concatenate(
+        [mm * jnp.cos(phis), mm * jnp.sin(phis)], axis=2
+    )
+    flat_s = reim_ref[...].reshape(B * T_c, 2 * Fp)
+    zh, zl = _split_bf16(flat_s)
+    zstk = jnp.concatenate([zh, zh, zl, zl], axis=1)
+    td = jnp.dot(zstk, syn_basis_ref[...], preferred_element_type=f32)
+    acc, S = ola_accumulate(td, B, T_c, overlap * hop, hop)
+    acc = acc + jnp.concatenate(
+        [tail_ref[...], jnp.zeros((B, S, acc.shape[-1]), f32)], axis=1
+    )
+    o_ref[...] = acc[:, :S, :]
+    tail_ref[...] = acc[:, S:, :]
+
+
+def _rt_pghi_phases(
+    mag, angles_ref, mprev_ref, phi_ref, reim_ref,
+    ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref,
+    *, T_c, hop, n_fft, Fp, n_bins, fmul, tol,
+):
+    """The RT-PGHI chunk fill (see :func:`_session_pghi_kernel` docs):
+    per-chunk threshold, backward-stencil gradients, anchors, and the
+    serial anchored fill.  Returns the chunk's phases ``(B, T_c, Fp)`` and
+    updates the carried state (``mprev_ref`` magnitude rows; ``phi_ref``
+    ends at the last frame's phase)."""
+    from .pghi_kernel import _seg_scan
+
+    f32 = jnp.float32
+    pi = jnp.float32(np.pi)
+    B = mag.shape[0]
+    eps = jnp.float32(1.19e-7)
 
     lane3 = jax.lax.broadcasted_iota(jnp.int32, (B, T_c, Fp), 2)
     in_bins = lane3 < n_bins
@@ -434,22 +489,7 @@ def _session_pghi_kernel(
 
     # ---- carry the RT-PGHI state: last two magnitude rows
     mprev_ref[...] = mag[:, T_c - 2: T_c, :]
-
-    # ---- synthesis + OLA (see _session_kernel)
-    mm = jnp.where(in_bins, mag, 0.0)
-    reim_ref[...] = jnp.concatenate(
-        [mm * jnp.cos(phis), mm * jnp.sin(phis)], axis=2
-    )
-    flat_s = reim_ref[...].reshape(B * T_c, 2 * Fp)
-    zh, zl = _split_bf16(flat_s)
-    zstk = jnp.concatenate([zh, zh, zl, zl], axis=1)
-    td = jnp.dot(zstk, syn_basis_ref[...], preferred_element_type=f32)
-    acc, S = ola_accumulate(td, B, T_c, overlap * hop, hop)
-    acc = acc + jnp.concatenate(
-        [tail_ref[...], jnp.zeros((B, S, acc.shape[-1]), f32)], axis=1
-    )
-    o_ref[...] = acc[:, :S, :]
-    tail_ref[...] = acc[:, S:, :]
+    return phis
 
 
 @functools.partial(
@@ -596,6 +636,314 @@ def make_fused_pghi_roundtrip(
         out = _session_pghi_call(
             rows, ana_basis, syn_basis, angles,
             n_fft, hop, T_c, n_chunks, Fp, F, fmul, tol, interpret,
+        )
+        out = out.reshape(batch_shape + (n_chunks * T_c * hop,))
+        return out[..., : n_chunks * chunk_size]
+
+    return run
+
+
+# ============================================== phaseless + GL polish
+def fused_pghi_gl_roundtrip_available(chain, chunk_size: int) -> bool:
+    """Gate for the fused ``inversion_mode="pghi_gl"`` session: the
+    phaseless-session constraints, plus an aligned hop (the in-kernel GL
+    projection re-frames the overlap-added samples, which needs hop-width
+    OLA rows), a GL context no longer than the chunk, and zero lookahead
+    (the lookahead commit shuffle stays on the generic scan)."""
+    from ...transforms.base import ComposeAudioTransform
+    from ...transforms.oadd import OverlapAdd
+    from ...transforms.stft import RealtimeSTFT
+
+    if not isinstance(chain, ComposeAudioTransform) or len(chain) != 2:
+        return False
+    oadd, rt = chain.transforms
+    if not isinstance(oadd, OverlapAdd) or not isinstance(rt, RealtimeSTFT):
+        return False
+    T_c = chunk_size // max(rt.hop_length, 1)
+    return (
+        fused_pghi_roundtrip_available(chain, chunk_size)
+        and rt.hop_length % LANE == 0
+        and int(getattr(rt, "lookahead_frames", 0)) == 0
+        and 0 < int(rt.gl_context) <= T_c
+    )
+
+
+def _session_pghi_gl_kernel(
+    rows_ref, ana_basis_ref, syn_basis_ref, proj_basis_ref, angles_ref,
+    o_ref, mprev_ref, phi_ref, tail_ref, reim_ref,
+    ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref, glm_ref, glp_ref, y_ref,
+    *, T_c, overlap, hop, n_fft, Fp, n_bins, fmul, tol, ctx, iters,
+):
+    """One grid step of the ``pghi_gl`` session: the RT-PGHI fill seeds
+    ``iters`` windowed Griffin-Lim consistency projections on the chunk's
+    own frame grid, with the carried ``ctx`` committed frames *pinned*
+    (``RealtimeSTFT.pghi_gl_stream`` semantics) — every projection is two
+    stacked GEMMs + an in-VMEM overlap-add + re-frame, so the whole
+    quality mode stays inside the kernel.  Extra VMEM carries vs the
+    plain phaseless kernel: the pinned context magnitudes and phases
+    (``gl_mag`` / ``gl_phase``).  Same anchor-flip parity contract as
+    :func:`_session_pghi_kernel`."""
+    from .spectral import _atan2
+
+    f32 = jnp.float32
+    t = pl.program_id(0)
+    B = rows_ref.shape[0]
+    # 8-align the extended grid: Mosaic gives roll/slice results over
+    # non-8-multiple sublane extents nonzero layout offsets, which the
+    # re-frame concat rejects ("offset mismatch on non-concat dimension").
+    # The pad frames carry ZERO magnitude — they contribute nothing to the
+    # projection's OLA and their (garbage) phases are never committed.
+    Tx = _round_up(ctx + T_c, 8)
+    Tv = ctx + T_c  # valid ext rows
+
+    @pl.when(t == 0)
+    def _init():
+        mprev_ref[...] = jnp.zeros_like(mprev_ref)
+        phi_ref[...] = jnp.zeros_like(phi_ref)
+        tail_ref[...] = jnp.zeros_like(tail_ref)
+        glm_ref[...] = jnp.zeros_like(glm_ref)
+        glp_ref[...] = jnp.zeros_like(glp_ref)
+
+    mag = _analyze_mag(rows_ref, ana_basis_ref, T_c, overlap, hop, Fp)
+    ph0 = _rt_pghi_phases(
+        mag, angles_ref, mprev_ref, phi_ref, reim_ref,
+        ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref,
+        T_c=T_c, hop=hop, n_fft=n_fft, Fp=Fp, n_bins=n_bins,
+        fmul=fmul, tol=tol,
+    )
+
+    # ---- extended grid [gl_ctx; chunk; zero pad]: build by row-select
+    # (value-slice concats trip Mosaic's offset check; rolls + wheres do
+    # not)
+    rowx = jax.lax.broadcasted_iota(jnp.int32, (B, Tx, Fp), 1)
+    lanex = jax.lax.broadcasted_iota(jnp.int32, (B, Tx, Fp), 2)
+
+    def ext(ctx_rows_ref, chunk_vals):
+        # rows [0, ctx) from the carried context ref, rows [ctx, Tv) from
+        # the chunk values (shifted down by ctx via a roll on a padded
+        # layout — T_c >= ctx is gated), rows [Tv, Tx) zero
+        pad = jnp.pad(chunk_vals, [(0, 0), (0, Tx - T_c), (0, 0)])
+        shifted = pltpu.roll(pad, shift=ctx, axis=1)
+        ctx_pad = jnp.pad(ctx_rows_ref[...], [(0, 0), (0, Tx - ctx), (0, 0)])
+        out = jnp.where(rowx < ctx, ctx_pad, shifted)
+        return jnp.where(rowx < Tv, out, 0.0)
+
+    mag_ext = ext(glm_ref, mag)
+    ph_ext = ext(glp_ref, ph0)
+    pinned = ph_ext  # rows < ctx hold the pinned context phases
+    mm_ext = jnp.where(lanex < n_bins, mag_ext, 0.0)
+
+    def project(_, phase):
+        spec_flat = jnp.concatenate(
+            [mm_ext * jnp.cos(phase), mm_ext * jnp.sin(phase)], axis=2
+        ).reshape(B * Tx, 2 * Fp)
+        zh, zl = _split_bf16(spec_flat)
+        zstk = jnp.concatenate([zh, zh, zl, zl], axis=1)
+        td = jnp.dot(zstk, proj_basis_ref[...], preferred_element_type=f32)
+        # full OLA of the ext grid (aligned hop: acc rows ARE hop-sample
+        # rows; the chain's project() OLAs exactly these frames).  Round
+        # the accumulated value through VMEM scratch before the re-frame
+        # rolls: the pad-built value carries nonzero sublane layout
+        # offsets, and rolls of such values feed the frame concat with
+        # mismatched offsets (Mosaic "offset mismatch on non-concat
+        # dimension"); a ref read canonicalizes the layout, exactly like
+        # the analysis stage's rows_ref read.
+        acc, _ = ola_accumulate(td, B, Tx, overlap * hop, hop)
+        y_ref[:, : Tx + overlap - 1, :] = acc
+        yv = y_ref[...]
+        n_rows = yv.shape[1]  # 8-aligned >= Tx + overlap - 1
+        # frame i reads rows i..i+overlap-1 <= Tx+overlap-2 — the scratch's
+        # alignment pad rows are never read
+        parts = [
+            pltpu.roll(yv, shift=(n_rows - j) % n_rows, axis=1)[:, :Tx, :]
+            for j in range(overlap)
+        ]
+        fr = jnp.concatenate(parts, axis=2)  # (B, Tx, n_fft) re-framed
+        fh, fl = _split_bf16(fr.reshape(B * Tx, overlap * hop))
+        stk = jnp.concatenate([fh, fh, fl, fl], axis=1)
+        Z = jnp.dot(stk, ana_basis_ref[...], preferred_element_type=f32)
+        Z3 = Z.reshape(B, Tx, 2 * Fp)
+        new = _atan2(Z3[:, :, Fp:], Z3[:, :, :Fp])
+        return jnp.where(rowx < ctx, pinned, new)
+
+    phase = jax.lax.fori_loop(0, iters, project, ph_ext, unroll=False)
+
+    # committed chunk rows: ext rows [ctx, Tx) shifted back up
+    ph = pltpu.roll(phase, shift=Tx - ctx, axis=1)[:, :T_c, :]
+
+    # ---- carries: polished last phase row (the generic scan's
+    # phase_buffer = angle(committed spec)); context mags/phases
+    phi_ref[...] = ph[:, T_c - 1, :]
+    glm_ref[...] = mag[:, T_c - ctx: T_c, :]
+    glp_ref[...] = ph[:, T_c - ctx: T_c, :]
+
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (B, T_c, Fp), 2)
+    mm = jnp.where(lane3 < n_bins, mag, 0.0)
+    _synth_and_emit(
+        mm, ph, reim_ref, syn_basis_ref, o_ref, tail_ref,
+        T_c=T_c, overlap=overlap, hop=hop, Fp=Fp,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_fft", "hop", "T_c", "n_chunks", "Fp", "n_bins", "fmul", "tol",
+        "ctx", "iters", "interpret",
+    ),
+)
+def _session_pghi_gl_call(
+    rows, ana_basis, syn_basis, proj_basis, angles,
+    n_fft, hop, T_c, n_chunks, Fp, n_bins, fmul, tol, ctx, iters, interpret,
+):
+    B = rows.shape[0]
+    overlap = n_fft // hop
+    kernel = functools.partial(
+        _session_pghi_gl_kernel,
+        T_c=T_c, overlap=overlap, hop=hop, n_fft=n_fft, Fp=Fp,
+        n_bins=n_bins, fmul=fmul, tol=tol, ctx=ctx, iters=iters,
+    )
+    rows_out, out_w, carry_rows = ola_layout(n_fft, hop, T_c)
+
+    def fixed(m):
+        return pl.BlockSpec(m.shape, lambda t: (0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(B), pl.Element(T_c + _WIN_PAD), pl.Element(hop)),
+                lambda t: (0, t * T_c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            fixed(ana_basis),
+            fixed(syn_basis),
+            fixed(proj_basis),
+            pl.BlockSpec(
+                (B, T_c, Fp), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, rows_out, out_w), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_chunks * rows_out, out_w), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, 2, Fp), jnp.float32),
+            pltpu.VMEM((B, Fp), jnp.float32),
+            pltpu.VMEM((B, carry_rows, out_w), jnp.float32),
+            pltpu.VMEM((B, T_c, 2 * Fp), jnp.float32),
+        ]
+        + [pltpu.VMEM((B, T_c, Fp), jnp.float32) for _ in range(5)]
+        + [pltpu.VMEM((B, ctx, Fp), jnp.float32) for _ in range(2)]
+        + [
+            pltpu.VMEM(
+                # projection OLA round-trip; 8-aligned rows (layout
+                # canonicalization for the re-frame rolls/concat)
+                (
+                    B,
+                    _round_up(
+                        _round_up(ctx + T_c, 8) + overlap - 1, 8
+                    ),
+                    hop,
+                ),
+                jnp.float32,
+            )
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(rows, ana_basis, syn_basis, proj_basis, angles)
+
+
+def make_fused_pghi_gl_roundtrip(
+    chain, chunk_size: int, key=None, interpret: Optional[bool] = None
+):
+    """Whole-session fused ``pghi_gl`` roundtrip (see
+    :func:`_session_pghi_gl_kernel`); same wrapper contract as
+    :func:`make_fused_pghi_roundtrip` — the silent-bin draws replicate the
+    generic scan's key pipeline bit-exactly."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    oadd, rt = chain.transforms
+    n_fft, hop = rt.n_fft, rt.hop_length
+    overlap = n_fft // hop
+    T_c = chunk_size // hop
+    F = n_fft // 2 + 1
+    Fp = _round_up(F, LANE)
+    carry_rows = overlap - 1
+    fmul = float(rt.gamma) / (hop * n_fft)
+    tol = float(rt.tolerance)
+    ctx = int(rt.gl_context)
+    iters = int(rt.gl_iterations)
+
+    C_np, S_np = _dft_matrices(n_fft)
+    w = jnp.asarray(rt.window, jnp.float32)[:, None]
+    WC = w * jnp.asarray(np.pad(C_np, [(0, 0), (0, Fp - F)]))
+    WS = w * jnp.asarray(np.pad(S_np, [(0, 0), (0, Fp - F)]))
+    wc_hi, wc_lo = _split_bf16(WC)
+    ws_hi, ws_lo = _split_bf16(WS)
+    top = jnp.concatenate([wc_hi, ws_hi], axis=1)
+    mid = jnp.concatenate([wc_lo, ws_lo], axis=1)
+    ana_basis = jnp.concatenate([top, mid, top, mid], axis=0)
+
+    A, Bm = _idft_matrices(n_fft)
+    inv_w = jnp.asarray(rt.inv_window, jnp.float32)[None, :]
+
+    def syn(scale):
+        AB = jnp.concatenate(
+            [
+                jnp.pad(jnp.asarray(A), [(0, Fp - F), (0, 0)]) * inv_w / scale,
+                jnp.pad(jnp.asarray(Bm), [(0, Fp - F), (0, 0)]) * inv_w / scale,
+            ],
+            axis=0,
+        )
+        hi, lo = _split_bf16(AB)
+        return jnp.concatenate([hi, lo, hi, lo], axis=0)
+
+    syn_basis = syn(jnp.asarray(oadd.gain_compensation, jnp.float32))
+    # the GL projection divides its OLA by the frame multiplicity
+    # (pghi_gl_stream's `y / overlap`), not the OverlapAdd gain
+    proj_basis = syn(jnp.float32(overlap))
+
+    def run(x: jnp.ndarray) -> jnp.ndarray:
+        batch_shape = x.shape[:-1]
+        L = x.shape[-1]
+        n_chunks = -(-L // chunk_size)
+        xb = x.reshape((-1, L))
+        B = xb.shape[0]
+        sess_key = jax.random.PRNGKey(0) if key is None else key
+        chunk_keys = jax.random.split(sess_key, n_chunks)
+        child_keys = jax.vmap(lambda k: jax.random.split(k)[1])(chunk_keys)
+        angles = jax.vmap(
+            lambda k: 2.0 * jnp.pi * jax.random.uniform(
+                k, batch_shape + (T_c, F), dtype=jnp.float32
+            )
+        )(child_keys)
+        angles = jnp.moveaxis(angles, 0, -3) if angles.ndim > 3 else angles
+        angles = angles.reshape((B, n_chunks * T_c, F))
+        angles = jnp.pad(angles, [(0, 0), (0, 0), (0, Fp - F)])
+
+        total_rows = carry_rows + n_chunks * T_c + (_WIN_PAD - carry_rows)
+        sig = jnp.concatenate(
+            [
+                jnp.zeros((B, carry_rows * hop), x.dtype),
+                xb,
+                jnp.zeros(
+                    (B, total_rows * hop - carry_rows * hop - L), x.dtype
+                ),
+            ],
+            axis=-1,
+        )
+        rows = sig.reshape(B, total_rows, hop)
+        out = _session_pghi_gl_call(
+            rows, ana_basis, syn_basis, proj_basis, angles,
+            n_fft, hop, T_c, n_chunks, Fp, F, fmul, tol, ctx, iters,
+            interpret,
         )
         out = out.reshape(batch_shape + (n_chunks * T_c * hop,))
         return out[..., : n_chunks * chunk_size]

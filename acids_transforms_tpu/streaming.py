@@ -88,8 +88,10 @@ def scan_roundtrip(
     scan.
     """
     from .ops.pallas.stream_step import (
+        fused_pghi_gl_roundtrip_available,
         fused_pghi_roundtrip_available,
         fused_roundtrip_available,
+        make_fused_pghi_gl_roundtrip,
         make_fused_pghi_roundtrip,
         make_fused_roundtrip,
     )
@@ -120,7 +122,15 @@ def scan_roundtrip(
         inversion_mode == "pghi"
         and fused_pghi_roundtrip_available(chain, chunk_size)
     )
-    if backend == "fused" and not (available or pghi_available):
+    # the pghi_gl quality mode (PGHI seed + pinned-context GL polish)
+    # rides its own session kernel too (r3.21)
+    pghi_gl_available = (
+        inversion_mode == "pghi_gl"
+        and fused_pghi_gl_roundtrip_available(chain, chunk_size)
+    )
+    if backend == "fused" and not (
+        available or pghi_available or pghi_gl_available
+    ):
         # explicit requests fail loudly (mirrors serving's loud fallback):
         # a silent generic-scan substitution would corrupt kernel
         # validation and timing runs
@@ -145,6 +155,8 @@ def scan_roundtrip(
     small = batch_elems <= 64
     if pghi_available and take and (backend == "fused" or small):
         return make_fused_pghi_roundtrip(chain, chunk_size, key=key)(x)
+    if pghi_gl_available and take and (backend == "fused" or small):
+        return make_fused_pghi_gl_roundtrip(chain, chunk_size, key=key)(x)
     if available and take and (backend == "fused" or small):
         return make_fused_roundtrip(chain, chunk_size)(x)
 

@@ -478,3 +478,59 @@ def test_fused_pghi_session_gates(sig):
     # a mode without a kernel still rejects explicit 'fused'
     with pytest.raises(ValueError, match="fused"):
         scan_roundtrip(ch, x, 4096, inversion_mode="random", backend="fused")
+
+
+@pytest.mark.parametrize("n_fft,hop,chunk,iters", [(1024, 256, 4096, 4), (512, 128, 2048, 4)])
+def test_fused_pghi_gl_session_matches_generic(sig, n_fft, hop, chunk, iters):
+    """The fused ``pghi_gl`` session (RT-PGHI seed + pinned-context GL
+    polish in one kernel) equals the generic chain scan."""
+    from acids_transforms_tpu.ops.pallas.stream_step import (
+        fused_pghi_gl_roundtrip_available,
+        make_fused_pghi_gl_roundtrip,
+    )
+
+    x = jnp.asarray(sig[: 4 * chunk])
+    chain = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop, inversion_mode="pghi_gl",
+        gl_iterations=iters,
+    )
+    assert fused_pghi_gl_roundtrip_available(chain, chunk)
+    key = jax.random.PRNGKey(13)
+    y_gen = np.asarray(
+        scan_roundtrip(
+            chain, x, chunk, inversion_mode="pghi_gl", key=key,
+            backend="generic",
+        )
+    )
+    y_ker = np.asarray(make_fused_pghi_gl_roundtrip(chain, chunk, key=key)(x))
+    assert y_ker.shape == y_gen.shape
+    rel = np.abs(y_ker - y_gen).max() / (np.abs(y_gen).max() + 1e-9)
+    assert rel < 1e-3, (n_fft, hop, rel)
+    # batched
+    xb = jnp.stack([x, 0.5 * x])
+    yg = np.asarray(
+        scan_roundtrip(
+            chain, xb, chunk, inversion_mode="pghi_gl", key=key,
+            backend="generic",
+        )
+    )
+    yk = np.asarray(make_fused_pghi_gl_roundtrip(chain, chunk, key=key)(xb))
+    assert np.abs(yk - yg).max() / (np.abs(yg).max() + 1e-9) < 1e-3
+    # gates: lookahead and lcm-packed (non-aligned) hops keep the generic
+    # scan; dispatch via backend='fused' matches too
+    la_chain = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop, inversion_mode="pghi_gl",
+        lookahead_frames=2,
+    )
+    assert not fused_pghi_gl_roundtrip_available(la_chain, chunk)
+    packed = T.OverlapAdd(512, 64) + T.RealtimeSTFT(
+        n_fft=512, hop_length=64, inversion_mode="pghi_gl"
+    )
+    assert not fused_pghi_gl_roundtrip_available(packed, 2048)
+    y_d = np.asarray(
+        scan_roundtrip(
+            chain, x, chunk, inversion_mode="pghi_gl", key=key,
+            backend="fused",
+        )
+    )
+    assert np.abs(y_d - y_gen).max() / (np.abs(y_gen).max() + 1e-9) < 1e-3

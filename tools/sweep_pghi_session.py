@@ -1,0 +1,92 @@
+"""Whole-session fused phaseless (RT-PGHI) roundtrip vs the generic scan.
+
+The r3.20 kernel (ops/pallas/stream_step.py:_session_pghi_kernel) runs the
+entire `[OverlapAdd, RealtimeSTFT(inversion_mode="pghi")]` session in one
+pallas_call.  This sweep validates quality parity on-chip (spectral
+convergence vs the true magnitudes — sample-level equality is the wrong
+gate: the kernel's bf16x4 DFT vs the generic bf16x3 GEMM flips anchor
+decisions at exact threshold boundaries) and times both paths.
+
+Run (background, one TPU process at a time):
+  PYTHONPATH=/root/repo:/root/.axon_site \
+  JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache \
+  PYTHONUNBUFFERED=1 timeout 1800 python tools/sweep_pghi_session.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+
+from bench import _device_time, _load_audio
+
+CASES = [
+    # (mode, n_fft, hop, chunk, batch)
+    ("pghi", 1024, 256, 4096, 1),
+    ("pghi", 1024, 256, 4096, 8),
+    ("pghi", 1024, 256, 4096, 64),   # multi-stream serving fleet
+    ("pghi", 512, 128, 2048, 1),
+    ("pghi", 512, 64, 2048, 8),      # lcm-packed OLA (st=1)
+    ("pghi_gl", 1024, 256, 4096, 1),
+    ("pghi_gl", 1024, 256, 4096, 8),
+]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from acids_transforms_tpu import transforms as T
+    from acids_transforms_tpu.streaming import scan_roundtrip
+
+    x = _load_audio()
+    print(f"device={jax.devices()[0]}", flush=True)
+    key = jax.random.PRNGKey(0)
+
+    for mode, n_fft, hop, chunk, B in CASES:
+        ch = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+            n_fft=n_fft, hop_length=hop, inversion_mode=mode
+        )
+        L = (x.shape[-1] // chunk) * chunk
+        xj = jnp.asarray(np.broadcast_to(x[:L], (B, L)).copy())
+        st = T.STFT(n_fft=n_fft, hop_length=hop)
+        delay = (n_fft // hop - 1) * hop
+        ref_mag = jnp.abs(st.forward(xj[..., : L - delay]))
+
+        @jax.jit
+        def sc_of(y):
+            m = jnp.abs(st.forward(y[..., delay:L]))
+            n = min(m.shape[-2], ref_mag.shape[-2]) - 2
+            return jnp.linalg.norm(
+                m[..., 2:n, :] - ref_mag[..., 2:n, :]
+            ) / jnp.linalg.norm(ref_mag[..., 2:n, :])
+
+        def gen(v):
+            return scan_roundtrip(
+                ch, v, chunk, inversion_mode=mode, key=key,
+                backend="generic",
+            )
+
+        def fus(v):
+            return scan_roundtrip(
+                ch, v, chunk, inversion_mode=mode, key=key,
+                backend="fused",
+            )
+
+        sc_g, sc_f = float(sc_of(gen(xj))), float(sc_of(fus(xj)))
+        frames = B * L // hop
+        dt_g = _device_time(gen, xj, 5)
+        dt_f = _device_time(fus, xj, 10)
+        print(
+            f"{mode} {n_fft}/{hop} chunk={chunk} B={B}: "
+            f"sc gen={sc_g:.4f} fused={sc_f:.4f}  "
+            f"generic {frames/dt_g/1e3:.1f}K  fused {frames/dt_f/1e3:.1f}K "
+            f"frames/s  [{dt_g/dt_f:.1f}x]",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
