@@ -50,6 +50,117 @@ __all__ = [
 _WIN_PAD = 8  # Element-window sublane alignment over-fetch
 
 
+# --------------------------------------------------- shared wrapper pieces
+# The three session makers (complex / pghi / pghi_gl) share the basis
+# construction, the row layout, the silent-bin angle pipeline, and the
+# batch-slab loop — one definition each, so a fix cannot silently diverge.
+
+def _ana_basis(window, n_fft: int, F: int, Fp: int):
+    """Stacked bf16x4 windowed-DFT analysis basis ``(4 n_fft, 2 Fp)``."""
+    C_np, S_np = _dft_matrices(n_fft)
+    w = jnp.asarray(window, jnp.float32)[:, None]
+    WC = w * jnp.asarray(np.pad(C_np, [(0, 0), (0, Fp - F)]))
+    WS = w * jnp.asarray(np.pad(S_np, [(0, 0), (0, Fp - F)]))
+    wc_hi, wc_lo = _split_bf16(WC)
+    ws_hi, ws_lo = _split_bf16(WS)
+    top = jnp.concatenate([wc_hi, ws_hi], axis=1)
+    mid = jnp.concatenate([wc_lo, ws_lo], axis=1)
+    return jnp.concatenate([top, mid, top, mid], axis=0)
+
+
+def _syn_basis(inv_window, n_fft: int, F: int, Fp: int, scale):
+    """Stacked bf16x4 windowed-iDFT synthesis basis ``(8 Fp, n_fft)`` with
+    the synthesis window and a gain ``scale`` folded in."""
+    A, Bm = _idft_matrices(n_fft)
+    inv_w = jnp.asarray(inv_window, jnp.float32)[None, :]
+    AB = jnp.concatenate(
+        [
+            jnp.pad(jnp.asarray(A), [(0, Fp - F), (0, 0)]) * inv_w / scale,
+            jnp.pad(jnp.asarray(Bm), [(0, Fp - F), (0, 0)]) * inv_w / scale,
+        ],
+        axis=0,
+    )
+    hi, lo = _split_bf16(AB)
+    return jnp.concatenate([hi, lo, hi, lo], axis=0)
+
+
+def _session_rows(xb, carry_rows: int, total_rows: int, hop: int):
+    """Lay the flat-batch signal out as overlapping hop-rows: ``carry_rows``
+    zero rows of initial ring state, the signal, zero tail pad."""
+    B, L = xb.shape
+    sig = jnp.concatenate(
+        [
+            jnp.zeros((B, carry_rows * hop), xb.dtype),
+            xb,
+            jnp.zeros((B, total_rows * hop - carry_rows * hop - L), xb.dtype),
+        ],
+        axis=-1,
+    )
+    return sig.reshape(B, total_rows, hop)
+
+
+def _session_angles(key, n_chunks: int, T_c: int, F: int, Fp: int, batch_shape):
+    """Silent-bin random phases for the whole session, replicating the
+    generic scan's exact key pipeline (one key per chunk, then the Compose
+    ``step_invert`` child split — the RealtimeSTFT, index 1 of 2, draws
+    ``split(k)[1]``) so the draws are bit-equal.  Returns ``(B,
+    n_chunks * T_c, Fp)`` f32 — note this materializes the WHOLE session's
+    angles in HBM (~``4 * Fp / hop`` bytes per input sample); the auto
+    dispatch gates on this footprint (streaming.scan_roundtrip)."""
+    sess_key = jax.random.PRNGKey(0) if key is None else key
+    chunk_keys = jax.random.split(sess_key, n_chunks)
+    child_keys = jax.vmap(lambda k: jax.random.split(k)[1])(chunk_keys)
+    angles = jax.vmap(
+        lambda k: 2.0 * jnp.pi * jax.random.uniform(
+            k, batch_shape + (T_c, F), dtype=jnp.float32
+        )
+    )(child_keys)  # (n_chunks, ..., T_c, F)
+    angles = jnp.moveaxis(angles, 0, -3) if angles.ndim > 3 else angles
+    angles = angles.reshape((-1, n_chunks * T_c, F))
+    return jnp.pad(angles, [(0, 0), (0, 0), (0, Fp - F)])
+
+
+def _run_batch_slabs(call, B: int, slab: int, *arrays):
+    """Run ``call`` over batch slabs of at most ``slab`` streams and
+    concatenate.  Streams are independent (all carried state is per-stream),
+    so the split is exact; it bounds the kernels' scoped-VMEM footprint,
+    which grows linearly in B (every block rides the batch whole)."""
+    if B <= slab:
+        return call(*arrays)
+    return jnp.concatenate(
+        [call(*(a[i: i + slab] for a in arrays)) for i in range(0, B, slab)],
+        axis=0,
+    )
+
+
+def _pghi_session_slab(n_fft, hop, T_c, Fp, ctx=0):
+    """Largest batch slab whose phaseless session call fits scoped VMEM.
+
+    Same fitted model as ``pghi_kernel._slab_b``: sum the double-buffered
+    blocks and scratch rows per stream, budget 56 MB of modeled bytes
+    against the 100/110 MB limit (the compiler's scoped accounting runs
+    ~1.2-1.6x the raw sum).  Capped at 64 — the sweep-validated region
+    (BENCH_NOTES.md r3.20/21); larger batches split exactly."""
+    overlap = n_fft // hop
+    rows_out, out_w, carry_rows = ola_layout(n_fft, hop, T_c)
+    per_b = 4 * (
+        2 * (T_c + _WIN_PAD) * hop      # rows block, double-buffered
+        + 2 * T_c * Fp                  # angles block
+        + 2 * rows_out * out_w          # output block
+        + 3 * Fp                        # mag carry (2 rows) + phase carry
+        + carry_rows * out_w            # OLA tail
+        + T_c * 2 * Fp                  # phi | re | im scratch
+        + 5 * T_c * Fp                  # recurrence fields
+    )
+    if ctx:
+        Tx = _round_up(ctx + T_c, 8)
+        per_b += 4 * (
+            2 * ctx * Fp                              # gl_mag / gl_phase
+            + _round_up(Tx + overlap - 1, 8) * hop    # projection OLA scratch
+        )
+    return max(8, min(64, (56 * 1024 * 1024 // per_b) // 8 * 8))
+
+
 def fused_roundtrip_available(chain, chunk_size: int) -> bool:
     """True when ``chain`` is ``[OverlapAdd, RealtimeSTFT-family]`` with
     matching (n_fft, hop), ``hop | chunk``, an OLA-supported hop (lane
@@ -172,38 +283,16 @@ def make_fused_roundtrip(chain, chunk_size: int, interpret: Optional[bool] = Non
         interpret = jax.default_backend() != "tpu"
     oadd, rt = chain.transforms
     n_fft, hop = rt.n_fft, rt.hop_length
-    overlap = n_fft // hop
     T_c = chunk_size // hop
     F = n_fft // 2 + 1
     Fp = _round_up(F, LANE)
-    carry_rows = overlap - 1
+    carry_rows = n_fft // hop - 1
 
-    import numpy as np
-
-    C_np, S_np = _dft_matrices(n_fft)
-    w = jnp.asarray(rt.window, jnp.float32)[:, None]
-    WC = w * jnp.asarray(np.pad(C_np, [(0, 0), (0, Fp - F)]))
-    WS = w * jnp.asarray(np.pad(S_np, [(0, 0), (0, Fp - F)]))
-    wc_hi, wc_lo = _split_bf16(WC)
-    ws_hi, ws_lo = _split_bf16(WS)
-    top = jnp.concatenate([wc_hi, ws_hi], axis=1)
-    mid = jnp.concatenate([wc_lo, ws_lo], axis=1)
-    ana_basis = jnp.concatenate([top, mid, top, mid], axis=0)  # (4 n_fft, 2 Fp)
-
-    A, Bm = _idft_matrices(n_fft)
-    inv_w = jnp.asarray(rt.inv_window, jnp.float32)[None, :]
-    gain = jnp.asarray(oadd.gain_compensation, jnp.float32)
-    AB = jnp.concatenate(
-        [
-            jnp.pad(jnp.asarray(A), [(0, Fp - F), (0, 0)]) * inv_w / gain,
-            jnp.pad(jnp.asarray(Bm), [(0, Fp - F), (0, 0)]) * inv_w / gain,
-        ],
-        axis=0,
+    ana_basis = _ana_basis(rt.window, n_fft, F, Fp)
+    syn_basis = _syn_basis(
+        rt.inv_window, n_fft, F, Fp,
+        jnp.asarray(oadd.gain_compensation, jnp.float32),
     )
-    ab_hi, ab_lo = _split_bf16(AB)
-    syn_basis = jnp.concatenate(
-        [ab_hi, ab_lo, ab_hi, ab_lo], axis=0
-    )  # (8 Fp, n_fft)
 
     def run(x: jnp.ndarray) -> jnp.ndarray:
         batch_shape = x.shape[:-1]
@@ -222,24 +311,23 @@ def make_fused_roundtrip(chain, chunk_size: int, interpret: Optional[bool] = Non
         # packed small hops need q | T_k (q frames per emitted chunk row);
         # q is a power of two, so the sublane/packing lcm is just the max
         unit = ola_tile_unit(hop)
+        # T_k bottoms out at `unit`, so beyond B = 1024 // unit the product
+        # would grow unbounded — split the batch exactly instead
+        slab = max(8, (1024 // unit) // 8 * 8)
+        Bs = min(B, slab)
         T_k = min(
             _round_up(n_frames, unit),
             128,
-            max(unit, _round_up(1024 // B, unit)),
+            max(unit, _round_up(1024 // Bs, unit)),
         )
         n_steps = -(-n_frames // T_k)
         total_rows = carry_rows + n_steps * T_k + (_WIN_PAD - carry_rows)
-        sig = jnp.concatenate(
-            [
-                jnp.zeros((B, carry_rows * hop), x.dtype),  # initial ring
-                xb,
-                jnp.zeros((B, total_rows * hop - carry_rows * hop - L), x.dtype),
-            ],
-            axis=-1,
-        )
-        rows = sig.reshape(B, total_rows, hop)
-        out = _session_call(
-            rows, ana_basis, syn_basis, n_fft, hop, T_k, n_steps, interpret
+        rows = _session_rows(xb, carry_rows, total_rows, hop)
+        out = _run_batch_slabs(
+            lambda r: _session_call(
+                r, ana_basis, syn_basis, n_fft, hop, T_k, n_steps, interpret
+            ),
+            B, slab, rows,
         )
         out = out.reshape(batch_shape + (n_steps * T_k * hop,))
         return out[..., : n_chunks * chunk_size]
@@ -561,44 +649,27 @@ def make_fused_pghi_roundtrip(
     Output matches ``scan_roundtrip(chain, x, chunk, inversion_mode="pghi",
     key=key)`` chunk for chunk: the silent-bin random phases replicate the
     generic scan's exact key pipeline (per-chunk split, then the Compose
-    ``step_invert`` child split), so the draws are bit-equal.
+    ``step_invert`` child split), so the draws are bit-equal.  The whole
+    session's angles materialize in HBM (see :func:`_session_angles`) —
+    ~10 bytes per input sample at 1024/256; very long sessions should use
+    the generic scan (the auto dispatch gates on this).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     oadd, rt = chain.transforms
     n_fft, hop = rt.n_fft, rt.hop_length
-    overlap = n_fft // hop
     T_c = chunk_size // hop
     F = n_fft // 2 + 1
     Fp = _round_up(F, LANE)
-    carry_rows = overlap - 1
+    carry_rows = n_fft // hop - 1
     fmul = float(rt.gamma) / (hop * n_fft)
     tol = float(rt.tolerance)
 
-    import numpy as np
-
-    C_np, S_np = _dft_matrices(n_fft)
-    w = jnp.asarray(rt.window, jnp.float32)[:, None]
-    WC = w * jnp.asarray(np.pad(C_np, [(0, 0), (0, Fp - F)]))
-    WS = w * jnp.asarray(np.pad(S_np, [(0, 0), (0, Fp - F)]))
-    wc_hi, wc_lo = _split_bf16(WC)
-    ws_hi, ws_lo = _split_bf16(WS)
-    top = jnp.concatenate([wc_hi, ws_hi], axis=1)
-    mid = jnp.concatenate([wc_lo, ws_lo], axis=1)
-    ana_basis = jnp.concatenate([top, mid, top, mid], axis=0)
-
-    A, Bm = _idft_matrices(n_fft)
-    inv_w = jnp.asarray(rt.inv_window, jnp.float32)[None, :]
-    gain = jnp.asarray(oadd.gain_compensation, jnp.float32)
-    AB = jnp.concatenate(
-        [
-            jnp.pad(jnp.asarray(A), [(0, Fp - F), (0, 0)]) * inv_w / gain,
-            jnp.pad(jnp.asarray(Bm), [(0, Fp - F), (0, 0)]) * inv_w / gain,
-        ],
-        axis=0,
+    ana_basis = _ana_basis(rt.window, n_fft, F, Fp)
+    syn_basis = _syn_basis(
+        rt.inv_window, n_fft, F, Fp,
+        jnp.asarray(oadd.gain_compensation, jnp.float32),
     )
-    ab_hi, ab_lo = _split_bf16(AB)
-    syn_basis = jnp.concatenate([ab_hi, ab_lo, ab_hi, ab_lo], axis=0)
 
     def run(x: jnp.ndarray) -> jnp.ndarray:
         batch_shape = x.shape[:-1]
@@ -606,36 +677,15 @@ def make_fused_pghi_roundtrip(
         n_chunks = -(-L // chunk_size)
         xb = x.reshape((-1, L))
         B = xb.shape[0]
-        # replicate scan_roundtrip's key pipeline exactly: one key per
-        # chunk, then Compose.step_invert splits per child walking from
-        # the tail — the RealtimeSTFT (index 1 of 2) draws split(k)[1]
-        sess_key = jax.random.PRNGKey(0) if key is None else key
-        chunk_keys = jax.random.split(sess_key, n_chunks)
-        child_keys = jax.vmap(lambda k: jax.random.split(k)[1])(chunk_keys)
-        angles = jax.vmap(
-            lambda k: 2.0 * jnp.pi * jax.random.uniform(
-                k, batch_shape + (T_c, F), dtype=jnp.float32
-            )
-        )(child_keys)  # (n_chunks, ..., T_c, F)
-        angles = jnp.moveaxis(angles, 0, -3) if angles.ndim > 3 else angles
-        angles = angles.reshape((B, n_chunks * T_c, F))
-        angles = jnp.pad(angles, [(0, 0), (0, 0), (0, Fp - F)])
-
+        angles = _session_angles(key, n_chunks, T_c, F, Fp, batch_shape)
         total_rows = carry_rows + n_chunks * T_c + (_WIN_PAD - carry_rows)
-        sig = jnp.concatenate(
-            [
-                jnp.zeros((B, carry_rows * hop), x.dtype),
-                xb,
-                jnp.zeros(
-                    (B, total_rows * hop - carry_rows * hop - L), x.dtype
-                ),
-            ],
-            axis=-1,
-        )
-        rows = sig.reshape(B, total_rows, hop)
-        out = _session_pghi_call(
-            rows, ana_basis, syn_basis, angles,
-            n_fft, hop, T_c, n_chunks, Fp, F, fmul, tol, interpret,
+        rows = _session_rows(xb, carry_rows, total_rows, hop)
+        out = _run_batch_slabs(
+            lambda r, a: _session_pghi_call(
+                r, ana_basis, syn_basis, a,
+                n_fft, hop, T_c, n_chunks, Fp, F, fmul, tol, interpret,
+            ),
+            B, _pghi_session_slab(n_fft, hop, T_c, Fp), rows, angles,
         )
         out = out.reshape(batch_shape + (n_chunks * T_c * hop,))
         return out[..., : n_chunks * chunk_size]
@@ -881,34 +931,14 @@ def make_fused_pghi_gl_roundtrip(
     ctx = int(rt.gl_context)
     iters = int(rt.gl_iterations)
 
-    C_np, S_np = _dft_matrices(n_fft)
-    w = jnp.asarray(rt.window, jnp.float32)[:, None]
-    WC = w * jnp.asarray(np.pad(C_np, [(0, 0), (0, Fp - F)]))
-    WS = w * jnp.asarray(np.pad(S_np, [(0, 0), (0, Fp - F)]))
-    wc_hi, wc_lo = _split_bf16(WC)
-    ws_hi, ws_lo = _split_bf16(WS)
-    top = jnp.concatenate([wc_hi, ws_hi], axis=1)
-    mid = jnp.concatenate([wc_lo, ws_lo], axis=1)
-    ana_basis = jnp.concatenate([top, mid, top, mid], axis=0)
-
-    A, Bm = _idft_matrices(n_fft)
-    inv_w = jnp.asarray(rt.inv_window, jnp.float32)[None, :]
-
-    def syn(scale):
-        AB = jnp.concatenate(
-            [
-                jnp.pad(jnp.asarray(A), [(0, Fp - F), (0, 0)]) * inv_w / scale,
-                jnp.pad(jnp.asarray(Bm), [(0, Fp - F), (0, 0)]) * inv_w / scale,
-            ],
-            axis=0,
-        )
-        hi, lo = _split_bf16(AB)
-        return jnp.concatenate([hi, lo, hi, lo], axis=0)
-
-    syn_basis = syn(jnp.asarray(oadd.gain_compensation, jnp.float32))
+    ana_basis = _ana_basis(rt.window, n_fft, F, Fp)
+    syn_basis = _syn_basis(
+        rt.inv_window, n_fft, F, Fp,
+        jnp.asarray(oadd.gain_compensation, jnp.float32),
+    )
     # the GL projection divides its OLA by the frame multiplicity
     # (pghi_gl_stream's `y / overlap`), not the OverlapAdd gain
-    proj_basis = syn(jnp.float32(overlap))
+    proj_basis = _syn_basis(rt.inv_window, n_fft, F, Fp, jnp.float32(overlap))
 
     def run(x: jnp.ndarray) -> jnp.ndarray:
         batch_shape = x.shape[:-1]
@@ -916,34 +946,16 @@ def make_fused_pghi_gl_roundtrip(
         n_chunks = -(-L // chunk_size)
         xb = x.reshape((-1, L))
         B = xb.shape[0]
-        sess_key = jax.random.PRNGKey(0) if key is None else key
-        chunk_keys = jax.random.split(sess_key, n_chunks)
-        child_keys = jax.vmap(lambda k: jax.random.split(k)[1])(chunk_keys)
-        angles = jax.vmap(
-            lambda k: 2.0 * jnp.pi * jax.random.uniform(
-                k, batch_shape + (T_c, F), dtype=jnp.float32
-            )
-        )(child_keys)
-        angles = jnp.moveaxis(angles, 0, -3) if angles.ndim > 3 else angles
-        angles = angles.reshape((B, n_chunks * T_c, F))
-        angles = jnp.pad(angles, [(0, 0), (0, 0), (0, Fp - F)])
-
+        angles = _session_angles(key, n_chunks, T_c, F, Fp, batch_shape)
         total_rows = carry_rows + n_chunks * T_c + (_WIN_PAD - carry_rows)
-        sig = jnp.concatenate(
-            [
-                jnp.zeros((B, carry_rows * hop), x.dtype),
-                xb,
-                jnp.zeros(
-                    (B, total_rows * hop - carry_rows * hop - L), x.dtype
-                ),
-            ],
-            axis=-1,
-        )
-        rows = sig.reshape(B, total_rows, hop)
-        out = _session_pghi_gl_call(
-            rows, ana_basis, syn_basis, proj_basis, angles,
-            n_fft, hop, T_c, n_chunks, Fp, F, fmul, tol, ctx, iters,
-            interpret,
+        rows = _session_rows(xb, carry_rows, total_rows, hop)
+        out = _run_batch_slabs(
+            lambda r, a: _session_pghi_gl_call(
+                r, ana_basis, syn_basis, proj_basis, a,
+                n_fft, hop, T_c, n_chunks, Fp, F, fmul, tol, ctx, iters,
+                interpret,
+            ),
+            B, _pghi_session_slab(n_fft, hop, T_c, Fp, ctx=ctx), rows, angles,
         )
         out = out.reshape(batch_shape + (n_chunks * T_c * hop,))
         return out[..., : n_chunks * chunk_size]

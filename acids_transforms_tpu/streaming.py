@@ -96,8 +96,6 @@ def scan_roundtrip(
         make_fused_roundtrip,
     )
 
-    import jax
-
     if backend not in ("auto", "fused", "generic"):
         # an unknown string would otherwise silently run the generic scan —
         # the same silent-substitution trap the explicit gates below reject
@@ -137,9 +135,9 @@ def scan_roundtrip(
         raise ValueError(
             "backend='fused' requested but no fused session kernel covers "
             "this call (needs a direct [OverlapAdd, RealtimeSTFT] chain "
-            "with inversion_mode None or 'pghi', chunk_size a hop "
-            "multiple, an OLA-supported hop); use backend='auto' to fall "
-            "back to the generic scan"
+            "with inversion_mode None, 'pghi' or 'pghi_gl', chunk_size a "
+            "hop multiple, an OLA-supported hop); use backend='auto' to "
+            "fall back to the generic scan"
         )
     # "auto" only takes the kernels where they compile (TPU) — off-TPU they
     # would run the Pallas interpreter, orders of magnitude slower than the
@@ -150,13 +148,29 @@ def scan_roundtrip(
     take = backend == "fused" or (
         backend == "auto" and jax.default_backend() == "tpu"
     )
-    # batch cap: every block carries the batch whole — auto stays under the
-    # complex path's measured crossover / the pghi kernel's VMEM comfort
+    # complex-path batch cap: auto stays under the measured crossover above
     small = batch_elems <= 64
-    if pghi_available and take and (backend == "fused" or small):
-        return make_fused_pghi_roundtrip(chain, chunk_size, key=key)(x)
-    if pghi_gl_available and take and (backend == "fused" or small):
-        return make_fused_pghi_gl_roundtrip(chain, chunk_size, key=key)(x)
+    # phaseless sessions have no such crossover (the generic scan's serial
+    # per-frame fill stays dispatch-bound at any batch) and the wrappers
+    # slab the batch to bound VMEM — auto's only cap is the session angle
+    # buffer the wrappers materialize in HBM (~4 * Fp / hop bytes per input
+    # sample, ops/pallas/stream_step.py:_session_angles): very long
+    # sessions fall back to the generic scan, which draws per chunk
+    if pghi_available or pghi_gl_available:
+        from .ops.pallas.spectral import LANE, _round_up
+
+        rt = chain.transforms[1]
+        n_frames = -(-x.shape[-1] // chunk_size) * (
+            chunk_size // rt.hop_length
+        )
+        angle_bytes = batch_elems * n_frames * _round_up(
+            rt.n_fft // 2 + 1, LANE
+        ) * 4
+        angles_fit = angle_bytes <= 1 << 30  # 1 GiB of 16 GB HBM
+        if pghi_available and take and (backend == "fused" or angles_fit):
+            return make_fused_pghi_roundtrip(chain, chunk_size, key=key)(x)
+        if pghi_gl_available and take and (backend == "fused" or angles_fit):
+            return make_fused_pghi_gl_roundtrip(chain, chunk_size, key=key)(x)
     if available and take and (backend == "fused" or small):
         return make_fused_roundtrip(chain, chunk_size)(x)
 

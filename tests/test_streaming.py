@@ -534,3 +534,44 @@ def test_fused_pghi_gl_session_matches_generic(sig, n_fft, hop, chunk, iters):
         )
     )
     assert np.abs(y_d - y_gen).max() / (np.abs(y_gen).max() + 1e-9) < 1e-3
+
+
+def test_run_batch_slabs_unit():
+    """``_run_batch_slabs`` splits the leading axis into <= slab pieces,
+    calls per piece, and concatenates — exact by construction; B <= slab
+    makes exactly one call."""
+    from acids_transforms_tpu.ops.pallas.stream_step import _run_batch_slabs
+
+    seen = []
+
+    def call(a, b):
+        seen.append(int(a.shape[0]))
+        return a + b
+
+    a = jnp.arange(20.0).reshape(10, 2)
+    out = _run_batch_slabs(call, 10, 4, a, 2.0 * a)
+    assert np.allclose(np.asarray(out), np.asarray(3.0 * a))
+    assert seen == [4, 4, 2]
+    seen.clear()
+    _run_batch_slabs(call, 3, 4, a[:3], 2.0 * a[:3])
+    assert seen == [3]
+
+
+def test_fused_pghi_session_batch_slabs(sig, monkeypatch):
+    """Forcing a tiny batch slab reproduces the unsplit phaseless session
+    kernel bit-for-bit: streams are independent (all carried state and the
+    per-chunk threshold are per-stream), so the wrapper's VMEM-bounding
+    batch split is exact at any B."""
+    from acids_transforms_tpu.ops.pallas import stream_step as ss
+
+    x = jnp.asarray(
+        np.stack([sig[512 * i: 512 * i + 2048] for i in range(12)])
+    )
+    chain = T.OverlapAdd(512, 128) + T.RealtimeSTFT(
+        n_fft=512, hop_length=128, inversion_mode="pghi"
+    )
+    key = jax.random.PRNGKey(7)
+    full = np.asarray(ss.make_fused_pghi_roundtrip(chain, 1024, key=key)(x))
+    monkeypatch.setattr(ss, "_pghi_session_slab", lambda *a, **k: 8)
+    split = np.asarray(ss.make_fused_pghi_roundtrip(chain, 1024, key=key)(x))
+    assert np.array_equal(full, split)

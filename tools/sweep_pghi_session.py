@@ -27,10 +27,14 @@ CASES = [
     ("pghi", 1024, 256, 4096, 1),
     ("pghi", 1024, 256, 4096, 8),
     ("pghi", 1024, 256, 4096, 64),   # multi-stream serving fleet
+    ("pghi", 1024, 256, 4096, 128),  # above the slab: two 64-stream slabs
+    ("pghi", 1024, 256, 4096, 256),  # crossover probe (auto cap boundary)
     ("pghi", 512, 128, 2048, 1),
     ("pghi", 512, 64, 2048, 8),      # lcm-packed OLA (st=1)
     ("pghi_gl", 1024, 256, 4096, 1),
     ("pghi_gl", 1024, 256, 4096, 8),
+    ("pghi_gl", 1024, 256, 4096, 32),
+    ("pghi_gl", 1024, 256, 4096, 64),  # GL auto cap boundary probe
 ]
 
 
