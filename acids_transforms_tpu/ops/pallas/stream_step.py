@@ -43,6 +43,7 @@ from .spectral import LANE, _round_up, _split_bf16
 
 __all__ = [
     "fused_roundtrip_available", "make_fused_roundtrip",
+    "fused_random_roundtrip_available", "make_fused_random_roundtrip",
     "fused_pghi_roundtrip_available", "make_fused_pghi_roundtrip",
     "fused_pghi_gl_roundtrip_available", "make_fused_pghi_gl_roundtrip",
 ]
@@ -328,6 +329,166 @@ def make_fused_roundtrip(chain, chunk_size: int, interpret: Optional[bool] = Non
                 r, ana_basis, syn_basis, n_fft, hop, T_k, n_steps, interpret
             ),
             B, slab, rows,
+        )
+        out = out.reshape(batch_shape + (n_steps * T_k * hop,))
+        return out[..., : n_chunks * chunk_size]
+
+    return run
+
+
+# ===================================================== phaseless (random)
+
+def fused_random_roundtrip_available(chain, chunk_size: int) -> bool:
+    """True when an ``inversion_mode="random"`` session rides the fused
+    kernel — the reference's DEFAULT realtime mode (reference
+    stft.py:241-243).  Same layout constraints as the complex kernel:
+    random mode has no per-chunk statistic, so grid steps may span chunk
+    boundaries (the per-chunk uniform draws are just a frame-major angle
+    layout in HBM)."""
+    return fused_roundtrip_available(chain, chunk_size)
+
+
+def _session_random_kernel(
+    rows_ref, ana_basis_ref, syn_basis_ref, angles_ref,
+    o_ref, tail_ref, reim_ref, *, T_k, overlap, hop, Fp, n_bins,
+):
+    """One grid step of the random-phase session: analysis DFT ->
+    magnitudes -> the precomputed uniform phases -> synthesis + OLA.
+    The only carried state is the OLA tail (exactly
+    :func:`_session_kernel`); no recurrence, so grid steps are free to
+    span chunk boundaries like the complex kernel's."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        tail_ref[...] = jnp.zeros_like(tail_ref)
+
+    mag = _analyze_mag(rows_ref, ana_basis_ref, T_k, overlap, hop, Fp)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 2)
+    mm = jnp.where(lane3 < n_bins, mag, 0.0)
+    _synth_and_emit(
+        mm, angles_ref[...], reim_ref, syn_basis_ref, o_ref, tail_ref,
+        T_c=T_k, overlap=overlap, hop=hop, Fp=Fp,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_fft", "hop", "T_k", "n_steps", "Fp", "n_bins", "interpret",
+    ),
+)
+def _session_random_call(
+    rows, ana_basis, syn_basis, angles,
+    n_fft, hop, T_k, n_steps, Fp, n_bins, interpret,
+):
+    B = rows.shape[0]
+    overlap = n_fft // hop
+    kernel = functools.partial(
+        _session_random_kernel,
+        T_k=T_k, overlap=overlap, hop=hop, Fp=Fp, n_bins=n_bins,
+    )
+    rows_out, out_w, carry_rows = ola_layout(n_fft, hop, T_k)
+
+    def fixed(m):
+        return pl.BlockSpec(m.shape, lambda t: (0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(B), pl.Element(T_k + _WIN_PAD), pl.Element(hop)),
+                lambda t: (0, t * T_k, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            fixed(ana_basis),
+            fixed(syn_basis),
+            pl.BlockSpec(
+                (B, T_k, Fp), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, rows_out, out_w), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_steps * rows_out, out_w), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, carry_rows, out_w), jnp.float32),  # OLA tail
+            pltpu.VMEM((B, T_k, 2 * Fp), jnp.float32),        # re | im
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(rows, ana_basis, syn_basis, angles)
+
+
+def make_fused_random_roundtrip(
+    chain, chunk_size: int, key=None, interpret: Optional[bool] = None
+):
+    """Whole-session fused random-phase roundtrip ``fn(x) -> rec`` for a
+    recognized ``[OverlapAdd, RealtimeSTFT-family]`` chain with
+    ``inversion_mode="random"`` (the reference's default realtime mode).
+
+    Output matches ``scan_roundtrip(chain, x, chunk, inversion_mode=
+    "random", key=key)``: the uniform phase draws replicate the generic
+    scan's exact key pipeline (:func:`_session_angles`), so interpret mode
+    is sample-level equal; on-chip the kernel's bf16x4 DFT differs from
+    the generic bf16x3 GEMM only in magnitude rounding (~1e-5) — there
+    are no threshold decisions to flip, unlike the PGHI kernels.  The
+    whole session's angles materialize in HBM (the auto dispatch gates
+    on this footprint, streaming.scan_roundtrip)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    oadd, rt = chain.transforms
+    n_fft, hop = rt.n_fft, rt.hop_length
+    T_c = chunk_size // hop
+    F = n_fft // 2 + 1
+    Fp = _round_up(F, LANE)
+    carry_rows = n_fft // hop - 1
+
+    ana_basis = _ana_basis(rt.window, n_fft, F, Fp)
+    syn_basis = _syn_basis(
+        rt.inv_window, n_fft, F, Fp,
+        jnp.asarray(oadd.gain_compensation, jnp.float32),
+    )
+
+    def run(x: jnp.ndarray) -> jnp.ndarray:
+        batch_shape = x.shape[:-1]
+        L = x.shape[-1]
+        n_chunks = -(-L // chunk_size)
+        n_frames = n_chunks * T_c
+        xb = x.reshape((-1, L))
+        B = xb.shape[0]
+        angles = _session_angles(key, n_chunks, T_c, F, Fp, batch_shape)
+        unit = ola_tile_unit(hop)
+        # the double-buffered angles block + the re|im scratch roughly
+        # triple the complex kernel's per-(stream, frame) VMEM bytes at
+        # the headline shape — halve its B*T_k product cap (512 vs 1024)
+        slab = max(8, (512 // unit) // 8 * 8)
+        Bs = min(B, slab)
+        T_k = min(
+            _round_up(n_frames, unit),
+            128,
+            max(unit, _round_up(512 // Bs, unit)),
+        )
+        n_steps = -(-n_frames // T_k)
+        total_rows = carry_rows + n_steps * T_k + (_WIN_PAD - carry_rows)
+        rows = _session_rows(xb, carry_rows, total_rows, hop)
+        # per-chunk draws laid out frame-major; pad to the grid's
+        # n_steps * T_k frames (padded frames have zero magnitude)
+        angles = jnp.pad(
+            angles, [(0, 0), (0, n_steps * T_k - n_frames), (0, 0)]
+        )
+        out = _run_batch_slabs(
+            lambda r, a: _session_random_call(
+                r, ana_basis, syn_basis, a,
+                n_fft, hop, T_k, n_steps, Fp, F, interpret,
+            ),
+            B, slab, rows, angles,
         )
         out = out.reshape(batch_shape + (n_steps * T_k * hop,))
         return out[..., : n_chunks * chunk_size]

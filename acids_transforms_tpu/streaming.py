@@ -82,17 +82,21 @@ def scan_roundtrip(
     (direct inversion).
 
     ``backend="auto"`` dispatches recognized ``[OverlapAdd, RealtimeSTFT]``
-    direct roundtrips to the fused per-chunk kernel
-    (ops/pallas/stream_step.py) — one pallas_call instead of ~20 tiny XLA
-    ops per chunk, identical math; ``"generic"`` forces the plain chain
-    scan.
+    sessions to whole-session fused kernels (ops/pallas/stream_step.py) —
+    one pallas_call instead of ~20 tiny XLA ops per chunk, identical math:
+    direct (complex) roundtrips, ``"random"`` (the reference's default
+    realtime mode), ``"pghi"`` and ``"pghi_gl"`` each ride their own
+    kernel inside its measured win region; ``"generic"`` forces the plain
+    chain scan.
     """
     from .ops.pallas.stream_step import (
         fused_pghi_gl_roundtrip_available,
         fused_pghi_roundtrip_available,
+        fused_random_roundtrip_available,
         fused_roundtrip_available,
         make_fused_pghi_gl_roundtrip,
         make_fused_pghi_roundtrip,
+        make_fused_random_roundtrip,
         make_fused_roundtrip,
     )
 
@@ -126,8 +130,14 @@ def scan_roundtrip(
         inversion_mode == "pghi_gl"
         and fused_pghi_gl_roundtrip_available(chain, chunk_size)
     )
+    # random phases — the reference's DEFAULT realtime mode (reference
+    # stft.py:241-243) — ride the complex kernel + magnitude/trig (r3.22)
+    random_available = (
+        inversion_mode == "random"
+        and fused_random_roundtrip_available(chain, chunk_size)
+    )
     if backend == "fused" and not (
-        available or pghi_available or pghi_gl_available
+        available or pghi_available or pghi_gl_available or random_available
     ):
         # explicit requests fail loudly (mirrors serving's loud fallback):
         # a silent generic-scan substitution would corrupt kernel
@@ -135,9 +145,9 @@ def scan_roundtrip(
         raise ValueError(
             "backend='fused' requested but no fused session kernel covers "
             "this call (needs a direct [OverlapAdd, RealtimeSTFT] chain "
-            "with inversion_mode None, 'pghi' or 'pghi_gl', chunk_size a "
-            "hop multiple, an OLA-supported hop); use backend='auto' to "
-            "fall back to the generic scan"
+            "with inversion_mode None, 'random', 'pghi' or 'pghi_gl', "
+            "chunk_size a hop multiple, an OLA-supported hop); use "
+            "backend='auto' to fall back to the generic scan"
         )
     # "auto" only takes the kernels where they compile (TPU) — off-TPU they
     # would run the Pallas interpreter, orders of magnitude slower than the
@@ -156,7 +166,7 @@ def scan_roundtrip(
     # buffer the wrappers materialize in HBM (~4 * Fp / hop bytes per input
     # sample, ops/pallas/stream_step.py:_session_angles): very long
     # sessions fall back to the generic scan, which draws per chunk
-    if pghi_available or pghi_gl_available:
+    if pghi_available or pghi_gl_available or random_available:
         from .ops.pallas.spectral import LANE, _round_up
 
         rt = chain.transforms[1]
@@ -169,8 +179,20 @@ def scan_roundtrip(
         angles_fit = angle_bytes <= 1 << 30  # 1 GiB of 16 GB HBM
         if pghi_available and take and (backend == "fused" or angles_fit):
             return make_fused_pghi_roundtrip(chain, chunk_size, key=key)(x)
-        if pghi_gl_available and take and (backend == "fused" or angles_fit):
+        # pghi_gl's GEMM-heavy projections amortize in the generic scan
+        # too: the kernel wins 8.2x at B=1 but LOSES from B=32 (0.9x at
+        # 32, 0.8x at 64, measured r3.21b) — auto caps at the measured
+        # win region, unlike mode="pghi" (2.1x at B=64, 1.2x at B=256)
+        if pghi_gl_available and take and (
+            backend == "fused" or (angles_fit and batch_elems <= 16)
+        ):
             return make_fused_pghi_gl_roundtrip(chain, chunk_size, key=key)(x)
+        # random mode rides the complex kernel + magnitude/trig, so it
+        # inherits the complex path's B>=128 generic-scan crossover
+        if random_available and take and (
+            backend == "fused" or (angles_fit and small)
+        ):
+            return make_fused_random_roundtrip(chain, chunk_size, key=key)(x)
     if available and take and (backend == "fused" or small):
         return make_fused_roundtrip(chain, chunk_size)(x)
 
