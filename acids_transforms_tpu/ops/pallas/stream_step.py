@@ -945,12 +945,23 @@ def _session_pghi_gl_kernel(
     mm_ext = jnp.where(lanex < n_bins, mag_ext, 0.0)
 
     def project(_, phase):
+        # projection GEMMs run bf16x3, not the session kernels' x4: the
+        # iterated projections dominate the kernel's MACs, and at large B
+        # the mode is GEMM-bound against a generic scan that also runs
+        # bf16x3 (Precision.HIGH) — the 4th (lo x lo) term was the
+        # measured 0.8-0.9x loss at B >= 32 (BENCH_NOTES.md r3.22b).  The
+        # x3 operand stacks are PREFIXES of the stored x4 bases
+        # ([hi; lo; hi] of [hi; lo; hi; lo]), so ref row slices reuse the
+        # resident VMEM weights.  Seed analysis and the final committed
+        # synthesis stay x4 (the accuracy-bearing steps).
         spec_flat = jnp.concatenate(
             [mm_ext * jnp.cos(phase), mm_ext * jnp.sin(phase)], axis=2
         ).reshape(B * Tx, 2 * Fp)
         zh, zl = _split_bf16(spec_flat)
-        zstk = jnp.concatenate([zh, zh, zl, zl], axis=1)
-        td = jnp.dot(zstk, proj_basis_ref[...], preferred_element_type=f32)
+        zstk = jnp.concatenate([zh, zh, zl], axis=1)
+        td = jnp.dot(
+            zstk, proj_basis_ref[: 6 * Fp, :], preferred_element_type=f32
+        )
         # full OLA of the ext grid (aligned hop: acc rows ARE hop-sample
         # rows; the chain's project() OLAs exactly these frames).  Round
         # the accumulated value through VMEM scratch before the re-frame
@@ -971,8 +982,11 @@ def _session_pghi_gl_kernel(
         ]
         fr = jnp.concatenate(parts, axis=2)  # (B, Tx, n_fft) re-framed
         fh, fl = _split_bf16(fr.reshape(B * Tx, overlap * hop))
-        stk = jnp.concatenate([fh, fh, fl, fl], axis=1)
-        Z = jnp.dot(stk, ana_basis_ref[...], preferred_element_type=f32)
+        stk = jnp.concatenate([fh, fh, fl], axis=1)
+        Z = jnp.dot(
+            stk, ana_basis_ref[: 3 * (overlap * hop), :],
+            preferred_element_type=f32,
+        )
         Z3 = Z.reshape(B, Tx, 2 * Fp)
         new = _atan2(Z3[:, :, Fp:], Z3[:, :, :Fp])
         return jnp.where(rowx < ctx, pinned, new)

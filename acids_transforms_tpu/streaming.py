@@ -180,11 +180,12 @@ def scan_roundtrip(
         if pghi_available and take and (backend == "fused" or angles_fit):
             return make_fused_pghi_roundtrip(chain, chunk_size, key=key)(x)
         # pghi_gl's GEMM-heavy projections amortize in the generic scan
-        # too: the kernel wins 8.2x at B=1 but LOSES from B=32 (0.9x at
-        # 32, 0.8x at 64, measured r3.21b) — auto caps at the measured
-        # win region, unlike mode="pghi" (2.1x at B=64, 1.2x at B=256)
+        # too: with bf16x3 projection GEMMs the kernel wins 9.4x at B=1
+        # down to 1.1x at B=32 and loses at B=64 (0.9x, measured r3.22b)
+        # — auto caps at the measured win region, unlike mode="pghi"
+        # (2.1x at B=64, 1.2x at B=256)
         if pghi_gl_available and take and (
-            backend == "fused" or (angles_fit and batch_elems <= 16)
+            backend == "fused" or (angles_fit and batch_elems <= 32)
         ):
             return make_fused_pghi_gl_roundtrip(chain, chunk_size, key=key)(x)
         # random mode rides the complex kernel + magnitude/trig, so it

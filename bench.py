@@ -479,6 +479,38 @@ def bench_configs(x: np.ndarray):
     except Exception as e:
         print(f"bench: streaming_pghi metric failed: {e!r}", file=sys.stderr)
 
+    # the reference's DEFAULT realtime mode (random phases, reference
+    # stft.py:241-243) on its whole-session kernel (r3.22); SC-parity
+    # gated against the generic scan like the pghi metric
+    try:
+        ch_r = T.OverlapAdd(N_FFT, HOP) + T.RealtimeSTFT(
+            n_fft=N_FFT, hop_length=HOP, inversion_mode="random"
+        )
+        y_rf = scan_roundtrip(ch_r, xb8, 4096, inversion_mode="random", key=kp)
+        y_rg = scan_roundtrip(
+            ch_r, xb8, 4096, inversion_mode="random", key=kp,
+            backend="generic",
+        )
+        sc_rf, sc_rg = float(sc_of(y_rf)), float(sc_of(y_rg))
+        if sc_rf <= sc_rg * 1.1 + 1e-3:
+            dt_r = _device_time(
+                lambda v: scan_roundtrip(
+                    ch_r, v, 4096, inversion_mode="random", key=kp
+                ),
+                xb8, max(N_ITER_TPU // 20, 3),
+            )
+            out["streaming_random_frames_per_sec"] = round(
+                8 * L / HOP / dt_r, 1
+            )
+        else:
+            print(
+                f"bench: streaming random quality gate failed "
+                f"sc_fused={sc_rf:.4f} sc_generic={sc_rg:.4f}",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"bench: streaming_random metric failed: {e!r}", file=sys.stderr)
+
     # production serving: 64 concurrent realtime sessions in one fused
     # session kernel (the grid-step frame count scales down with batch so
     # per-step VMEM stays bounded — r3.9)
@@ -548,6 +580,7 @@ def _delta_check(result: dict) -> dict:
         "polarif_fused_frames_per_sec",
         "griffin_lim_frames_per_sec", "streaming_frames_per_sec",
         "streaming_64stream_frames_per_sec", "streaming_pghi_frames_per_sec",
+        "streaming_random_frames_per_sec",
         "midside_snr_db", "mulaw_snr_db", "window_snr_db",
         "if_phase_snr_db", "streaming_snr_db",
     ]
@@ -558,6 +591,7 @@ def _delta_check(result: dict) -> dict:
     threshold = {"streaming_frames_per_sec": -35.0,
                  "streaming_64stream_frames_per_sec": -35.0,
                  "streaming_pghi_frames_per_sec": -35.0,
+                 "streaming_random_frames_per_sec": -35.0,
                  "griffin_lim_frames_per_sec": -20.0,
                  # B=1 latency: even noisier than the batched metrics
                  "pghi_bidir_b1_inversions_per_sec": -35.0}
