@@ -363,12 +363,12 @@ def _session_random_kernel(
     def _init():
         tail_ref[...] = jnp.zeros_like(tail_ref)
 
-    mag = _analyze_mag(rows_ref, ana_basis_ref, T_k, overlap, hop, Fp)
+    mag = _analyze_mag(rows_ref, ana_basis_ref, T_k, overlap, hop, Fp, x3=True)
     lane3 = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 2)
     mm = jnp.where(lane3 < n_bins, mag, 0.0)
     _synth_and_emit(
         mm, angles_ref[...], reim_ref, syn_basis_ref, o_ref, tail_ref,
-        T_c=T_k, overlap=overlap, hop=hop, Fp=Fp,
+        T_c=T_k, overlap=overlap, hop=hop, Fp=Fp, x3=True,
     )
 
 
@@ -436,11 +436,12 @@ def make_fused_random_roundtrip(
     Output matches ``scan_roundtrip(chain, x, chunk, inversion_mode=
     "random", key=key)``: the uniform phase draws replicate the generic
     scan's exact key pipeline (:func:`_session_angles`), so interpret mode
-    is sample-level equal; on-chip the kernel's bf16x4 DFT differs from
-    the generic bf16x3 GEMM only in magnitude rounding (~1e-5) — there
-    are no threshold decisions to flip, unlike the PGHI kernels.  The
-    whole session's angles materialize in HBM (the auto dispatch gates
-    on this footprint, streaming.scan_roundtrip)."""
+    is sample-level equal; on-chip the kernel runs the SAME bf16x3 GEMM
+    precision as the generic path (random phases leave no accuracy story
+    for the session kernels' usual x4 — and the mode is GEMM-bound at
+    large batch, where x3's 25% MAC cut is throughput).  The whole
+    session's angles materialize in HBM (the auto dispatch gates on this
+    footprint, streaming.scan_roundtrip)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     oadd, rt = chain.transforms
@@ -577,9 +578,13 @@ def _session_pghi_kernel(
     )
 
 
-def _analyze_mag(rows_ref, ana_basis_ref, T_c, overlap, hop, Fp):
+def _analyze_mag(rows_ref, ana_basis_ref, T_c, overlap, hop, Fp, x3=False):
     """Chunk analysis: frames -> stacked bf16x4 windowed DFT -> magnitudes
-    (pad lanes: the ana basis columns are zero there -> mag == 0)."""
+    (pad lanes: the ana basis columns are zero there -> mag == 0).
+    ``x3=True`` drops the 4th (lo x lo) product via a prefix ref-slice of
+    the same basis — the generic TPU path's own precision
+    (``Precision.HIGH``), for kernels with no accuracy story to protect
+    (random phases) where the GEMMs bound large-batch throughput."""
     f32 = jnp.float32
     rows = rows_ref[...]
     B = rows.shape[0]
@@ -591,8 +596,13 @@ def _analyze_mag(rows_ref, ana_basis_ref, T_c, overlap, hop, Fp):
     frames = jnp.concatenate(parts, axis=2)
     flat = frames.reshape(B * T_c, overlap * hop)
     fh, fl = _split_bf16(flat)
-    stacked = jnp.concatenate([fh, fh, fl, fl], axis=1)
-    Z = jnp.dot(stacked, ana_basis_ref[...], preferred_element_type=f32)
+    if x3:
+        stacked = jnp.concatenate([fh, fh, fl], axis=1)
+        basis = ana_basis_ref[: 3 * (overlap * hop), :]
+    else:
+        stacked = jnp.concatenate([fh, fh, fl, fl], axis=1)
+        basis = ana_basis_ref[...]
+    Z = jnp.dot(stacked, basis, preferred_element_type=f32)
     Z3 = Z.reshape(B, T_c, 2 * Fp)
     re, im = Z3[:, :, :Fp], Z3[:, :, Fp:]
     return jnp.sqrt(re * re + im * im)
@@ -600,10 +610,10 @@ def _analyze_mag(rows_ref, ana_basis_ref, T_c, overlap, hop, Fp):
 
 def _synth_and_emit(
     mm, phis, reim_ref, syn_basis_ref, o_ref, tail_ref,
-    *, T_c, overlap, hop, Fp,
+    *, T_c, overlap, hop, Fp, x3=False,
 ):
     """Windowed iDFT synthesis + overlap-add with the carried tail
-    (see :func:`_session_kernel`)."""
+    (see :func:`_session_kernel`; ``x3`` as in :func:`_analyze_mag`)."""
     f32 = jnp.float32
     B = mm.shape[0]
     reim_ref[...] = jnp.concatenate(
@@ -611,8 +621,13 @@ def _synth_and_emit(
     )
     flat_s = reim_ref[...].reshape(B * T_c, 2 * Fp)
     zh, zl = _split_bf16(flat_s)
-    zstk = jnp.concatenate([zh, zh, zl, zl], axis=1)
-    td = jnp.dot(zstk, syn_basis_ref[...], preferred_element_type=f32)
+    if x3:
+        zstk = jnp.concatenate([zh, zh, zl], axis=1)
+        basis = syn_basis_ref[: 6 * Fp, :]
+    else:
+        zstk = jnp.concatenate([zh, zh, zl, zl], axis=1)
+        basis = syn_basis_ref[...]
+    td = jnp.dot(zstk, basis, preferred_element_type=f32)
     acc, S = ola_accumulate(td, B, T_c, overlap * hop, hop)
     acc = acc + jnp.concatenate(
         [tail_ref[...], jnp.zeros((B, S, acc.shape[-1]), f32)], axis=1

@@ -188,10 +188,12 @@ def scan_roundtrip(
             backend == "fused" or (angles_fit and batch_elems <= 32)
         ):
             return make_fused_pghi_gl_roundtrip(chain, chunk_size, key=key)(x)
-        # random mode rides the complex kernel + magnitude/trig, so it
-        # inherits the complex path's B>=128 generic-scan crossover
+        # random mode rides the complex kernel + magnitude/trig at the
+        # generic path's own bf16x3 GEMM precision: measured wins 2.2x at
+        # B=1 down to 1.1x at B=128 (r3.22b); auto caps at the measured
+        # region
         if random_available and take and (
-            backend == "fused" or (angles_fit and small)
+            backend == "fused" or (angles_fit and batch_elems <= 128)
         ):
             return make_fused_random_roundtrip(chain, chunk_size, key=key)(x)
     if available and take and (backend == "fused" or small):

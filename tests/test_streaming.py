@@ -475,9 +475,10 @@ def test_fused_pghi_session_gates(sig):
                        backend="generic")
     )
     assert np.abs(y_f - y_g).max() / (np.abs(y_g).max() + 1e-9) < 1e-3
-    # a mode without a kernel still rejects explicit 'fused'
+    # a mode without a kernel still rejects explicit 'fused' (random
+    # gained its own session kernel in r3.22 — sinebank has none)
     with pytest.raises(ValueError, match="fused"):
-        scan_roundtrip(ch, x, 4096, inversion_mode="random", backend="fused")
+        scan_roundtrip(ch, x, 4096, inversion_mode="sinebank", backend="fused")
 
 
 @pytest.mark.parametrize("n_fft,hop,chunk,iters", [(1024, 256, 4096, 4), (512, 128, 2048, 4)])

@@ -40,6 +40,7 @@ CASES = [
     ("random", 1024, 256, 4096, 8),
     ("random", 1024, 256, 4096, 64),   # auto cap (mirrors complex path)
     ("random", 512, 64, 2048, 8),      # lcm-packed OLA
+    ("random", 1024, 256, 4096, 128),  # crossover probe (x3 GEMMs, 2 slabs)
 ]
 
 
