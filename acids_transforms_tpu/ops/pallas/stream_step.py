@@ -134,7 +134,7 @@ def _run_batch_slabs(call, B: int, slab: int, *arrays):
     )
 
 
-def _pghi_session_slab(n_fft, hop, T_c, Fp, ctx=0):
+def _pghi_session_slab(n_fft, hop, T_c, Fp, ctx=0, la=0):
     """Largest batch slab whose phaseless session call fits scoped VMEM.
 
     Same fitted model as ``pghi_kernel._slab_b``: sum the double-buffered
@@ -144,17 +144,19 @@ def _pghi_session_slab(n_fft, hop, T_c, Fp, ctx=0):
     (BENCH_NOTES.md r3.20/21); larger batches split exactly."""
     overlap = n_fft // hop
     rows_out, out_w, carry_rows = ola_layout(n_fft, hop, T_c)
+    Tp = _round_up(T_c + la, 8)         # fill rows (lookahead included)
     per_b = 4 * (
         2 * (T_c + _WIN_PAD) * hop      # rows block, double-buffered
-        + 2 * T_c * Fp                  # angles block
+        + 2 * Tp * Fp                   # angles block (8-aligned)
         + 2 * rows_out * out_w          # output block
         + 3 * Fp                        # mag carry (2 rows) + phase carry
         + carry_rows * out_w            # OLA tail
-        + T_c * 2 * Fp                  # phi | re | im scratch
-        + 5 * T_c * Fp                  # recurrence fields
+        + Tp * 2 * Fp                   # phi | re | im scratch
+        + 5 * Tp * Fp                   # recurrence fields
+        + la * Fp                       # pending-magnitude carry
     )
     if ctx:
-        Tx = _round_up(ctx + T_c, 8)
+        Tx = _round_up(ctx + T_c + la, 8)
         per_b += 4 * (
             2 * ctx * Fp                              # gl_mag / gl_phase
             + _round_up(Tx + overlap - 1, 8) * hop    # projection OLA scratch
@@ -613,13 +615,21 @@ def _synth_and_emit(
     *, T_c, overlap, hop, Fp, x3=False,
 ):
     """Windowed iDFT synthesis + overlap-add with the carried tail
-    (see :func:`_session_kernel`; ``x3`` as in :func:`_analyze_mag`)."""
+    (see :func:`_session_kernel`; ``x3`` as in :func:`_analyze_mag`).
+    ``reim_ref`` may be taller than ``T_c`` rows (lookahead sessions size
+    it for the fill grid); the synthesis then stores/reads an aligned
+    ``T_c``-row prefix (T_c is a tile-unit multiple, so 8-aligned)."""
     f32 = jnp.float32
     B = mm.shape[0]
-    reim_ref[...] = jnp.concatenate(
+    vals = jnp.concatenate(
         [mm * jnp.cos(phis), mm * jnp.sin(phis)], axis=2
     )
-    flat_s = reim_ref[...].reshape(B * T_c, 2 * Fp)
+    if reim_ref.shape[1] == T_c:
+        reim_ref[...] = vals
+        flat_s = reim_ref[...].reshape(B * T_c, 2 * Fp)
+    else:
+        reim_ref[:, pl.ds(0, T_c), :] = vals
+        flat_s = reim_ref[...][:, :T_c, :].reshape(B * T_c, 2 * Fp)
     zh, zl = _split_bf16(flat_s)
     if x3:
         zstk = jnp.concatenate([zh, zh, zl], axis=1)
@@ -640,13 +650,26 @@ def _rt_pghi_phases(
     mag, angles_ref, mprev_ref, phi_ref, reim_ref,
     ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref,
     *, T_c, hop, n_fft, Fp, n_bins, fmul, tol,
+    n_valid=None, commit=None,
 ):
     """The RT-PGHI chunk fill (see :func:`_session_pghi_kernel` docs):
     per-chunk threshold, backward-stencil gradients, anchors, and the
     serial anchored fill.  Returns the chunk's phases ``(B, T_c, Fp)`` and
     updates the carried state (``mprev_ref`` magnitude rows; ``phi_ref``
-    ends at the last frame's phase)."""
+    ends at the last frame's phase).
+
+    ``T_c`` is the row count of ``mag`` (8-aligned array rows); lookahead
+    sessions pass ``n_valid`` < T_c real frames (trailing rows are zero
+    alignment pad, skipped by the serial loop) and ``commit`` — the row
+    count actually committed this step, whose last two magnitudes become
+    the carried ``mag_buffer`` (the generic ``_update_buffers`` carries
+    from the COMMITTED spec, transforms/stft.py:_update_buffers)."""
     from .pghi_kernel import _seg_scan
+
+    if n_valid is None:
+        n_valid = T_c
+    if commit is None:
+        commit = n_valid
 
     f32 = jnp.float32
     pi = jnp.float32(np.pi)
@@ -748,11 +771,11 @@ def _rt_pghi_phases(
         reim_ref[:, pl.ds(tt, 1), :Fp] = phi[:, None, :]
         return 0
 
-    jax.lax.fori_loop(0, T_c, frame_step, 0, unroll=False)
+    jax.lax.fori_loop(0, n_valid, frame_step, 0, unroll=False)
     phis = reim_ref[...][:, :, :Fp]
 
-    # ---- carry the RT-PGHI state: last two magnitude rows
-    mprev_ref[...] = mag[:, T_c - 2: T_c, :]
+    # ---- carry the RT-PGHI state: last two COMMITTED magnitude rows
+    mprev_ref[...] = mag[:, commit - 2: commit, :]
     return phis
 
 
@@ -874,8 +897,9 @@ def fused_pghi_gl_roundtrip_available(chain, chunk_size: int) -> bool:
     """Gate for the fused ``inversion_mode="pghi_gl"`` session: the
     phaseless-session constraints, plus an aligned hop (the in-kernel GL
     projection re-frames the overlap-added samples, which needs hop-width
-    OLA rows), a GL context no longer than the chunk, and zero lookahead
-    (the lookahead commit shuffle stays on the generic scan)."""
+    OLA rows), and a GL context / lookahead each no longer than the chunk
+    (``lookahead_frames`` pending magnitudes ride an extra VMEM carry —
+    :func:`_session_pghi_gl_kernel`)."""
     from ...transforms.base import ComposeAudioTransform
     from ...transforms.oadd import OverlapAdd
     from ...transforms.stft import RealtimeSTFT
@@ -889,7 +913,7 @@ def fused_pghi_gl_roundtrip_available(chain, chunk_size: int) -> bool:
     return (
         fused_pghi_roundtrip_available(chain, chunk_size)
         and rt.hop_length % LANE == 0
-        and int(getattr(rt, "lookahead_frames", 0)) == 0
+        and 0 <= int(getattr(rt, "lookahead_frames", 0)) <= T_c
         and 0 < int(rt.gl_context) <= T_c
     )
 
@@ -898,7 +922,8 @@ def _session_pghi_gl_kernel(
     rows_ref, ana_basis_ref, syn_basis_ref, proj_basis_ref, angles_ref,
     o_ref, mprev_ref, phi_ref, tail_ref, reim_ref,
     ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref, glm_ref, glp_ref, y_ref,
-    *, T_c, overlap, hop, n_fft, Fp, n_bins, fmul, tol, ctx, iters,
+    *opt_refs,
+    T_c, overlap, hop, n_fft, Fp, n_bins, fmul, tol, ctx, iters, la,
 ):
     """One grid step of the ``pghi_gl`` session: the RT-PGHI fill seeds
     ``iters`` windowed Griffin-Lim consistency projections on the chunk's
@@ -908,19 +933,30 @@ def _session_pghi_gl_kernel(
     quality mode stays inside the kernel.  Extra VMEM carries vs the
     plain phaseless kernel: the pinned context magnitudes and phases
     (``gl_mag`` / ``gl_phase``).  Same anchor-flip parity contract as
-    :func:`_session_pghi_kernel`."""
+    :func:`_session_pghi_kernel`.
+
+    ``la`` > 0 is the bounded-lookahead mode (``lookahead_frames``,
+    VERDICT r2 #9): commit is delayed by ``la`` frames, so every committed
+    frame's projections saw >= ``la`` frames of ridge continuation.  The
+    pending magnitudes ride an extra VMEM carry (``la_ref``); each step
+    re-seeds and re-polishes them with the new chunk as future context
+    and commits the first ``T_c`` of the ``la + T_c`` frames — exactly
+    ``RealtimeSTFT.pghi_gl_stream``'s ``la_mag`` shuffle."""
     from .spectral import _atan2
 
     f32 = jnp.float32
     t = pl.program_id(0)
     B = rows_ref.shape[0]
+    la_ref = opt_refs[0] if la else None
+    T = T_c + la            # frames through the fill: pending + chunk
+    Tp = reim_ref.shape[1]  # fill rows, 8-aligned (= _round_up(T, 8))
     # 8-align the extended grid: Mosaic gives roll/slice results over
     # non-8-multiple sublane extents nonzero layout offsets, which the
     # re-frame concat rejects ("offset mismatch on non-concat dimension").
     # The pad frames carry ZERO magnitude — they contribute nothing to the
     # projection's OLA and their (garbage) phases are never committed.
-    Tx = _round_up(ctx + T_c, 8)
-    Tv = ctx + T_c  # valid ext rows
+    Tx = _round_up(ctx + T, 8)
+    Tv = ctx + T  # valid ext rows
 
     @pl.when(t == 0)
     def _init():
@@ -929,26 +965,42 @@ def _session_pghi_gl_kernel(
         tail_ref[...] = jnp.zeros_like(tail_ref)
         glm_ref[...] = jnp.zeros_like(glm_ref)
         glp_ref[...] = jnp.zeros_like(glp_ref)
+        if la:
+            la_ref[...] = jnp.zeros_like(la_ref)
 
-    mag = _analyze_mag(rows_ref, ana_basis_ref, T_c, overlap, hop, Fp)
+    mag_c = _analyze_mag(rows_ref, ana_basis_ref, T_c, overlap, hop, Fp)
+    if la:
+        # fill grid [pending la; chunk T_c; zero pad]: row-select build
+        # (value-slice concats trip Mosaic's offset check; the roll's
+        # wrap only moves zero pad — Tp - T_c >= la by construction)
+        rowp = jax.lax.broadcasted_iota(jnp.int32, (B, Tp, Fp), 1)
+        pad_c = jnp.pad(mag_c, [(0, 0), (0, Tp - T_c), (0, 0)])
+        shifted_c = pltpu.roll(pad_c, shift=la, axis=1)
+        la_pad = jnp.pad(la_ref[...], [(0, 0), (0, Tp - la), (0, 0)])
+        mag = jnp.where(rowp < la, la_pad, shifted_c)
+        mag = jnp.where(rowp < T, mag, 0.0)
+    else:
+        mag = mag_c
     ph0 = _rt_pghi_phases(
         mag, angles_ref, mprev_ref, phi_ref, reim_ref,
         ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref,
-        T_c=T_c, hop=hop, n_fft=n_fft, Fp=Fp, n_bins=n_bins,
-        fmul=fmul, tol=tol,
+        T_c=Tp, hop=hop, n_fft=n_fft, Fp=Fp, n_bins=n_bins,
+        fmul=fmul, tol=tol, n_valid=T, commit=T_c,
     )
 
-    # ---- extended grid [gl_ctx; chunk; zero pad]: build by row-select
-    # (value-slice concats trip Mosaic's offset check; rolls + wheres do
-    # not)
+    # ---- extended grid [gl_ctx; pending + chunk; zero pad]
     rowx = jax.lax.broadcasted_iota(jnp.int32, (B, Tx, Fp), 1)
     lanex = jax.lax.broadcasted_iota(jnp.int32, (B, Tx, Fp), 2)
 
-    def ext(ctx_rows_ref, chunk_vals):
+    def ext(ctx_rows_ref, vals):
         # rows [0, ctx) from the carried context ref, rows [ctx, Tv) from
-        # the chunk values (shifted down by ctx via a roll on a padded
-        # layout — T_c >= ctx is gated), rows [Tv, Tx) zero
-        pad = jnp.pad(chunk_vals, [(0, 0), (0, Tx - T_c), (0, 0)])
+        # the fill values (shifted down by ctx via a roll on a padded
+        # layout — rows >= T of ``vals`` are masked below, so the roll's
+        # wrap is harmless), rows [Tv, Tx) zero
+        if Tx > Tp:
+            pad = jnp.pad(vals, [(0, 0), (0, Tx - Tp), (0, 0)])
+        else:
+            pad = vals[:, :Tx, :]
         shifted = pltpu.roll(pad, shift=ctx, axis=1)
         ctx_pad = jnp.pad(ctx_rows_ref[...], [(0, 0), (0, Tx - ctx), (0, 0)])
         out = jnp.where(rowx < ctx, ctx_pad, shifted)
@@ -1008,17 +1060,23 @@ def _session_pghi_gl_kernel(
 
     phase = jax.lax.fori_loop(0, iters, project, ph_ext, unroll=False)
 
-    # committed chunk rows: ext rows [ctx, Tx) shifted back up
+    # committed chunk rows: ext rows [ctx, ctx + T_c) shifted back up —
+    # with lookahead the trailing ``la`` polished rows stay uncommitted
+    # (their magnitudes carry; phases re-seed next step)
     ph = pltpu.roll(phase, shift=Tx - ctx, axis=1)[:, :T_c, :]
+    mag_commit = mag[:, :T_c, :] if la else mag
 
-    # ---- carries: polished last phase row (the generic scan's
-    # phase_buffer = angle(committed spec)); context mags/phases
+    # ---- carries: polished last COMMITTED phase row (the generic scan's
+    # phase_buffer = angle(committed spec)); context mags/phases; pending
+    # magnitudes
     phi_ref[...] = ph[:, T_c - 1, :]
     glm_ref[...] = mag[:, T_c - ctx: T_c, :]
     glp_ref[...] = ph[:, T_c - ctx: T_c, :]
+    if la:
+        la_ref[...] = mag[:, T_c: T, :]
 
     lane3 = jax.lax.broadcasted_iota(jnp.int32, (B, T_c, Fp), 2)
-    mm = jnp.where(lane3 < n_bins, mag, 0.0)
+    mm = jnp.where(lane3 < n_bins, mag_commit, 0.0)
     _synth_and_emit(
         mm, ph, reim_ref, syn_basis_ref, o_ref, tail_ref,
         T_c=T_c, overlap=overlap, hop=hop, Fp=Fp,
@@ -1029,21 +1087,24 @@ def _session_pghi_gl_kernel(
     jax.jit,
     static_argnames=(
         "n_fft", "hop", "T_c", "n_chunks", "Fp", "n_bins", "fmul", "tol",
-        "ctx", "iters", "interpret",
+        "ctx", "iters", "la", "interpret",
     ),
 )
 def _session_pghi_gl_call(
     rows, ana_basis, syn_basis, proj_basis, angles,
-    n_fft, hop, T_c, n_chunks, Fp, n_bins, fmul, tol, ctx, iters, interpret,
+    n_fft, hop, T_c, n_chunks, Fp, n_bins, fmul, tol, ctx, iters, la,
+    interpret,
 ):
     B = rows.shape[0]
     overlap = n_fft // hop
     kernel = functools.partial(
         _session_pghi_gl_kernel,
         T_c=T_c, overlap=overlap, hop=hop, n_fft=n_fft, Fp=Fp,
-        n_bins=n_bins, fmul=fmul, tol=tol, ctx=ctx, iters=iters,
+        n_bins=n_bins, fmul=fmul, tol=tol, ctx=ctx, iters=iters, la=la,
     )
     rows_out, out_w, carry_rows = ola_layout(n_fft, hop, T_c)
+    T = T_c + la            # frames through the fill per step
+    Tp = _round_up(T, 8)    # fill rows (8-aligned)
 
     def fixed(m):
         return pl.BlockSpec(m.shape, lambda t: (0, 0), memory_space=pltpu.VMEM)
@@ -1060,8 +1121,11 @@ def _session_pghi_gl_call(
             fixed(ana_basis),
             fixed(syn_basis),
             fixed(proj_basis),
+            # angles ride 8-aligned per-chunk blocks (Mosaic requires
+            # blocked sublane extents divisible by 8; rows [T, Tp) are
+            # alignment pad, never read — the fill stops at n_valid=T)
             pl.BlockSpec(
-                (B, T_c, Fp), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+                (B, Tp, Fp), lambda t: (0, t, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -1074,9 +1138,9 @@ def _session_pghi_gl_call(
             pltpu.VMEM((B, 2, Fp), jnp.float32),
             pltpu.VMEM((B, Fp), jnp.float32),
             pltpu.VMEM((B, carry_rows, out_w), jnp.float32),
-            pltpu.VMEM((B, T_c, 2 * Fp), jnp.float32),
+            pltpu.VMEM((B, Tp, 2 * Fp), jnp.float32),
         ]
-        + [pltpu.VMEM((B, T_c, Fp), jnp.float32) for _ in range(5)]
+        + [pltpu.VMEM((B, Tp, Fp), jnp.float32) for _ in range(5)]
         + [pltpu.VMEM((B, ctx, Fp), jnp.float32) for _ in range(2)]
         + [
             pltpu.VMEM(
@@ -1085,13 +1149,14 @@ def _session_pghi_gl_call(
                 (
                     B,
                     _round_up(
-                        _round_up(ctx + T_c, 8) + overlap - 1, 8
+                        _round_up(ctx + T, 8) + overlap - 1, 8
                     ),
                     hop,
                 ),
                 jnp.float32,
             )
-        ],
+        ]
+        + ([pltpu.VMEM((B, la, Fp), jnp.float32)] if la else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -1120,6 +1185,7 @@ def make_fused_pghi_gl_roundtrip(
     tol = float(rt.tolerance)
     ctx = int(rt.gl_context)
     iters = int(rt.gl_iterations)
+    la = int(getattr(rt, "lookahead_frames", 0))
 
     ana_basis = _ana_basis(rt.window, n_fft, F, Fp)
     syn_basis = _syn_basis(
@@ -1136,16 +1202,28 @@ def make_fused_pghi_gl_roundtrip(
         n_chunks = -(-L // chunk_size)
         xb = x.reshape((-1, L))
         B = xb.shape[0]
-        angles = _session_angles(key, n_chunks, T_c, F, Fp, batch_shape)
+        # per-chunk draws cover the la pending frames re-entering the fill
+        # (pghi_gl_stream passes [la_mag; chunk] to pghi_stream, whose draw
+        # spans la + T_c frames); chunks pad to 8-aligned blocks for the
+        # kernel's BlockSpec (pad rows never read)
+        T = T_c + la
+        Tp = _round_up(T, 8)
+        angles = _session_angles(key, n_chunks, T, F, Fp, batch_shape)
+        if Tp != T:
+            angles = jnp.pad(
+                angles.reshape((-1, n_chunks, T, Fp)),
+                [(0, 0), (0, 0), (0, Tp - T), (0, 0)],
+            ).reshape((-1, n_chunks * Tp, Fp))
         total_rows = carry_rows + n_chunks * T_c + (_WIN_PAD - carry_rows)
         rows = _session_rows(xb, carry_rows, total_rows, hop)
         out = _run_batch_slabs(
             lambda r, a: _session_pghi_gl_call(
                 r, ana_basis, syn_basis, proj_basis, a,
                 n_fft, hop, T_c, n_chunks, Fp, F, fmul, tol, ctx, iters,
-                interpret,
+                la, interpret,
             ),
-            B, _pghi_session_slab(n_fft, hop, T_c, Fp, ctx=ctx), rows, angles,
+            B, _pghi_session_slab(n_fft, hop, T_c, Fp, ctx=ctx, la=la),
+            rows, angles,
         )
         out = out.reshape(batch_shape + (n_chunks * T_c * hop,))
         return out[..., : n_chunks * chunk_size]

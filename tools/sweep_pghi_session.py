@@ -41,6 +41,11 @@ CASES = [
     ("random", 1024, 256, 4096, 64),   # auto cap (mirrors complex path)
     ("random", 512, 64, 2048, 8),      # lcm-packed OLA
     ("random", 1024, 256, 4096, 128),  # crossover probe (x3 GEMMs, 2 slabs)
+    # bounded lookahead (r3.23): the quality knee is la=2 (BENCH_NOTES
+    # r3.12); la=5 exercises the non-8-aligned fill row count
+    ("pghi_gl", 1024, 256, 4096, 1, {"lookahead_frames": 2}),
+    ("pghi_gl", 1024, 256, 4096, 8, {"lookahead_frames": 2}),
+    ("pghi_gl", 1024, 256, 4096, 1, {"lookahead_frames": 5}),
 ]
 
 
@@ -58,9 +63,11 @@ def main():
     cases = CASES
     if len(sys.argv) > 1:  # rerun a subset: indices into CASES
         cases = [CASES[int(i)] for i in sys.argv[1:]]
-    for mode, n_fft, hop, chunk, B in cases:
+    for case in cases:
+        mode, n_fft, hop, chunk, B = case[:5]
+        kw = case[5] if len(case) > 5 else {}
         ch = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
-            n_fft=n_fft, hop_length=hop, inversion_mode=mode
+            n_fft=n_fft, hop_length=hop, inversion_mode=mode, **kw
         )
         L = (x.shape[-1] // chunk) * chunk
         xj = jnp.asarray(np.broadcast_to(x[:L], (B, L)).copy())
@@ -96,8 +103,9 @@ def main():
         frames = B * L // hop
         dt_g = _device_time(gen, xj, 5)
         dt_f = _device_time(fus, xj, 10)
+        tag = "".join(f" {k}={v}" for k, v in kw.items())
         print(
-            f"{mode} {n_fft}/{hop} chunk={chunk} B={B}: "
+            f"{mode}{tag} {n_fft}/{hop} chunk={chunk} B={B}: "
             f"sc gen={sc_g:.4f} fused={sc_f:.4f}  "
             f"generic {frames/dt_g/1e3:.1f}K  fused {frames/dt_f/1e3:.1f}K "
             f"frames/s  [{dt_g/dt_f:.1f}x]",
