@@ -9,7 +9,7 @@ functional pytree transforms, scan-based streaming, mesh sharding.
 """
 from . import export, fuse, ops, parallel, serving, streaming, transforms, utils
 from .fuse import fuse_fit, fuse_forward
-from .streaming import chunk_signal, scan_forward, scan_roundtrip
+from .streaming import chunk_signal, scan_forward, scan_invert, scan_roundtrip
 from .transforms import *  # noqa: F401,F403
 from .transforms import __all__ as _transforms_all
 from .version import __version__
@@ -27,6 +27,7 @@ __all__ = [
     "fuse_fit",
     "chunk_signal",
     "scan_forward",
+    "scan_invert",
     "scan_roundtrip",
     "__version__",
 ] + list(_transforms_all)

@@ -46,6 +46,9 @@ __all__ = [
     "fused_random_roundtrip_available", "make_fused_random_roundtrip",
     "fused_pghi_roundtrip_available", "make_fused_pghi_roundtrip",
     "fused_pghi_gl_roundtrip_available", "make_fused_pghi_gl_roundtrip",
+    "fused_random_invert_available", "make_fused_random_invert",
+    "fused_pghi_invert_available", "make_fused_pghi_invert",
+    "fused_pghi_gl_invert_available", "make_fused_pghi_gl_invert",
 ]
 
 _WIN_PAD = 8  # Element-window sublane alignment over-fetch
@@ -134,19 +137,22 @@ def _run_batch_slabs(call, B: int, slab: int, *arrays):
     )
 
 
-def _pghi_session_slab(n_fft, hop, T_c, Fp, ctx=0, la=0):
+def _pghi_session_slab(n_fft, hop, T_c, Fp, ctx=0, la=0, mag_in=False):
     """Largest batch slab whose phaseless session call fits scoped VMEM.
 
     Same fitted model as ``pghi_kernel._slab_b``: sum the double-buffered
     blocks and scratch rows per stream, budget 56 MB of modeled bytes
     against the 100/110 MB limit (the compiler's scoped accounting runs
     ~1.2-1.6x the raw sum).  Capped at 64 — the sweep-validated region
-    (BENCH_NOTES.md r3.20/21); larger batches split exactly."""
+    (BENCH_NOTES.md r3.20/21); larger batches split exactly.
+    ``mag_in=True`` models the invert-only (decode) sessions: the input
+    block is the chunk's magnitudes ``(T_c, Fp)`` instead of signal rows."""
     overlap = n_fft // hop
     rows_out, out_w, carry_rows = ola_layout(n_fft, hop, T_c)
     Tp = _round_up(T_c + la, 8)         # fill rows (lookahead included)
+    in_block = T_c * Fp if mag_in else (T_c + _WIN_PAD) * hop
     per_b = 4 * (
-        2 * (T_c + _WIN_PAD) * hop      # rows block, double-buffered
+        2 * in_block                    # input block, double-buffered
         + 2 * Tp * Fp                   # angles block (8-aligned)
         + 2 * rows_out * out_w          # output block
         + 3 * Fp                        # mag carry (2 rows) + phase carry
@@ -924,6 +930,7 @@ def _session_pghi_gl_kernel(
     ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref, glm_ref, glp_ref, y_ref,
     *opt_refs,
     T_c, overlap, hop, n_fft, Fp, n_bins, fmul, tol, ctx, iters, la,
+    from_mag=False,
 ):
     """One grid step of the ``pghi_gl`` session: the RT-PGHI fill seeds
     ``iters`` windowed Griffin-Lim consistency projections on the chunk's
@@ -968,7 +975,12 @@ def _session_pghi_gl_kernel(
         if la:
             la_ref[...] = jnp.zeros_like(la_ref)
 
-    mag_c = _analyze_mag(rows_ref, ana_basis_ref, T_c, overlap, hop, Fp)
+    # from_mag: the invert-only (decode) session — the chunk's magnitudes
+    # arrive directly as the first block (a model's output), no analysis
+    mag_c = (
+        rows_ref[...] if from_mag
+        else _analyze_mag(rows_ref, ana_basis_ref, T_c, overlap, hop, Fp)
+    )
     if la:
         # fill grid [pending la; chunk T_c; zero pad]: row-select build
         # (value-slice concats trip Mosaic's offset check; the roll's
@@ -1087,13 +1099,13 @@ def _session_pghi_gl_kernel(
     jax.jit,
     static_argnames=(
         "n_fft", "hop", "T_c", "n_chunks", "Fp", "n_bins", "fmul", "tol",
-        "ctx", "iters", "la", "interpret",
+        "ctx", "iters", "la", "from_mag", "interpret",
     ),
 )
 def _session_pghi_gl_call(
     rows, ana_basis, syn_basis, proj_basis, angles,
     n_fft, hop, T_c, n_chunks, Fp, n_bins, fmul, tol, ctx, iters, la,
-    interpret,
+    interpret, from_mag=False,
 ):
     B = rows.shape[0]
     overlap = n_fft // hop
@@ -1101,6 +1113,7 @@ def _session_pghi_gl_call(
         _session_pghi_gl_kernel,
         T_c=T_c, overlap=overlap, hop=hop, n_fft=n_fft, Fp=Fp,
         n_bins=n_bins, fmul=fmul, tol=tol, ctx=ctx, iters=iters, la=la,
+        from_mag=from_mag,
     )
     rows_out, out_w, carry_rows = ola_layout(n_fft, hop, T_c)
     T = T_c + la            # frames through the fill per step
@@ -1113,7 +1126,13 @@ def _session_pghi_gl_call(
         kernel,
         grid=(n_chunks,),
         in_specs=[
+            # from_mag (decode sessions): per-chunk magnitude blocks;
+            # otherwise overlapping signal-row Element windows
             pl.BlockSpec(
+                (B, T_c, Fp), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+            )
+            if from_mag
+            else pl.BlockSpec(
                 (pl.Element(B), pl.Element(T_c + _WIN_PAD), pl.Element(hop)),
                 lambda t: (0, t * T_c, 0),
                 memory_space=pltpu.VMEM,
@@ -1227,5 +1246,377 @@ def make_fused_pghi_gl_roundtrip(
         )
         out = out.reshape(batch_shape + (n_chunks * T_c * hop,))
         return out[..., : n_chunks * chunk_size]
+
+    return run
+
+
+# ===================================================== invert-only (decode)
+# The decode twins of the phaseless session kernels: a model's magnitude
+# frames arrive from HBM (``streaming.scan_invert``'s input) and the chunk's
+# analysis GEMM disappears — everything downstream (RT-PGHI fill, GL polish,
+# synthesis, OLA tail carry) is shared with the roundtrip kernels, so a fix
+# cannot diverge.  The key pipeline replicates ``scan_invert``'s generic
+# scan (one key per chunk, then the Compose step_invert child split), so
+# the silent-bin/uniform draws are bit-equal.
+
+def _invert_chunk_size(chain, chunk_frames: int) -> Optional[int]:
+    """``chunk_frames * hop`` for a recognized 2-chain, else ``None`` —
+    lets the invert gates reuse the roundtrip gates verbatim."""
+    from ...transforms.base import ComposeAudioTransform
+    from ...transforms.stft import RealtimeSTFT
+
+    if not isinstance(chain, ComposeAudioTransform) or len(chain) != 2:
+        return None
+    rt = chain.transforms[1]
+    if not isinstance(rt, RealtimeSTFT):
+        return None
+    return chunk_frames * rt.hop_length
+
+
+def fused_random_invert_available(chain, chunk_frames: int) -> bool:
+    """Gate for the fused ``inversion_mode="random"`` decode session."""
+    cs = _invert_chunk_size(chain, chunk_frames)
+    return cs is not None and fused_random_roundtrip_available(chain, cs)
+
+
+def fused_pghi_invert_available(chain, chunk_frames: int) -> bool:
+    """Gate for the fused ``inversion_mode="pghi"`` decode session."""
+    cs = _invert_chunk_size(chain, chunk_frames)
+    return cs is not None and fused_pghi_roundtrip_available(chain, cs)
+
+
+def fused_pghi_gl_invert_available(chain, chunk_frames: int) -> bool:
+    """Gate for the fused ``inversion_mode="pghi_gl"`` decode session."""
+    cs = _invert_chunk_size(chain, chunk_frames)
+    return cs is not None and fused_pghi_gl_roundtrip_available(chain, cs)
+
+
+def _session_mags(yb, n_frames_total: int, F: int, Fp: int):
+    """Frame-major magnitudes ``(B, T, F)`` -> zero-padded
+    ``(B, n_frames_total, Fp)`` (pad frames have zero magnitude — they
+    contribute nothing through the OLA; pad lanes are masked in-kernel)."""
+    B, T, _ = yb.shape
+    return jnp.pad(yb, [(0, 0), (0, n_frames_total - T), (0, Fp - F)])
+
+
+def _session_random_invert_kernel(
+    mag_ref, syn_basis_ref, angles_ref, o_ref, tail_ref, reim_ref,
+    *, T_k, overlap, hop, Fp, n_bins,
+):
+    """Decode twin of :func:`_session_random_kernel`: magnitudes arrive
+    directly, phases are the precomputed uniform draws, synthesis + OLA
+    with the carried tail (the only state — grid steps may regroup chunks
+    exactly like the roundtrip kernel's)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        tail_ref[...] = jnp.zeros_like(tail_ref)
+
+    mag = mag_ref[...]
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 2)
+    mm = jnp.where(lane3 < n_bins, mag, 0.0)
+    _synth_and_emit(
+        mm, angles_ref[...], reim_ref, syn_basis_ref, o_ref, tail_ref,
+        T_c=T_k, overlap=overlap, hop=hop, Fp=Fp, x3=True,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_fft", "hop", "T_k", "n_steps", "Fp", "n_bins", "interpret",
+    ),
+)
+def _session_random_invert_call(
+    mags, syn_basis, angles, n_fft, hop, T_k, n_steps, Fp, n_bins, interpret,
+):
+    B = mags.shape[0]
+    overlap = n_fft // hop
+    kernel = functools.partial(
+        _session_random_invert_kernel,
+        T_k=T_k, overlap=overlap, hop=hop, Fp=Fp, n_bins=n_bins,
+    )
+    rows_out, out_w, carry_rows = ola_layout(n_fft, hop, T_k)
+
+    def fixed(m):
+        return pl.BlockSpec(m.shape, lambda t: (0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (B, T_k, Fp), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+            ),
+            fixed(syn_basis),
+            pl.BlockSpec(
+                (B, T_k, Fp), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, rows_out, out_w), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_steps * rows_out, out_w), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, carry_rows, out_w), jnp.float32),  # OLA tail
+            pltpu.VMEM((B, T_k, 2 * Fp), jnp.float32),        # re | im
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(mags, syn_basis, angles)
+
+
+def make_fused_random_invert(
+    chain, chunk_frames: int, key=None, interpret: Optional[bool] = None
+):
+    """Whole-session fused random-phase DECODE ``fn(mags (..., T, F)) ->
+    audio (..., T * hop)``; output matches ``scan_invert(chain, mags,
+    chunk_frames, inversion_mode="random", key=key)`` (bit-equal draws,
+    see module decode notes)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    oadd, rt = chain.transforms
+    n_fft, hop = rt.n_fft, rt.hop_length
+    T_c = chunk_frames
+    F = n_fft // 2 + 1
+    Fp = _round_up(F, LANE)
+
+    syn_basis = _syn_basis(
+        rt.inv_window, n_fft, F, Fp,
+        jnp.asarray(oadd.gain_compensation, jnp.float32),
+    )
+
+    def run(y: jnp.ndarray) -> jnp.ndarray:
+        batch_shape = y.shape[:-2]
+        T = y.shape[-2]
+        n_chunks = -(-T // T_c)
+        n_frames = n_chunks * T_c
+        yb = y.reshape((-1, T, F))
+        B = yb.shape[0]
+        angles = _session_angles(key, n_chunks, T_c, F, Fp, batch_shape)
+        unit = ola_tile_unit(hop)
+        # same VMEM-product policy as the roundtrip random session
+        slab = max(8, (512 // unit) // 8 * 8)
+        Bs = min(B, slab)
+        T_k = min(
+            _round_up(n_frames, unit),
+            128,
+            max(unit, _round_up(512 // Bs, unit)),
+        )
+        n_steps = -(-n_frames // T_k)
+        mags = _session_mags(yb, n_steps * T_k, F, Fp)
+        angles = jnp.pad(
+            angles, [(0, 0), (0, n_steps * T_k - n_frames), (0, 0)]
+        )
+        out = _run_batch_slabs(
+            lambda m, a: _session_random_invert_call(
+                m, syn_basis, a, n_fft, hop, T_k, n_steps, Fp, F, interpret
+            ),
+            B, slab, mags, angles,
+        )
+        out = out.reshape(batch_shape + (n_steps * T_k * hop,))
+        return out[..., : T * hop]
+
+    return run
+
+
+def _session_pghi_invert_kernel(
+    mag_ref, syn_basis_ref, angles_ref,
+    o_ref, mprev_ref, phi_ref, tail_ref, reim_ref,
+    ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref,
+    *, T_c, overlap, hop, n_fft, Fp, n_bins, fmul, tol,
+):
+    """Decode twin of :func:`_session_pghi_kernel`: the chunk's magnitudes
+    arrive directly; RT-PGHI fill + synthesis + OLA identical, with the
+    same VMEM-resident streaming state (grid step = one chunk — the
+    per-chunk threshold is a chunk statistic)."""
+    t = pl.program_id(0)
+    B = mag_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _init():
+        mprev_ref[...] = jnp.zeros_like(mprev_ref)
+        phi_ref[...] = jnp.zeros_like(phi_ref)
+        tail_ref[...] = jnp.zeros_like(tail_ref)
+
+    mag = mag_ref[...]
+    phis = _rt_pghi_phases(
+        mag, angles_ref, mprev_ref, phi_ref, reim_ref,
+        ct_ref, sup_ref, sdn_ref, anc_ref, sig_ref,
+        T_c=T_c, hop=hop, n_fft=n_fft, Fp=Fp, n_bins=n_bins,
+        fmul=fmul, tol=tol,
+    )
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (B, T_c, Fp), 2)
+    mm = jnp.where(lane3 < n_bins, mag, 0.0)
+    _synth_and_emit(
+        mm, phis, reim_ref, syn_basis_ref, o_ref, tail_ref,
+        T_c=T_c, overlap=overlap, hop=hop, Fp=Fp,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_fft", "hop", "T_c", "n_chunks", "Fp", "n_bins", "fmul", "tol",
+        "interpret",
+    ),
+)
+def _session_pghi_invert_call(
+    mags, syn_basis, angles,
+    n_fft, hop, T_c, n_chunks, Fp, n_bins, fmul, tol, interpret,
+):
+    B = mags.shape[0]
+    overlap = n_fft // hop
+    kernel = functools.partial(
+        _session_pghi_invert_kernel,
+        T_c=T_c, overlap=overlap, hop=hop, n_fft=n_fft, Fp=Fp,
+        n_bins=n_bins, fmul=fmul, tol=tol,
+    )
+    rows_out, out_w, carry_rows = ola_layout(n_fft, hop, T_c)
+
+    def fixed(m):
+        return pl.BlockSpec(m.shape, lambda t: (0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (B, T_c, Fp), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+            ),
+            fixed(syn_basis),
+            pl.BlockSpec(
+                (B, T_c, Fp), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, rows_out, out_w), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_chunks * rows_out, out_w), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, 2, Fp), jnp.float32),        # mag carry (2 rows)
+            pltpu.VMEM((B, Fp), jnp.float32),           # phase carry
+            pltpu.VMEM((B, carry_rows, out_w), jnp.float32),  # OLA tail
+            pltpu.VMEM((B, T_c, 2 * Fp), jnp.float32),  # phi | re | im
+        ]
+        + [pltpu.VMEM((B, T_c, Fp), jnp.float32) for _ in range(5)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(mags, syn_basis, angles)
+
+
+def make_fused_pghi_invert(
+    chain, chunk_frames: int, key=None, interpret: Optional[bool] = None
+):
+    """Whole-session fused RT-PGHI DECODE ``fn(mags (..., T, F)) ->
+    audio (..., T * hop)``; matches ``scan_invert(chain, mags,
+    chunk_frames, inversion_mode="pghi", key=key)`` under the roundtrip
+    kernels' quality-parity contract (:func:`_session_pghi_kernel`)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    oadd, rt = chain.transforms
+    n_fft, hop = rt.n_fft, rt.hop_length
+    T_c = chunk_frames
+    F = n_fft // 2 + 1
+    Fp = _round_up(F, LANE)
+    fmul = float(rt.gamma) / (hop * n_fft)
+    tol = float(rt.tolerance)
+
+    syn_basis = _syn_basis(
+        rt.inv_window, n_fft, F, Fp,
+        jnp.asarray(oadd.gain_compensation, jnp.float32),
+    )
+
+    def run(y: jnp.ndarray) -> jnp.ndarray:
+        batch_shape = y.shape[:-2]
+        T = y.shape[-2]
+        n_chunks = -(-T // T_c)
+        yb = y.reshape((-1, T, F))
+        B = yb.shape[0]
+        angles = _session_angles(key, n_chunks, T_c, F, Fp, batch_shape)
+        mags = _session_mags(yb, n_chunks * T_c, F, Fp)
+        out = _run_batch_slabs(
+            lambda m, a: _session_pghi_invert_call(
+                m, syn_basis, a,
+                n_fft, hop, T_c, n_chunks, Fp, F, fmul, tol, interpret,
+            ),
+            B, _pghi_session_slab(n_fft, hop, T_c, Fp, mag_in=True),
+            mags, angles,
+        )
+        out = out.reshape(batch_shape + (n_chunks * T_c * hop,))
+        return out[..., : T * hop]
+
+    return run
+
+
+def make_fused_pghi_gl_invert(
+    chain, chunk_frames: int, key=None, interpret: Optional[bool] = None
+):
+    """Whole-session fused ``pghi_gl`` DECODE ``fn(mags (..., T, F)) ->
+    audio (..., T * hop)`` — the RT-PGHI seed + pinned-context GL polish
+    of :func:`_session_pghi_gl_kernel` with the magnitudes arriving
+    directly (``from_mag``); bounded lookahead included.  Matches
+    ``scan_invert(chain, mags, chunk_frames, inversion_mode="pghi_gl",
+    key=key)``."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    oadd, rt = chain.transforms
+    n_fft, hop = rt.n_fft, rt.hop_length
+    overlap = n_fft // hop
+    T_c = chunk_frames
+    F = n_fft // 2 + 1
+    Fp = _round_up(F, LANE)
+    fmul = float(rt.gamma) / (hop * n_fft)
+    tol = float(rt.tolerance)
+    ctx = int(rt.gl_context)
+    iters = int(rt.gl_iterations)
+    la = int(getattr(rt, "lookahead_frames", 0))
+
+    ana_basis = _ana_basis(rt.window, n_fft, F, Fp)
+    syn_basis = _syn_basis(
+        rt.inv_window, n_fft, F, Fp,
+        jnp.asarray(oadd.gain_compensation, jnp.float32),
+    )
+    proj_basis = _syn_basis(rt.inv_window, n_fft, F, Fp, jnp.float32(overlap))
+
+    def run(y: jnp.ndarray) -> jnp.ndarray:
+        batch_shape = y.shape[:-2]
+        T = y.shape[-2]
+        n_chunks = -(-T // T_c)
+        yb = y.reshape((-1, T, F))
+        B = yb.shape[0]
+        Tf = T_c + la
+        Tp = _round_up(Tf, 8)
+        angles = _session_angles(key, n_chunks, Tf, F, Fp, batch_shape)
+        if Tp != Tf:
+            angles = jnp.pad(
+                angles.reshape((-1, n_chunks, Tf, Fp)),
+                [(0, 0), (0, 0), (0, Tp - Tf), (0, 0)],
+            ).reshape((-1, n_chunks * Tp, Fp))
+        mags = _session_mags(yb, n_chunks * T_c, F, Fp)
+        out = _run_batch_slabs(
+            lambda m, a: _session_pghi_gl_call(
+                m, ana_basis, syn_basis, proj_basis, a,
+                n_fft, hop, T_c, n_chunks, Fp, F, fmul, tol, ctx, iters,
+                la, interpret, from_mag=True,
+            ),
+            B, _pghi_session_slab(
+                n_fft, hop, T_c, Fp, ctx=ctx, la=la, mag_in=True
+            ),
+            mags, angles,
+        )
+        out = out.reshape(batch_shape + (n_chunks * T_c * hop,))
+        return out[..., : T * hop]
 
     return run

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from .transforms.base import AudioTransform
 
-__all__ = ["chunk_signal", "scan_forward", "scan_roundtrip"]
+__all__ = ["chunk_signal", "scan_forward", "scan_invert", "scan_roundtrip"]
 
 
 def chunk_signal(x: jnp.ndarray, chunk_size: int) -> jnp.ndarray:
@@ -60,6 +60,131 @@ def scan_forward(
     ys = jnp.moveaxis(ys, 0, -3) if ys.ndim >= 3 else ys
     ys = ys.reshape(ys.shape[:-3] + (ys.shape[-3] * ys.shape[-2],) + ys.shape[-1:])
     return ys, state
+
+
+@partial(jax.jit, static_argnames=("chunk_frames", "inversion_mode", "backend"))
+def scan_invert(
+    chain: AudioTransform,
+    y: jnp.ndarray,
+    chunk_frames: int,
+    inversion_mode: Optional[str] = None,
+    key: Optional[jax.Array] = None,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Streaming DECODE: spectra/magnitudes ``(..., T, F)`` -> audio.
+
+    The vocoder serving hot path — a model produces frames, the chain
+    inverts them chunk by chunk with carried streaming state (RT-PGHI
+    history, OLA tail).  This is the invert half of :func:`scan_roundtrip`
+    as its own one-scan program: ``chunk_frames`` frames per step through
+    ``chain.step_invert`` (the reference's per-chunk
+    ``RealtimeSTFT.invert -> OverlapAdd.invert`` loop, reference
+    stft.py:324-352, without the analysis half).  ``y`` is real magnitudes
+    for phaseless ``inversion_mode``s ("random"/"pghi"/"pghi_gl"/
+    "sinebank"), complex spectra for ``None``.  Returns ``(..., T * R)``
+    samples where ``R`` is the chain's invert ratio (``hop`` for
+    ``[OverlapAdd, RealtimeSTFT]`` chains); the tail chunk is zero-frame
+    padded and the output trimmed back to ``T * R``.
+
+    ``backend="auto"`` dispatches recognized ``[OverlapAdd, RealtimeSTFT]``
+    phaseless sessions to whole-session fused invert kernels
+    (ops/pallas/stream_step.py) — the decode twins of the roundtrip
+    session kernels, minus the analysis GEMM; same key pipeline, so draws
+    match the generic scan bit-exactly.
+    """
+    from .ops.pallas.stream_step import (
+        fused_pghi_gl_invert_available,
+        fused_pghi_invert_available,
+        fused_random_invert_available,
+        make_fused_pghi_gl_invert,
+        make_fused_pghi_invert,
+        make_fused_random_invert,
+    )
+
+    if backend not in ("auto", "fused", "generic"):
+        raise ValueError(
+            "unknown scan_invert backend %r (use 'auto', 'fused' or "
+            "'generic')" % backend
+        )
+    batch_elems = 1
+    for d in y.shape[:-2]:
+        batch_elems *= d
+    pghi_available = (
+        inversion_mode == "pghi"
+        and fused_pghi_invert_available(chain, chunk_frames)
+    )
+    pghi_gl_available = (
+        inversion_mode == "pghi_gl"
+        and fused_pghi_gl_invert_available(chain, chunk_frames)
+    )
+    random_available = (
+        inversion_mode == "random"
+        and fused_random_invert_available(chain, chunk_frames)
+    )
+    if backend == "fused" and not (
+        pghi_available or pghi_gl_available or random_available
+    ):
+        raise ValueError(
+            "backend='fused' requested but no fused invert-session kernel "
+            "covers this call (needs a direct [OverlapAdd, RealtimeSTFT] "
+            "chain with inversion_mode 'random', 'pghi' or 'pghi_gl' and "
+            "an OLA-supported layout); use backend='auto' to fall back to "
+            "the generic scan"
+        )
+    take = backend == "fused" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if pghi_available or pghi_gl_available or random_available:
+        from .ops.pallas.spectral import LANE, _round_up
+
+        rt = chain.transforms[1]
+        n_frames = -(-y.shape[-2] // chunk_frames) * chunk_frames
+        angle_bytes = batch_elems * n_frames * _round_up(
+            rt.n_fft // 2 + 1, LANE
+        ) * 4
+        angles_fit = angle_bytes <= 1 << 30
+        # same measured batch caps as the roundtrip sessions
+        # (streaming.scan_roundtrip): the invert kernels share their
+        # structure minus the analysis GEMM
+        if pghi_available and take and (backend == "fused" or angles_fit):
+            return make_fused_pghi_invert(chain, chunk_frames, key=key)(y)
+        if pghi_gl_available and take and (
+            backend == "fused" or (angles_fit and batch_elems <= 32)
+        ):
+            return make_fused_pghi_gl_invert(chain, chunk_frames, key=key)(y)
+        if random_available and take and (
+            backend == "fused" or (angles_fit and batch_elems <= 128)
+        ):
+            return make_fused_random_invert(chain, chunk_frames, key=key)(y)
+
+    T = y.shape[-2]
+    n = -(-T // chunk_frames)
+    pad = n * chunk_frames - T
+    if pad:
+        y = jnp.pad(
+            y, [(0, 0)] * (y.ndim - 2) + [(0, pad), (0, 0)]
+        )
+    chunks = y.reshape(
+        y.shape[:-2] + (n, chunk_frames, y.shape[-1])
+    )
+    chunks = jnp.moveaxis(chunks, -3, 0)
+    state = chain.init_state(y.shape[:-2], mode=inversion_mode)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, n)
+
+    def body(st, inp):
+        chunk, k = inp
+        st, rec = chain.step_invert(
+            st, chunk, inversion_mode=inversion_mode, key=k
+        )
+        return st, rec
+
+    _, recs = jax.lax.scan(body, state, (chunks, keys))
+    recs = jnp.moveaxis(recs, 0, -2)
+    out = recs.reshape(recs.shape[:-2] + (recs.shape[-2] * recs.shape[-1],))
+    ratio = out.shape[-1] // (n * chunk_frames)
+    return out[..., : T * ratio]
 
 
 @partial(jax.jit, static_argnames=("chunk_size", "inversion_mode", "backend"))

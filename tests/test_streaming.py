@@ -702,3 +702,131 @@ def test_fused_random_session_fused_backend_dispatch(sig):
             chain, x, 1000,  # not a hop multiple
             inversion_mode="random", key=key, backend="fused",
         )
+
+
+# ===================================================== invert-only (decode)
+
+def test_scan_invert_equals_roundtrip(sig):
+    """``scan_invert`` on the forward's magnitudes, with the same key,
+    reproduces ``scan_roundtrip`` EXACTLY — the decode API is the invert
+    half of the roundtrip scan (same state threading, same per-chunk key
+    pipeline)."""
+    from acids_transforms_tpu.streaming import scan_forward, scan_invert
+
+    n_fft, hop, chunk = 1024, 256, 4096
+    x = jnp.asarray(sig[: 3 * chunk])
+    chain = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop, inversion_mode="pghi"
+    )
+    key = jax.random.PRNGKey(5)
+    frames, _ = scan_forward(chain, x, chunk)
+    mags = jnp.abs(frames)
+    y_rt = np.asarray(
+        scan_roundtrip(
+            chain, x, chunk, inversion_mode="pghi", key=key,
+            backend="generic",
+        )
+    )
+    y_inv = np.asarray(
+        scan_invert(
+            chain, mags, chunk // hop, inversion_mode="pghi", key=key,
+            backend="generic",
+        )
+    )
+    assert y_inv.shape == y_rt.shape
+    np.testing.assert_array_equal(y_inv, y_rt)
+    # complex (direct) decode: exact unity-gain reconstruction too
+    y_c = np.asarray(
+        scan_invert(chain, frames, chunk // hop, backend="generic")
+    )
+    y_crt = np.asarray(scan_roundtrip(chain, x, chunk, backend="generic"))
+    np.testing.assert_allclose(y_c, y_crt, atol=1e-5)
+    # ragged frame count: zero-frame padded, output trimmed to T * hop
+    y_rag = np.asarray(
+        scan_invert(
+            chain, mags[:-3], chunk // hop, inversion_mode="pghi", key=key,
+            backend="generic",
+        )
+    )
+    assert y_rag.shape[-1] == (mags.shape[-2] - 3) * hop
+
+
+@pytest.mark.parametrize("mode,kw", [
+    ("pghi", {}),
+    ("pghi_gl", {"gl_iterations": 4}),
+    ("pghi_gl", {"gl_iterations": 4, "lookahead_frames": 2}),
+    ("random", {}),
+])
+def test_fused_invert_session_matches_generic(sig, mode, kw):
+    """The decode (invert-only) session kernels equal the generic
+    ``scan_invert`` scan — same fills/draws minus the analysis GEMM
+    (magnitudes arrive bit-identical in both paths)."""
+    from acids_transforms_tpu.streaming import scan_forward, scan_invert
+    from acids_transforms_tpu.ops.pallas import stream_step as ss
+
+    n_fft, hop, chunk = 1024, 256, 4096
+    T_c = chunk // hop
+    x = jnp.asarray(sig[: 3 * chunk])
+    chain = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop, inversion_mode=mode, **kw
+    )
+    frames, _ = scan_forward(chain, x, chunk)
+    mags = jnp.abs(frames)
+    gate = getattr(ss, f"fused_{mode}_invert_available")
+    maker = getattr(ss, f"make_fused_{mode}_invert")
+    assert gate(chain, T_c)
+    key = jax.random.PRNGKey(9)
+    y_gen = np.asarray(
+        scan_invert(
+            chain, mags, T_c, inversion_mode=mode, key=key,
+            backend="generic",
+        )
+    )
+    y_ker = np.asarray(maker(chain, T_c, key=key)(mags))
+    assert y_ker.shape == y_gen.shape
+    rel = np.abs(y_ker - y_gen).max() / (np.abs(y_gen).max() + 1e-9)
+    assert rel < 1e-3, (mode, kw, rel)
+    # batched + backend='fused' dispatch through scan_invert
+    mb = jnp.stack([mags, 0.5 * mags])
+    yg = np.asarray(
+        scan_invert(
+            chain, mb, T_c, inversion_mode=mode, key=key, backend="generic"
+        )
+    )
+    yk = np.asarray(
+        scan_invert(
+            chain, mb, T_c, inversion_mode=mode, key=key, backend="fused"
+        )
+    )
+    assert np.abs(yk - yg).max() / (np.abs(yg).max() + 1e-9) < 1e-3
+
+
+def test_fused_invert_session_gates():
+    """Decode-session availability mirrors the roundtrip gates; explicit
+    backend='fused' fails loudly off-region."""
+    from acids_transforms_tpu.streaming import scan_invert
+    from acids_transforms_tpu.ops.pallas.stream_step import (
+        fused_pghi_gl_invert_available,
+        fused_pghi_invert_available,
+    )
+
+    chain = T.OverlapAdd(1024, 256) + T.RealtimeSTFT(
+        n_fft=1024, hop_length=256, inversion_mode="pghi"
+    )
+    assert fused_pghi_invert_available(chain, 16)
+    # a bare transform (no OverlapAdd) is not a recognized session
+    assert not fused_pghi_invert_available(
+        T.RealtimeSTFT(n_fft=1024, hop_length=256), 16
+    )
+    # pghi_gl lookahead > chunk frames keeps the generic scan
+    la_chain = T.OverlapAdd(1024, 256) + T.RealtimeSTFT(
+        n_fft=1024, hop_length=256, inversion_mode="pghi_gl",
+        lookahead_frames=17,
+    )
+    assert not fused_pghi_gl_invert_available(la_chain, 16)
+    mags = jnp.ones((40, 513), jnp.float32)
+    with pytest.raises(ValueError, match="fused"):
+        scan_invert(
+            la_chain, mags, 16, inversion_mode="pghi_gl",
+            key=jax.random.PRNGKey(0), backend="fused",
+        )

@@ -83,6 +83,7 @@ def main():
         ("Streaming (`acids_transforms_tpu.streaming`)", [
             ("chunk_signal", att.chunk_signal),
             ("scan_forward", att.scan_forward),
+            ("scan_invert", att.scan_invert),
             ("scan_roundtrip", att.scan_roundtrip),
         ]),
         ("Parallel (`acids_transforms_tpu.parallel`)", [
