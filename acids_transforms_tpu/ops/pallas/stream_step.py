@@ -49,6 +49,7 @@ __all__ = [
     "fused_random_invert_available", "make_fused_random_invert",
     "fused_pghi_invert_available", "make_fused_pghi_invert",
     "fused_pghi_gl_invert_available", "make_fused_pghi_gl_invert",
+    "fused_forward_session_available", "make_fused_forward_session",
 ]
 
 _WIN_PAD = 8  # Element-window sublane alignment over-fetch
@@ -1618,5 +1619,142 @@ def make_fused_pghi_gl_invert(
         )
         out = out.reshape(batch_shape + (n_chunks * T_c * hop,))
         return out[..., : T * hop]
+
+    return run
+
+
+# ===================================================== encode-only sessions
+
+def fused_forward_session_available(chain, chunk_size: int) -> bool:
+    """Gate for the fused ENCODE session (audio -> complex frames, the
+    model-feature serving path): the complex roundtrip kernel's layout
+    constraints — the framing ring is realized as overlapping Element
+    windows, exactly like every session kernel's analysis stage."""
+    return fused_roundtrip_available(chain, chunk_size)
+
+
+def _session_forward_kernel(
+    rows_ref, ana_basis_ref, o_ref, *, T_k, overlap, hop, Fp,
+):
+    """One grid step of the encode session: frame assembly + stacked
+    bf16x4 windowed DFT, spectrum straight to HBM as ``[re | im]`` lanes.
+    No carried state at all (the ring is the Element-window overlap), so
+    grid steps regroup chunks freely like the complex roundtrip's."""
+    f32 = jnp.float32
+    rows = rows_ref[...]
+    B = rows.shape[0]
+    n_rows = rows.shape[1]
+    parts = [
+        pltpu.roll(rows, shift=(n_rows - j) % n_rows, axis=1)[:, :T_k, :]
+        for j in range(overlap)
+    ]
+    frames = jnp.concatenate(parts, axis=2)
+    flat = frames.reshape(B * T_k, overlap * hop)
+    fh, fl = _split_bf16(flat)
+    stacked = jnp.concatenate([fh, fh, fl, fl], axis=1)
+    Z = jnp.dot(stacked, ana_basis_ref[...], preferred_element_type=f32)
+    o_ref[...] = Z.reshape(B, T_k, 2 * Fp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop", "T_k", "n_steps", "Fp", "interpret"),
+)
+def _session_forward_call(
+    rows, ana_basis, n_fft, hop, T_k, n_steps, Fp, interpret,
+):
+    B = rows.shape[0]
+    overlap = n_fft // hop
+    kernel = functools.partial(
+        _session_forward_kernel, T_k=T_k, overlap=overlap, hop=hop, Fp=Fp,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(B), pl.Element(T_k + _WIN_PAD), pl.Element(hop)),
+                lambda t: (0, t * T_k, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                ana_basis.shape, lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, T_k, 2 * Fp), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_steps * T_k, 2 * Fp), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(rows, ana_basis)
+
+
+def make_fused_forward_session(
+    chain, chunk_size: int, interpret: Optional[bool] = None
+):
+    """Whole-session fused ENCODE ``fn(x (..., L)) -> (frames complex
+    (..., T, F), final_state)`` for a recognized ``[OverlapAdd,
+    RealtimeSTFT-family]`` chain; matches ``scan_forward(chain, x,
+    chunk_size)`` (the forward never touches state past the framing ring,
+    so the final state is the init state with the ring = the padded
+    signal's tail)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    oadd, rt = chain.transforms
+    n_fft, hop = rt.n_fft, rt.hop_length
+    T_c = chunk_size // hop
+    F = n_fft // 2 + 1
+    Fp = _round_up(F, LANE)
+    carry_rows = n_fft // hop - 1
+
+    ana_basis = _ana_basis(rt.window, n_fft, F, Fp)
+
+    def run(x: jnp.ndarray):
+        batch_shape = x.shape[:-1]
+        L = x.shape[-1]
+        n_chunks = -(-L // chunk_size)
+        n_frames = n_chunks * T_c
+        xb = x.reshape((-1, L))
+        B = xb.shape[0]
+        unit = ola_tile_unit(hop)
+        # same VMEM-product policy as the complex roundtrip session
+        slab = max(8, (1024 // unit) // 8 * 8)
+        Bs = min(B, slab)
+        T_k = min(
+            _round_up(n_frames, unit),
+            128,
+            max(unit, _round_up(1024 // Bs, unit)),
+        )
+        n_steps = -(-n_frames // T_k)
+        total_rows = carry_rows + n_steps * T_k + (_WIN_PAD - carry_rows)
+        rows = _session_rows(xb, carry_rows, total_rows, hop)
+        out = _run_batch_slabs(
+            lambda r: _session_forward_call(
+                r, ana_basis, n_fft, hop, T_k, n_steps, interpret=interpret,
+                Fp=Fp,
+            ),
+            B, slab, rows,
+        )
+        out = out[:, :n_frames, :]
+        spec = jax.lax.complex(out[..., :F], out[..., Fp: Fp + F])
+        spec = spec.reshape(batch_shape + (n_frames, F))
+        # final state in closed form: the framing ring carries the padded
+        # signal's last (overlap-1)*hop samples; nothing else moves
+        state = chain.init_state(batch_shape)
+        carry = carry_rows * hop
+        pad = n_chunks * chunk_size - L
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)]) if pad else x
+        if carry > 0:
+            tail = jnp.concatenate(
+                [state[0]["input_buffer"], xp], axis=-1
+            )[..., -carry:]
+            state[0] = dict(state[0], input_buffer=tail)
+        return spec, state
 
     return run

@@ -38,15 +38,59 @@ def chunk_signal(x: jnp.ndarray, chunk_size: int) -> jnp.ndarray:
     return jnp.moveaxis(x, -2, 0)
 
 
-@partial(jax.jit, static_argnames=("chunk_size",))
+@partial(jax.jit, static_argnames=("chunk_size", "backend"))
 def scan_forward(
-    chain: AudioTransform, x: jnp.ndarray, chunk_size: int, state: Any = None
+    chain: AudioTransform,
+    x: jnp.ndarray,
+    chunk_size: int,
+    state: Any = None,
+    backend: str = "auto",
 ) -> Tuple[jnp.ndarray, Any]:
     """Run the chain's streaming forward over chunks of ``x`` in one scan.
 
     Returns ``(outputs, final_state)`` with outputs concatenated along the
     frame axis (-2).
+
+    ``backend="auto"`` dispatches fresh (``state=None``) sessions of
+    recognized ``[OverlapAdd, RealtimeSTFT]`` chains to a whole-session
+    fused ENCODE kernel (ops/pallas/stream_step.py) — frame assembly +
+    windowed DFT for every chunk in one pallas_call; the forward is
+    stateless past the framing ring, so the final state is computed in
+    closed form (the ring is the signal's tail).  ``"generic"`` forces the
+    chain scan; ``"fused"`` fails loudly when the kernel can't cover the
+    call.
     """
+    from .ops.pallas.stream_step import (
+        fused_forward_session_available,
+        make_fused_forward_session,
+    )
+
+    if backend not in ("auto", "fused", "generic"):
+        raise ValueError(
+            "unknown scan_forward backend %r (use 'auto', 'fused' or "
+            "'generic')" % backend
+        )
+    available = state is None and fused_forward_session_available(
+        chain, chunk_size
+    )
+    if backend == "fused" and not available:
+        raise ValueError(
+            "backend='fused' requested but the fused encode-session kernel "
+            "cannot cover this call (needs a fresh-state direct "
+            "[OverlapAdd, RealtimeSTFT] chain with an OLA-supported "
+            "layout); use backend='auto' to fall back to the generic scan"
+        )
+    take = backend == "fused" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    batch_elems = 1
+    for d in x.shape[:-1]:
+        batch_elems *= d
+    # same measured batch crossover as the complex roundtrip kernel
+    # (large fleets amortize XLA's dispatch; the kernel wins below it)
+    if available and take and (backend == "fused" or batch_elems <= 64):
+        return make_fused_forward_session(chain, chunk_size)(x)
+
     chunks = chunk_signal(x, chunk_size)
     if state is None:
         state = chain.init_state(x.shape[:-1])

@@ -511,6 +511,49 @@ def bench_configs(x: np.ndarray):
     except Exception as e:
         print(f"bench: streaming_random metric failed: {e!r}", file=sys.stderr)
 
+    # DECODE serving (r3.24): model magnitudes -> audio via scan_invert's
+    # fused invert-only session kernel; SC-parity gated vs its generic scan
+    try:
+        from acids_transforms_tpu.streaming import scan_invert
+
+        mags8 = jnp.abs(st_q.forward(xb8))
+        Tm = (mags8.shape[-2] // (4096 // HOP)) * (4096 // HOP)
+        mags8 = mags8[..., :Tm, :]
+
+        @jax.jit
+        def sc_dec(y):
+            m = jnp.abs(st_q.forward(y))
+            n = min(m.shape[-2], Tm) - 2
+            return jnp.linalg.norm(
+                m[..., 2:n, :] - mags8[..., 2:n, :]
+            ) / jnp.linalg.norm(mags8[..., 2:n, :])
+
+        y_df = scan_invert(
+            ch_p, mags8, 4096 // HOP, inversion_mode="pghi", key=kp
+        )
+        y_dg = scan_invert(
+            ch_p, mags8, 4096 // HOP, inversion_mode="pghi", key=kp,
+            backend="generic",
+        )
+        sc_df, sc_dg = float(sc_dec(y_df)), float(sc_dec(y_dg))
+        if sc_df <= sc_dg * 1.1 + 1e-3:
+            dt_d = _device_time(
+                lambda v: scan_invert(
+                    ch_p, v, 4096 // HOP, inversion_mode="pghi", key=kp
+                ),
+                mags8, max(N_ITER_TPU // 20, 3),
+            )
+            out["decode_pghi_frames_per_sec"] = round(8 * Tm / dt_d, 1)
+            out["decode_pghi_spectral_convergence"] = round(sc_df, 4)
+        else:
+            print(
+                f"bench: decode pghi quality gate failed "
+                f"sc_fused={sc_df:.4f} sc_generic={sc_dg:.4f}",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"bench: decode_pghi metric failed: {e!r}", file=sys.stderr)
+
     # production serving: 64 concurrent realtime sessions in one fused
     # session kernel (the grid-step frame count scales down with batch so
     # per-step VMEM stays bounded — r3.9)

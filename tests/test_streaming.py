@@ -830,3 +830,57 @@ def test_fused_invert_session_gates():
             la_chain, mags, 16, inversion_mode="pghi_gl",
             key=jax.random.PRNGKey(0), backend="fused",
         )
+
+
+# ===================================================== encode-only sessions
+
+def test_fused_forward_session_matches_generic(sig):
+    """The ENCODE session kernel (audio -> complex frames) equals the
+    generic ``scan_forward`` scan, including the closed-form final state
+    (ring = padded signal tail); backend='fused' dispatch and the
+    stateful-resume contract (continue with the returned state on the
+    generic path) hold."""
+    from acids_transforms_tpu.streaming import scan_forward
+    from acids_transforms_tpu.ops.pallas.stream_step import (
+        fused_forward_session_available,
+        make_fused_forward_session,
+    )
+
+    n_fft, hop, chunk = 1024, 256, 4096
+    x = jnp.asarray(sig[: 3 * chunk + 1000])  # ragged tail too
+    chain = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop
+    )
+    assert fused_forward_session_available(chain, chunk)
+    ys_g, st_g = scan_forward(chain, x, chunk, backend="generic")
+    ys_f, st_f = make_fused_forward_session(chain, chunk)(x)
+    assert ys_f.shape == ys_g.shape and ys_f.dtype == ys_g.dtype
+    rel = np.abs(np.asarray(ys_f - ys_g)).max() / (
+        np.abs(np.asarray(ys_g)).max() + 1e-9
+    )
+    assert rel < 1e-3, rel
+    # final state identical (the forward only moves the framing ring)
+    fl_g, td_g = jax.tree_util.tree_flatten(st_g)
+    fl_f, td_f = jax.tree_util.tree_flatten(st_f)
+    assert td_g == td_f
+    for a, b in zip(fl_g, fl_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # batched + dispatch through scan_forward(backend='fused')
+    xb = jnp.stack([x, 0.5 * x])
+    yb_g, _ = scan_forward(chain, xb, chunk, backend="generic")
+    yb_f, _ = scan_forward(chain, xb, chunk, backend="fused")
+    assert np.abs(np.asarray(yb_f - yb_g)).max() / (
+        np.abs(np.asarray(yb_g)).max() + 1e-9
+    ) < 1e-3
+    # explicit-state sessions keep the generic scan; fused fails loudly
+    st0 = chain.init_state(x.shape[:-1])
+    with pytest.raises(ValueError, match="fused"):
+        scan_forward(chain, x, chunk, state=st0, backend="fused")
+    # resume contract: feed the fused session's final state to the
+    # generic scan for a second segment == one long generic session
+    x2 = jnp.asarray(sig[3 * chunk + 1000: 5 * chunk + 1000])
+    y2_f, _ = scan_forward(chain, x2, chunk, state=st_f, backend="generic")
+    y2_g, _ = scan_forward(chain, x2, chunk, state=st_g, backend="generic")
+    np.testing.assert_allclose(
+        np.asarray(y2_f), np.asarray(y2_g), atol=1e-5
+    )

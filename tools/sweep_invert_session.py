@@ -33,6 +33,10 @@ CASES = [
     ("random", 1024, 256, 16, 1),
     ("random", 1024, 256, 16, 8),
     ("pghi", 512, 64, 32, 8),          # lcm-packed OLA
+    # ENCODE sessions (audio -> complex frames, scan_forward)
+    ("encode", 1024, 256, 16, 1),
+    ("encode", 1024, 256, 16, 8),
+    ("encode", 1024, 256, 16, 64),
 ]
 
 
@@ -53,6 +57,38 @@ def main():
     for case in cases:
         mode, n_fft, hop, T_c, B = case[:5]
         kw = case[5] if len(case) > 5 else {}
+        if mode == "encode":
+            from acids_transforms_tpu.streaming import scan_forward
+
+            ch = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+                n_fft=n_fft, hop_length=hop
+            )
+            chunk = T_c * hop
+            L = (x.shape[-1] // chunk) * chunk
+            xj = jnp.asarray(np.broadcast_to(x[:L], (B, L)).copy())
+
+            def genf(v):
+                y, _ = scan_forward(ch, v, chunk, backend="generic")
+                return jnp.abs(y)  # complex -> real for the timing fetch
+
+            def fusf(v):
+                y, _ = scan_forward(ch, v, chunk, backend="fused")
+                return jnp.abs(y)
+
+            rel = float(
+                jnp.max(jnp.abs(genf(xj) - fusf(xj)))
+                / (jnp.max(jnp.abs(genf(xj))) + 1e-9)
+            )
+            frames = B * L // hop
+            dt_g = _device_time(genf, xj, 5)
+            dt_f = _device_time(fusf, xj, 10)
+            print(
+                f"encode {n_fft}/{hop} T_c={T_c} B={B}: |mag| rel={rel:.2e}  "
+                f"generic {frames/dt_g/1e3:.1f}K  fused {frames/dt_f/1e3:.1f}K"
+                f" frames/s  [{dt_g/dt_f:.1f}x]",
+                flush=True,
+            )
+            continue
         ch = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
             n_fft=n_fft, hop_length=hop, inversion_mode=mode, **kw
         )
