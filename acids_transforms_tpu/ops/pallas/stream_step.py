@@ -104,17 +104,28 @@ def _session_rows(xb, carry_rows: int, total_rows: int, hop: int):
     return sig.reshape(B, total_rows, hop)
 
 
-def _session_angles(key, n_chunks: int, T_c: int, F: int, Fp: int, batch_shape):
+def _session_angles(
+    key, n_chunks: int, T_c: int, F: int, Fp: int, batch_shape,
+    pre_splits: int = 0,
+):
     """Silent-bin random phases for the whole session, replicating the
     generic scan's exact key pipeline (one key per chunk, then the Compose
-    ``step_invert`` child split — the RealtimeSTFT, index 1 of 2, draws
-    ``split(k)[1]``) so the draws are bit-equal.  Returns ``(B,
-    n_chunks * T_c, Fp)`` f32 — note this materializes the WHOLE session's
-    angles in HBM (~``4 * Fp / hop`` bytes per input sample); the auto
-    dispatch gates on this footprint (streaming.scan_roundtrip)."""
+    ``step_invert`` child split — the RealtimeSTFT, iterated right-to-left,
+    draws ``split(k)[1]`` after ``pre_splits`` children to its right each
+    consumed a ``split(k)[0]`` step: 0 for 2-chains, 1 when a Magnitude
+    follows) so the draws are bit-equal.  Returns ``(B, n_chunks * T_c,
+    Fp)`` f32 — note this materializes the WHOLE session's angles in HBM
+    (~``4 * Fp / hop`` bytes per input sample); the auto dispatch gates on
+    this footprint (streaming.scan_roundtrip)."""
     sess_key = jax.random.PRNGKey(0) if key is None else key
     chunk_keys = jax.random.split(sess_key, n_chunks)
-    child_keys = jax.vmap(lambda k: jax.random.split(k)[1])(chunk_keys)
+
+    def child_key(k):
+        for _ in range(pre_splits):
+            k = jax.random.split(k)[0]
+        return jax.random.split(k)[1]
+
+    child_keys = jax.vmap(child_key)(chunk_keys)
     angles = jax.vmap(
         lambda k: 2.0 * jnp.pi * jax.random.uniform(
             k, batch_shape + (T_c, F), dtype=jnp.float32
@@ -1374,7 +1385,8 @@ def _session_random_invert_call(
 
 
 def make_fused_random_invert(
-    chain, chunk_frames: int, key=None, interpret: Optional[bool] = None
+    chain, chunk_frames: int, key=None, interpret: Optional[bool] = None,
+    pre_splits: int = 0,
 ):
     """Whole-session fused random-phase DECODE ``fn(mags (..., T, F)) ->
     audio (..., T * hop)``; output matches ``scan_invert(chain, mags,
@@ -1400,7 +1412,9 @@ def make_fused_random_invert(
         n_frames = n_chunks * T_c
         yb = y.reshape((-1, T, F))
         B = yb.shape[0]
-        angles = _session_angles(key, n_chunks, T_c, F, Fp, batch_shape)
+        angles = _session_angles(
+            key, n_chunks, T_c, F, Fp, batch_shape, pre_splits=pre_splits
+        )
         unit = ola_tile_unit(hop)
         # same VMEM-product policy as the roundtrip random session
         slab = max(8, (512 // unit) // 8 * 8)
@@ -1518,7 +1532,8 @@ def _session_pghi_invert_call(
 
 
 def make_fused_pghi_invert(
-    chain, chunk_frames: int, key=None, interpret: Optional[bool] = None
+    chain, chunk_frames: int, key=None, interpret: Optional[bool] = None,
+    pre_splits: int = 0,
 ):
     """Whole-session fused RT-PGHI DECODE ``fn(mags (..., T, F)) ->
     audio (..., T * hop)``; matches ``scan_invert(chain, mags,
@@ -1545,7 +1560,9 @@ def make_fused_pghi_invert(
         n_chunks = -(-T // T_c)
         yb = y.reshape((-1, T, F))
         B = yb.shape[0]
-        angles = _session_angles(key, n_chunks, T_c, F, Fp, batch_shape)
+        angles = _session_angles(
+            key, n_chunks, T_c, F, Fp, batch_shape, pre_splits=pre_splits
+        )
         mags = _session_mags(yb, n_chunks * T_c, F, Fp)
         out = _run_batch_slabs(
             lambda m, a: _session_pghi_invert_call(
@@ -1562,7 +1579,8 @@ def make_fused_pghi_invert(
 
 
 def make_fused_pghi_gl_invert(
-    chain, chunk_frames: int, key=None, interpret: Optional[bool] = None
+    chain, chunk_frames: int, key=None, interpret: Optional[bool] = None,
+    pre_splits: int = 0,
 ):
     """Whole-session fused ``pghi_gl`` DECODE ``fn(mags (..., T, F)) ->
     audio (..., T * hop)`` — the RT-PGHI seed + pinned-context GL polish
@@ -1599,7 +1617,9 @@ def make_fused_pghi_gl_invert(
         B = yb.shape[0]
         Tf = T_c + la
         Tp = _round_up(Tf, 8)
-        angles = _session_angles(key, n_chunks, Tf, F, Fp, batch_shape)
+        angles = _session_angles(
+            key, n_chunks, Tf, F, Fp, batch_shape, pre_splits=pre_splits
+        )
         if Tp != Tf:
             angles = jnp.pad(
                 angles.reshape((-1, n_chunks, Tf, Fp)),

@@ -26,6 +26,38 @@ from .transforms.base import AudioTransform
 __all__ = ["chunk_signal", "scan_forward", "scan_invert", "scan_roundtrip"]
 
 
+def _session_parts(chain):
+    """Recognize ``[OverlapAdd, RealtimeSTFT]`` and ``[OverlapAdd,
+    RealtimeSTFT, Magnitude]`` session chains.  Returns ``(two_chain,
+    mag_t, pre_splits)`` — the framing+spectral 2-chain the session
+    kernels cover, the (stateless, frame-local) Magnitude to apply
+    whole-session in XLA around them, and the number of Compose
+    ``step_invert`` key splits consumed by children to the RealtimeSTFT's
+    right — or ``None`` when unrecognized."""
+    from .transforms.base import ComposeAudioTransform
+    from .transforms.oadd import OverlapAdd
+    from .transforms.spectral_repr import Magnitude
+    from .transforms.stft import RealtimeSTFT
+
+    if not isinstance(chain, ComposeAudioTransform):
+        return None
+    ts = chain.transforms
+    if (
+        len(ts) == 2
+        and isinstance(ts[0], OverlapAdd)
+        and isinstance(ts[1], RealtimeSTFT)
+    ):
+        return chain, None, 0
+    if (
+        len(ts) == 3
+        and isinstance(ts[0], OverlapAdd)
+        and isinstance(ts[1], RealtimeSTFT)
+        and type(ts[2]) is Magnitude
+    ):
+        return ts[0] + ts[1], ts[2], 1
+    return None
+
+
 def chunk_signal(x: jnp.ndarray, chunk_size: int) -> jnp.ndarray:
     """Split ``(..., L)`` into leading-axis chunks ``(N, ..., chunk_size)``,
     zero-padding the tail."""
@@ -70,15 +102,23 @@ def scan_forward(
             "unknown scan_forward backend %r (use 'auto', 'fused' or "
             "'generic')" % backend
         )
-    available = state is None and fused_forward_session_available(
-        chain, chunk_size
+    # feature chains ([..., Magnitude]) encode through the same kernel:
+    # Magnitude.forward is stateless and frame-local, so applying it
+    # whole-session to the kernel's spectrum equals the generic scan
+    parts = _session_parts(chain)
+    sub2, mag_t, _ = parts if parts else (chain, None, 0)
+    available = (
+        state is None
+        and parts is not None
+        and fused_forward_session_available(sub2, chunk_size)
     )
     if backend == "fused" and not available:
         raise ValueError(
             "backend='fused' requested but the fused encode-session kernel "
-            "cannot cover this call (needs a fresh-state direct "
-            "[OverlapAdd, RealtimeSTFT] chain with an OLA-supported "
-            "layout); use backend='auto' to fall back to the generic scan"
+            "cannot cover this call (needs a fresh-state "
+            "[OverlapAdd, RealtimeSTFT(, Magnitude)] chain with an "
+            "OLA-supported layout); use backend='auto' to fall back to "
+            "the generic scan"
         )
     take = backend == "fused" or (
         backend == "auto" and jax.default_backend() == "tpu"
@@ -89,7 +129,13 @@ def scan_forward(
     # same measured batch crossover as the complex roundtrip kernel
     # (large fleets amortize XLA's dispatch; the kernel wins below it)
     if available and take and (backend == "fused" or batch_elems <= 64):
-        return make_fused_forward_session(chain, chunk_size)(x)
+        spec, st2 = make_fused_forward_session(sub2, chunk_size)(x)
+        if mag_t is None:
+            return spec, st2
+        feats = mag_t.forward(spec)
+        full_state = chain.init_state(x.shape[:-1])
+        full_state[0] = st2[0]  # only the framing ring moved
+        return feats, full_state
 
     chunks = chunk_signal(x, chunk_size)
     if state is None:
@@ -134,7 +180,11 @@ def scan_invert(
     phaseless sessions to whole-session fused invert kernels
     (ops/pallas/stream_step.py) — the decode twins of the roundtrip
     session kernels, minus the analysis GEMM; same key pipeline, so draws
-    match the generic scan bit-exactly.
+    match the generic scan bit-exactly.  Feature chains ``[OverlapAdd,
+    RealtimeSTFT, Magnitude]`` decode through the same kernels (``y`` is
+    then the Magnitude features, e.g. normalized log-mel): the stateless
+    frame-local ``Magnitude.invert`` runs whole-session in XLA first,
+    exactly equal to the generic per-chunk application.
     """
     from .ops.pallas.stream_step import (
         fused_pghi_gl_invert_available,
@@ -153,27 +203,36 @@ def scan_invert(
     batch_elems = 1
     for d in y.shape[:-2]:
         batch_elems *= d
+    # 3-chain feature sessions ([..., Magnitude]) decode through the same
+    # kernels: Magnitude.invert is stateless and frame-local, so running
+    # it whole-session in XLA before the kernel equals the generic scan's
+    # per-chunk application exactly
+    parts = _session_parts(chain)
+    sub2, mag_t, pre = parts if parts else (chain, None, 0)
     pghi_available = (
         inversion_mode == "pghi"
-        and fused_pghi_invert_available(chain, chunk_frames)
+        and parts is not None
+        and fused_pghi_invert_available(sub2, chunk_frames)
     )
     pghi_gl_available = (
         inversion_mode == "pghi_gl"
-        and fused_pghi_gl_invert_available(chain, chunk_frames)
+        and parts is not None
+        and fused_pghi_gl_invert_available(sub2, chunk_frames)
     )
     random_available = (
         inversion_mode == "random"
-        and fused_random_invert_available(chain, chunk_frames)
+        and parts is not None
+        and fused_random_invert_available(sub2, chunk_frames)
     )
     if backend == "fused" and not (
         pghi_available or pghi_gl_available or random_available
     ):
         raise ValueError(
             "backend='fused' requested but no fused invert-session kernel "
-            "covers this call (needs a direct [OverlapAdd, RealtimeSTFT] "
-            "chain with inversion_mode 'random', 'pghi' or 'pghi_gl' and "
-            "an OLA-supported layout); use backend='auto' to fall back to "
-            "the generic scan"
+            "covers this call (needs an [OverlapAdd, RealtimeSTFT"
+            "(, Magnitude)] chain with inversion_mode 'random', 'pghi' or "
+            "'pghi_gl' and an OLA-supported layout); use backend='auto' "
+            "to fall back to the generic scan"
         )
     take = backend == "fused" or (
         backend == "auto" and jax.default_backend() == "tpu"
@@ -187,19 +246,26 @@ def scan_invert(
             rt.n_fft // 2 + 1, LANE
         ) * 4
         angles_fit = angle_bytes <= 1 << 30
+        ym = mag_t.invert(y) if mag_t is not None else y
         # same measured batch caps as the roundtrip sessions
         # (streaming.scan_roundtrip): the invert kernels share their
         # structure minus the analysis GEMM
         if pghi_available and take and (backend == "fused" or angles_fit):
-            return make_fused_pghi_invert(chain, chunk_frames, key=key)(y)
+            return make_fused_pghi_invert(
+                sub2, chunk_frames, key=key, pre_splits=pre
+            )(ym)
         if pghi_gl_available and take and (
             backend == "fused" or (angles_fit and batch_elems <= 32)
         ):
-            return make_fused_pghi_gl_invert(chain, chunk_frames, key=key)(y)
+            return make_fused_pghi_gl_invert(
+                sub2, chunk_frames, key=key, pre_splits=pre
+            )(ym)
         if random_available and take and (
             backend == "fused" or (angles_fit and batch_elems <= 128)
         ):
-            return make_fused_random_invert(chain, chunk_frames, key=key)(y)
+            return make_fused_random_invert(
+                sub2, chunk_frames, key=key, pre_splits=pre
+            )(ym)
 
     T = y.shape[-2]
     n = -(-T // chunk_frames)
@@ -259,6 +325,7 @@ def scan_roundtrip(
     chain scan.
     """
     from .ops.pallas.stream_step import (
+        fused_forward_session_available,
         fused_pghi_gl_roundtrip_available,
         fused_pghi_roundtrip_available,
         fused_random_roundtrip_available,
@@ -279,11 +346,23 @@ def scan_roundtrip(
     batch_elems = 1
     for d in x.shape[:-1]:
         batch_elems *= d
+    # 3-chain feature sessions ([..., Magnitude]) compose the ENCODE
+    # kernel + whole-session Magnitude forward/invert (stateless,
+    # frame-local — equal to the generic per-chunk application) + the
+    # DECODE kernel; 2-chains keep their fully-fused roundtrip kernels
+    parts = _session_parts(chain)
+    sub2, mag_t, pre = parts if parts else (chain, None, 0)
+    feature_ok = mag_t is None or fused_forward_session_available(
+        sub2, chunk_size
+    )
     # availability (can the kernel run?) is separate from the auto perf
     # heuristic (should it?): explicit "fused" may run at ANY batch —
     # the kernel covers B >= 128, auto just prefers XLA there
-    available = inversion_mode is None and fused_roundtrip_available(
-        chain, chunk_size
+    available = (
+        inversion_mode is None
+        and parts is not None
+        and mag_t is None
+        and fused_roundtrip_available(sub2, chunk_size)
     )
     # phaseless sessions: inversion_mode="pghi" rides its own whole-session
     # kernel (analysis + RT-PGHI fill + synthesis; the serial per-frame
@@ -291,19 +370,25 @@ def scan_roundtrip(
     # frames/s vs the kernel's, BENCH_NOTES.md r3.20)
     pghi_available = (
         inversion_mode == "pghi"
-        and fused_pghi_roundtrip_available(chain, chunk_size)
+        and parts is not None
+        and feature_ok
+        and fused_pghi_roundtrip_available(sub2, chunk_size)
     )
     # the pghi_gl quality mode (PGHI seed + pinned-context GL polish)
     # rides its own session kernel too (r3.21)
     pghi_gl_available = (
         inversion_mode == "pghi_gl"
-        and fused_pghi_gl_roundtrip_available(chain, chunk_size)
+        and parts is not None
+        and feature_ok
+        and fused_pghi_gl_roundtrip_available(sub2, chunk_size)
     )
     # random phases — the reference's DEFAULT realtime mode (reference
     # stft.py:241-243) — ride the complex kernel + magnitude/trig (r3.22)
     random_available = (
         inversion_mode == "random"
-        and fused_random_roundtrip_available(chain, chunk_size)
+        and parts is not None
+        and feature_ok
+        and fused_random_roundtrip_available(sub2, chunk_size)
     )
     if backend == "fused" and not (
         available or pghi_available or pghi_gl_available or random_available
@@ -313,10 +398,11 @@ def scan_roundtrip(
         # validation and timing runs
         raise ValueError(
             "backend='fused' requested but no fused session kernel covers "
-            "this call (needs a direct [OverlapAdd, RealtimeSTFT] chain "
-            "with inversion_mode None, 'random', 'pghi' or 'pghi_gl', "
-            "chunk_size a hop multiple, an OLA-supported hop); use "
-            "backend='auto' to fall back to the generic scan"
+            "this call (needs an [OverlapAdd, RealtimeSTFT(, Magnitude)] "
+            "chain with inversion_mode None, 'random', 'pghi' or "
+            "'pghi_gl' — complex roundtrips 2-chain only — chunk_size a "
+            "hop multiple, an OLA-supported hop); use backend='auto' to "
+            "fall back to the generic scan"
         )
     # "auto" only takes the kernels where they compile (TPU) — off-TPU they
     # would run the Pallas interpreter, orders of magnitude slower than the
@@ -337,16 +423,32 @@ def scan_roundtrip(
     # sessions fall back to the generic scan, which draws per chunk
     if pghi_available or pghi_gl_available or random_available:
         from .ops.pallas.spectral import LANE, _round_up
+        from .ops.pallas.stream_step import (
+            make_fused_forward_session,
+            make_fused_pghi_gl_invert,
+            make_fused_pghi_invert,
+            make_fused_random_invert,
+        )
 
         rt = chain.transforms[1]
-        n_frames = -(-x.shape[-1] // chunk_size) * (
-            chunk_size // rt.hop_length
-        )
+        T_c = chunk_size // rt.hop_length
+        n_frames = -(-x.shape[-1] // chunk_size) * T_c
         angle_bytes = batch_elems * n_frames * _round_up(
             rt.n_fft // 2 + 1, LANE
         ) * 4
         angles_fit = angle_bytes <= 1 << 30  # 1 GiB of 16 GB HBM
+
+        def feature_roundtrip(invert_maker):
+            # encode kernel -> Magnitude forward/invert (whole-session,
+            # XLA) -> decode kernel; == the generic 3-chain roundtrip
+            # under the session kernels' parity contract
+            spec, _ = make_fused_forward_session(sub2, chunk_size)(x)
+            mags = mag_t.invert(mag_t.forward(spec))
+            return invert_maker(sub2, T_c, key=key, pre_splits=pre)(mags)
+
         if pghi_available and take and (backend == "fused" or angles_fit):
+            if mag_t is not None:
+                return feature_roundtrip(make_fused_pghi_invert)
             return make_fused_pghi_roundtrip(chain, chunk_size, key=key)(x)
         # pghi_gl's GEMM-heavy projections amortize in the generic scan
         # too: with bf16x3 projection GEMMs the kernel wins 9.4x at B=1
@@ -356,6 +458,8 @@ def scan_roundtrip(
         if pghi_gl_available and take and (
             backend == "fused" or (angles_fit and batch_elems <= 32)
         ):
+            if mag_t is not None:
+                return feature_roundtrip(make_fused_pghi_gl_invert)
             return make_fused_pghi_gl_roundtrip(chain, chunk_size, key=key)(x)
         # random mode rides the complex kernel + magnitude/trig at the
         # generic path's own bf16x3 GEMM precision: measured wins 2.2x at
@@ -364,6 +468,8 @@ def scan_roundtrip(
         if random_available and take and (
             backend == "fused" or (angles_fit and batch_elems <= 128)
         ):
+            if mag_t is not None:
+                return feature_roundtrip(make_fused_random_invert)
             return make_fused_random_roundtrip(chain, chunk_size, key=key)(x)
     if available and take and (backend == "fused" or small):
         return make_fused_roundtrip(chain, chunk_size)(x)

@@ -884,3 +884,81 @@ def test_fused_forward_session_matches_generic(sig):
     np.testing.assert_allclose(
         np.asarray(y2_f), np.asarray(y2_g), atol=1e-5
     )
+
+
+# ============================================== feature (3-chain) sessions
+
+def test_feature_chain_sessions_match_generic(sig):
+    """``[OverlapAdd, RealtimeSTFT, Magnitude]`` chains ride the session
+    kernels in all three APIs: Magnitude is stateless and frame-local, so
+    the fused paths apply it whole-session in XLA around the kernels —
+    encode (scan_forward), decode (scan_invert, with the 3-chain key
+    split), and the composed phaseless roundtrip (scan_roundtrip)."""
+    from acids_transforms_tpu.streaming import (
+        scan_forward,
+        scan_invert,
+        scan_roundtrip,
+    )
+
+    n_fft, hop, chunk = 1024, 256, 4096
+    T_c = chunk // hop
+    x = jnp.asarray(sig[: 3 * chunk])
+    chain = (
+        T.OverlapAdd(n_fft, hop)
+        + T.RealtimeSTFT(n_fft=n_fft, hop_length=hop, inversion_mode="pghi")
+        + T.Magnitude(mode=None, contrast="log1p", mel=True, n_fft=n_fft)
+    )
+    key = jax.random.PRNGKey(21)
+
+    # encode: fused == generic (features), final state structure equal
+    f_g, st_g = scan_forward(chain, x, chunk, backend="generic")
+    f_f, st_f = scan_forward(chain, x, chunk, backend="fused")
+    assert f_f.shape == f_g.shape
+    rel = np.abs(np.asarray(f_f - f_g)).max() / (
+        np.abs(np.asarray(f_g)).max() + 1e-9
+    )
+    assert rel < 1e-3, rel
+    assert jax.tree_util.tree_structure(st_f) == jax.tree_util.tree_structure(
+        st_g
+    )
+
+    # decode: features -> audio, fused == generic (3-chain key split)
+    y_g = np.asarray(
+        scan_invert(
+            chain, f_g, T_c, inversion_mode="pghi", key=key,
+            backend="generic",
+        )
+    )
+    y_f = np.asarray(
+        scan_invert(
+            chain, f_g, T_c, inversion_mode="pghi", key=key, backend="fused"
+        )
+    )
+    assert y_f.shape == y_g.shape
+    rel = np.abs(y_f - y_g).max() / (np.abs(y_g).max() + 1e-9)
+    assert rel < 1e-3, rel
+
+    # roundtrip: encode kernel + mel roundtrip + decode kernel == generic
+    r_g = np.asarray(
+        scan_roundtrip(
+            chain, x, chunk, inversion_mode="pghi", key=key,
+            backend="generic",
+        )
+    )
+    r_f = np.asarray(
+        scan_roundtrip(
+            chain, x, chunk, inversion_mode="pghi", key=key, backend="fused"
+        )
+    )
+    assert r_f.shape == r_g.shape
+    rel = np.abs(r_f - r_g).max() / (np.abs(r_g).max() + 1e-9)
+    assert rel < 1e-3, rel
+
+    # a 3-chain whose tail is NOT a Magnitude keeps the generic scan
+    other = (
+        T.OverlapAdd(n_fft, hop)
+        + T.RealtimeSTFT(n_fft=n_fft, hop_length=hop)
+        + T.Unsqueeze(dim=-1)
+    )
+    with pytest.raises(ValueError, match="fused"):
+        scan_forward(other, x, chunk, backend="fused")

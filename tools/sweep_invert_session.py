@@ -37,6 +37,10 @@ CASES = [
     ("encode", 1024, 256, 16, 1),
     ("encode", 1024, 256, 16, 8),
     ("encode", 1024, 256, 16, 64),
+    # FEATURE 3-chain roundtrips ([OverlapAdd, RealtimeSTFT, Magnitude]):
+    # encode kernel + whole-session mel roundtrip + decode kernel
+    ("feat_pghi", 1024, 256, 16, 1),
+    ("feat_pghi", 1024, 256, 16, 8),
 ]
 
 
@@ -84,6 +88,58 @@ def main():
             dt_f = _device_time(fusf, xj, 10)
             print(
                 f"encode {n_fft}/{hop} T_c={T_c} B={B}: |mag| rel={rel:.2e}  "
+                f"generic {frames/dt_g/1e3:.1f}K  fused {frames/dt_f/1e3:.1f}K"
+                f" frames/s  [{dt_g/dt_f:.1f}x]",
+                flush=True,
+            )
+            continue
+        if mode.startswith("feat_"):
+            from acids_transforms_tpu.streaming import scan_roundtrip
+
+            rt_mode = mode[5:]
+            ch = (
+                T.OverlapAdd(n_fft, hop)
+                + T.RealtimeSTFT(
+                    n_fft=n_fft, hop_length=hop, inversion_mode=rt_mode, **kw
+                )
+                + T.Magnitude(mode=None, contrast="log1p", mel=True,
+                              n_fft=n_fft)
+            )
+            chunk = T_c * hop
+            L = (x.shape[-1] // chunk) * chunk
+            xj = jnp.asarray(np.broadcast_to(x[:L], (B, L)).copy())
+            st = T.STFT(n_fft=n_fft, hop_length=hop)
+            delay = (n_fft // hop - 1) * hop
+            ref_mag = jnp.abs(st.forward(xj[0, : L - delay]))
+
+            @jax.jit
+            def sc_of3(y, ref):
+                m = jnp.abs(st.forward(y[..., 0, delay:L]))
+                n = min(m.shape[-2], ref.shape[-2]) - 2
+                return jnp.linalg.norm(
+                    m[..., 2:n, :] - ref[..., 2:n, :]
+                ) / jnp.linalg.norm(ref[..., 2:n, :])
+
+            def gen3(v):
+                return scan_roundtrip(
+                    ch, v, chunk, inversion_mode=rt_mode, key=key,
+                    backend="generic",
+                )
+
+            def fus3(v):
+                return scan_roundtrip(
+                    ch, v, chunk, inversion_mode=rt_mode, key=key,
+                    backend="fused",
+                )
+
+            sc_g = float(sc_of3(gen3(xj), ref_mag))
+            sc_f = float(sc_of3(fus3(xj), ref_mag))
+            frames = B * L // hop
+            dt_g = _device_time(gen3, xj, 5)
+            dt_f = _device_time(fus3, xj, 10)
+            print(
+                f"{mode} 1024/256 T_c={T_c} B={B}: "
+                f"sc gen={sc_g:.4f} fused={sc_f:.4f}  "
                 f"generic {frames/dt_g/1e3:.1f}K  fused {frames/dt_f/1e3:.1f}K"
                 f" frames/s  [{dt_g/dt_f:.1f}x]",
                 flush=True,
