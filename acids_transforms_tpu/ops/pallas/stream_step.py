@@ -50,6 +50,7 @@ __all__ = [
     "fused_pghi_invert_available", "make_fused_pghi_invert",
     "fused_pghi_gl_invert_available", "make_fused_pghi_gl_invert",
     "fused_forward_session_available", "make_fused_forward_session",
+    "fused_complex_invert_available", "make_fused_complex_invert",
 ]
 
 _WIN_PAD = 8  # Element-window sublane alignment over-fetch
@@ -1776,5 +1777,133 @@ def make_fused_forward_session(
             )[..., -carry:]
             state[0] = dict(state[0], input_buffer=tail)
         return spec, state
+
+    return run
+
+
+def fused_complex_invert_available(chain, chunk_frames: int) -> bool:
+    """Gate for the fused complex (explicit-phase) decode session."""
+    cs = _invert_chunk_size(chain, chunk_frames)
+    return cs is not None and fused_roundtrip_available(chain, cs)
+
+
+def _session_complex_invert_kernel(
+    spec_ref, syn_basis_ref, o_ref, tail_ref, *, T_k, overlap, hop, Fp,
+):
+    """Complex decode: the ``[re | im]`` spectrum arrives directly from
+    HBM; stacked bf16x4 windowed iDFT + OLA with the carried tail (the
+    roundtrip :func:`_session_kernel`'s synthesis half)."""
+    f32 = jnp.float32
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        tail_ref[...] = jnp.zeros_like(tail_ref)
+
+    B = spec_ref.shape[0]
+    flat = spec_ref[...].reshape(B * T_k, 2 * Fp)
+    zh, zl = _split_bf16(flat)
+    zstk = jnp.concatenate([zh, zh, zl, zl], axis=1)
+    td = jnp.dot(zstk, syn_basis_ref[...], preferred_element_type=f32)
+    acc, S = ola_accumulate(td, B, T_k, overlap * hop, hop)
+    acc = acc + jnp.concatenate(
+        [tail_ref[...], jnp.zeros((B, S, acc.shape[-1]), f32)], axis=1
+    )
+    o_ref[...] = acc[:, :S, :]
+    tail_ref[...] = acc[:, S:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop", "T_k", "n_steps", "Fp", "interpret"),
+)
+def _session_complex_invert_call(
+    spec, syn_basis, n_fft, hop, T_k, n_steps, Fp, interpret,
+):
+    B = spec.shape[0]
+    overlap = n_fft // hop
+    kernel = functools.partial(
+        _session_complex_invert_kernel,
+        T_k=T_k, overlap=overlap, hop=hop, Fp=Fp,
+    )
+    rows_out, out_w, carry_rows = ola_layout(n_fft, hop, T_k)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (B, T_k, 2 * Fp), lambda t: (0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                syn_basis.shape, lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, rows_out, out_w), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_steps * rows_out, out_w), jnp.float32
+        ),
+        scratch_shapes=[pltpu.VMEM((B, carry_rows, out_w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(spec, syn_basis)
+
+
+def make_fused_complex_invert(
+    chain, chunk_frames: int, interpret: Optional[bool] = None
+):
+    """Whole-session fused complex DECODE ``fn(spec complex (..., T, F))
+    -> audio (..., T * hop)`` — the explicit-phase (keep_input-style)
+    serving path; matches ``scan_invert(chain, spec, chunk_frames)``."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    oadd, rt = chain.transforms
+    n_fft, hop = rt.n_fft, rt.hop_length
+    T_c = chunk_frames
+    F = n_fft // 2 + 1
+    Fp = _round_up(F, LANE)
+
+    syn_basis = _syn_basis(
+        rt.inv_window, n_fft, F, Fp,
+        jnp.asarray(oadd.gain_compensation, jnp.float32),
+    )
+
+    def run(y: jnp.ndarray) -> jnp.ndarray:
+        batch_shape = y.shape[:-2]
+        T = y.shape[-2]
+        n_chunks = -(-T // T_c)
+        n_frames = n_chunks * T_c
+        yb = y.reshape((-1, T, F))
+        B = yb.shape[0]
+        unit = ola_tile_unit(hop)
+        # the [re|im] block + no angles ~ the complex roundtrip's budget
+        slab = max(8, (1024 // unit) // 8 * 8)
+        Bs = min(B, slab)
+        T_k = min(
+            _round_up(n_frames, unit),
+            128,
+            max(unit, _round_up(1024 // Bs, unit)),
+        )
+        n_steps = -(-n_frames // T_k)
+        spec = jnp.concatenate(
+            [
+                _session_mags(jnp.real(yb), n_steps * T_k, F, Fp),
+                _session_mags(jnp.imag(yb), n_steps * T_k, F, Fp),
+            ],
+            axis=-1,
+        )
+        out = _run_batch_slabs(
+            lambda s: _session_complex_invert_call(
+                s, syn_basis, n_fft, hop, T_k, n_steps, Fp, interpret
+            ),
+            B, slab, spec,
+        )
+        out = out.reshape(batch_shape + (n_steps * T_k * hop,))
+        return out[..., : T * hop]
 
     return run

@@ -187,9 +187,11 @@ def scan_invert(
     exactly equal to the generic per-chunk application.
     """
     from .ops.pallas.stream_step import (
+        fused_complex_invert_available,
         fused_pghi_gl_invert_available,
         fused_pghi_invert_available,
         fused_random_invert_available,
+        make_fused_complex_invert,
         make_fused_pghi_gl_invert,
         make_fused_pghi_invert,
         make_fused_random_invert,
@@ -224,19 +226,34 @@ def scan_invert(
         and parts is not None
         and fused_random_invert_available(sub2, chunk_frames)
     )
+    # complex (explicit-phase, keep_input-style) decode: 2-chains only
+    # (a Magnitude tail means real features, not a complex spectrum)
+    complex_available = (
+        inversion_mode is None
+        and jnp.iscomplexobj(y)
+        and parts is not None
+        and mag_t is None
+        and fused_complex_invert_available(sub2, chunk_frames)
+    )
     if backend == "fused" and not (
         pghi_available or pghi_gl_available or random_available
+        or complex_available
     ):
         raise ValueError(
             "backend='fused' requested but no fused invert-session kernel "
             "covers this call (needs an [OverlapAdd, RealtimeSTFT"
             "(, Magnitude)] chain with inversion_mode 'random', 'pghi' or "
-            "'pghi_gl' and an OLA-supported layout); use backend='auto' "
-            "to fall back to the generic scan"
+            "'pghi_gl' — or a complex spectrum with mode None, 2-chain "
+            "only — and an OLA-supported layout); use backend='auto' to "
+            "fall back to the generic scan"
         )
     take = backend == "fused" or (
         backend == "auto" and jax.default_backend() == "tpu"
     )
+    # complex decode has no angle footprint; same batch crossover as the
+    # complex roundtrip kernel (auto hands large fleets to XLA)
+    if complex_available and take and (backend == "fused" or batch_elems <= 64):
+        return make_fused_complex_invert(sub2, chunk_frames)(y)
     if pghi_available or pghi_gl_available or random_available:
         from .ops.pallas.spectral import LANE, _round_up
 

@@ -962,3 +962,38 @@ def test_feature_chain_sessions_match_generic(sig):
     )
     with pytest.raises(ValueError, match="fused"):
         scan_forward(other, x, chunk, backend="fused")
+
+
+def test_fused_complex_invert_matches_generic(sig):
+    """Complex (explicit-phase) decode rides the synthesis+OLA kernel:
+    ``scan_invert(chain, spec, T_c)`` fused == generic, including the
+    roundtrip identity (spec from the forward reconstructs the input at
+    unity gain after the group delay)."""
+    from acids_transforms_tpu.streaming import scan_forward, scan_invert
+    from acids_transforms_tpu.ops.pallas.stream_step import (
+        fused_complex_invert_available,
+    )
+
+    n_fft, hop, chunk = 1024, 256, 4096
+    T_c = chunk // hop
+    x = jnp.asarray(sig[: 3 * chunk])
+    chain = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop
+    )
+    assert fused_complex_invert_available(chain, T_c)
+    spec, _ = scan_forward(chain, x, chunk, backend="generic")
+    y_g = np.asarray(scan_invert(chain, spec, T_c, backend="generic"))
+    y_f = np.asarray(scan_invert(chain, spec, T_c, backend="fused"))
+    assert y_f.shape == y_g.shape
+    rel = np.abs(y_f - y_g).max() / (np.abs(y_g).max() + 1e-9)
+    assert rel < 1e-3, rel
+    # unity-gain reconstruction after the (overlap-1)*hop group delay
+    delay = (n_fft // hop - 1) * hop
+    assert (
+        snr_db(np.asarray(x)[: -delay or None], y_f[delay:]) > 55
+    )
+    # batched
+    sb = jnp.stack([spec, 0.5 * spec])
+    yb_g = np.asarray(scan_invert(chain, sb, T_c, backend="generic"))
+    yb_f = np.asarray(scan_invert(chain, sb, T_c, backend="fused"))
+    assert np.abs(yb_f - yb_g).max() / (np.abs(yb_g).max() + 1e-9) < 1e-3

@@ -41,6 +41,9 @@ CASES = [
     # encode kernel + whole-session mel roundtrip + decode kernel
     ("feat_pghi", 1024, 256, 16, 1),
     ("feat_pghi", 1024, 256, 16, 8),
+    # COMPLEX (explicit-phase) decode: synthesis+OLA only
+    ("complex", 1024, 256, 16, 1),
+    ("complex", 1024, 256, 16, 8),
 ]
 
 
@@ -88,6 +91,40 @@ def main():
             dt_f = _device_time(fusf, xj, 10)
             print(
                 f"encode {n_fft}/{hop} T_c={T_c} B={B}: |mag| rel={rel:.2e}  "
+                f"generic {frames/dt_g/1e3:.1f}K  fused {frames/dt_f/1e3:.1f}K"
+                f" frames/s  [{dt_g/dt_f:.1f}x]",
+                flush=True,
+            )
+            continue
+        if mode == "complex":
+            from acids_transforms_tpu.streaming import (
+                scan_forward,
+                scan_invert,
+            )
+
+            ch = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+                n_fft=n_fft, hop_length=hop
+            )
+            chunk = T_c * hop
+            L = (x.shape[-1] // chunk) * chunk
+            xj = jnp.asarray(np.broadcast_to(x[:L], (B, L)).copy())
+            spec, _ = scan_forward(ch, xj, chunk, backend="generic")
+
+            def genc(v):
+                return scan_invert(ch, v, T_c, backend="generic")
+
+            def fusc(v):
+                return scan_invert(ch, v, T_c, backend="fused")
+
+            rel = float(
+                jnp.max(jnp.abs(genc(spec) - fusc(spec)))
+                / (jnp.max(jnp.abs(genc(spec))) + 1e-9)
+            )
+            frames = B * L // hop
+            dt_g = _device_time(genc, spec, 5)
+            dt_f = _device_time(fusc, spec, 10)
+            print(
+                f"complex {n_fft}/{hop} T_c={T_c} B={B}: rel={rel:.2e}  "
                 f"generic {frames/dt_g/1e3:.1f}K  fused {frames/dt_f/1e3:.1f}K"
                 f" frames/s  [{dt_g/dt_f:.1f}x]",
                 flush=True,
