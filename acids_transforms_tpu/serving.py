@@ -26,6 +26,7 @@ split into explicit AOT artifacts + a shape-disciplined server.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -35,7 +36,7 @@ from .fuse import fusable, fuse_forward
 from .transforms.base import AudioTransform
 from .utils.bucketing import default_buckets
 
-__all__ = ["CompiledTransform"]
+__all__ = ["CompiledTransform", "StreamingSession"]
 
 
 class CompiledTransform:
@@ -323,3 +324,95 @@ class CompiledTransform:
                         self._inv(self._frozen, y)
                         count += 1
         return count
+
+
+class StreamingSession:
+    """Live chunk-by-chunk serving of a streaming chain.
+
+    The scan APIs (``streaming.scan_forward`` / ``scan_invert`` /
+    ``scan_roundtrip``) compile a whole RECORDED signal into one program;
+    a live stream arrives one chunk at a time from an audio callback.
+    This class is the live half: it holds the chain's streaming state
+    (ring buffers, RT-PGHI history, sinebank continuity) and executes
+    per-chunk jitted steps with the state **donated** back to each call —
+    no per-chunk reallocation, one executable per direction for the
+    session's fixed (batch_shape, chunk_size):
+
+    * :meth:`encode` — ``chain.step`` (audio chunk -> frames/features),
+    * :meth:`decode` — ``chain.step_invert`` (frames -> audio chunk,
+      one fresh key per call: ``key, k = split(key)``),
+    * :meth:`process` — both, the reference's canonical realtime loop
+      (reference stft.py:324-352) as two executable calls.
+
+    Semantics equal an eager loop of ``step`` / ``step_invert`` with the
+    same iterated key split (tests/test_serving.py pins this).  For
+    offline/recorded audio prefer the scan APIs — they run the whole
+    session in one program (and dispatch to whole-session Pallas kernels);
+    the live session necessarily pays one dispatch per chunk.
+    """
+
+    def __init__(
+        self,
+        transform: AudioTransform,
+        chunk_size: int,
+        batch_shape: Tuple[int, ...] = (),
+        inversion_mode: Optional[str] = None,
+        key: Optional[jax.Array] = None,
+    ):
+        self.transform = transform
+        self.chunk_size = int(chunk_size)
+        self.inversion_mode = inversion_mode
+        self.batch_shape = tuple(batch_shape)
+        self.state = transform.init_state(
+            self.batch_shape, mode=inversion_mode
+        )
+        self._key = jax.random.PRNGKey(0) if key is None else key
+        mode = inversion_mode
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def _step(ch, st, x):
+            return ch.step(st, x)
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def _step_invert(ch, st, y, k):
+            return ch.step_invert(st, y, inversion_mode=mode, key=k)
+
+        self._step = _step
+        self._step_invert = _step_invert
+
+    def reset(self, batch_shape: Optional[Tuple[int, ...]] = None) -> None:
+        """Fresh streaming state (a new utterance); keeps the executables."""
+        if batch_shape is not None:
+            self.batch_shape = tuple(batch_shape)
+        self.state = self.transform.init_state(
+            self.batch_shape, mode=self.inversion_mode
+        )
+
+    def encode(self, chunk: jnp.ndarray) -> jnp.ndarray:
+        """One analysis step: ``(..., chunk_size)`` audio -> frames."""
+        self.state, y = self._step(self.transform, self.state, chunk)
+        return y
+
+    def decode(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """One synthesis step: frames/features -> ``(..., chunk)`` audio."""
+        self._key, k = jax.random.split(self._key)
+        self.state, rec = self._step_invert(
+            self.transform, self.state, frames, k
+        )
+        return rec
+
+    def process(self, chunk: jnp.ndarray) -> jnp.ndarray:
+        """Roundtrip one chunk (phaseless when ``inversion_mode`` is set)."""
+        y = self.encode(chunk)
+        if self.inversion_mode is not None and jnp.iscomplexobj(y):
+            y = jnp.abs(y)
+        return self.decode(y)
+
+    def warmup(self) -> None:
+        """Compile both directions ahead of the first live chunk (zeros
+        through one full process step, then state and key restored)."""
+        k0 = self._key
+        x = jnp.zeros(self.batch_shape + (self.chunk_size,), jnp.float32)
+        jax.block_until_ready(self.process(x))
+        self.reset()
+        self._key = k0

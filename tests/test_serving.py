@@ -301,3 +301,72 @@ def test_serving_ctor_contracts():
     assert srv.buckets == (8192, 16384)
     with pytest.raises(ValueError, match="16384"):
         srv.forward(jnp.zeros((2, 20000), jnp.float32))
+
+
+# ===================================================== live streaming session
+
+def test_streaming_session_matches_eager_loop():
+    """``StreamingSession`` (live chunk-by-chunk serving) equals an eager
+    loop of ``step`` / ``step_invert`` with the same iterated key split;
+    encode/decode halves compose to process; reset starts a fresh
+    utterance with the same executables."""
+    import jax
+
+    from acids_transforms_tpu.serving import StreamingSession
+
+    n_fft, hop, chunk = 512, 128, 1024
+    chain = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop, inversion_mode="pghi"
+    )
+    x = RNG.standard_normal(4 * chunk).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+
+    sess = StreamingSession(
+        chain, chunk, inversion_mode="pghi", key=key
+    )
+    sess.warmup()
+    outs = [
+        np.asarray(sess.process(jnp.asarray(x[i * chunk: (i + 1) * chunk])))
+        for i in range(4)
+    ]
+
+    # oracle: the eager reference-style loop, same key discipline
+    st = chain.init_state((), mode="pghi")
+    k = key
+    ref = []
+    for i in range(4):
+        st, y = chain.step(st, jnp.asarray(x[i * chunk: (i + 1) * chunk]))
+        k, sub = jax.random.split(k)
+        st, rec = chain.step_invert(
+            st, jnp.abs(y), inversion_mode="pghi", key=sub
+        )
+        ref.append(np.asarray(rec))
+    # jit-vs-eager pghi anchor flips bound the match at ~1e-3 rel (the
+    # session kernels' documented parity class); key/state errors would
+    # show as O(1) differences
+    for a, b in zip(outs, ref):
+        assert np.abs(a - b).max() / (np.abs(b).max() + 1e-9) < 1e-3
+
+    # encode/decode halves: a decode-only (vocoder) session
+    dec = StreamingSession(chain, chunk, inversion_mode="pghi", key=key)
+    enc = StreamingSession(chain, chunk, inversion_mode="pghi", key=key)
+    outs2 = []
+    for i in range(4):
+        f = enc.encode(jnp.asarray(x[i * chunk: (i + 1) * chunk]))
+        outs2.append(np.asarray(dec.decode(jnp.abs(f))))
+    for a, b in zip(outs2, outs):
+        np.testing.assert_allclose(a, b, atol=1e-6)  # same jitted path
+
+    # reset: a second utterance reproduces the first
+    sess.reset()
+    sess._key = key
+    again = np.asarray(sess.process(jnp.asarray(x[:chunk])))
+    np.testing.assert_allclose(again, outs[0], atol=1e-6)
+
+    # batched session
+    xb = RNG.standard_normal((2, 2 * chunk)).astype(np.float32)
+    bs = StreamingSession(
+        chain, chunk, batch_shape=(2,), inversion_mode="pghi", key=key
+    )
+    y0 = bs.process(jnp.asarray(xb[:, :chunk]))
+    assert y0.shape == (2, chunk)

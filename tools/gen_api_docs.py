@@ -102,6 +102,7 @@ def main():
         ]),
         ("Serving / utils", [
             ("serving.CompiledTransform", att.serving.CompiledTransform),
+            ("serving.StreamingSession", att.serving.StreamingSession),
             ("fuse.fuse_forward", att.fuse_forward),
             ("fuse.fuse_fit", att.fuse_fit),
             ("utils.import_data", att.utils.import_data),
