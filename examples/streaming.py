@@ -41,5 +41,54 @@ def main():
     print("manual loop chunks:", len(outs), outs[0].shape)
 
 
+
+
+def vocoder_serving():
+    """The serving triad: encode (features for a model), decode (vocoder),
+    and a live chunk-by-chunk session.
+
+    On TPU each direction auto-dispatches to a whole-session Pallas kernel
+    (a single phaseless decode stream runs ~1000x realtime); on CPU the
+    same code runs the generic scans.
+    """
+    import jax
+
+    from acids_transforms_tpu.serving import StreamingSession
+    from acids_transforms_tpu.streaming import scan_forward, scan_invert
+
+    sr = 44100
+    t = np.arange(2 * sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+    # feature chain: normalized log-mel in/out (fit the norm first)
+    chain = (
+        T.OverlapAdd(1024, 256)
+        + T.RealtimeSTFT(n_fft=1024, hop_length=256, inversion_mode="pghi")
+        + T.Magnitude(mode="unipolar", contrast="log1p", mel=True, n_fft=1024)
+    )
+    chain = chain.fit(jnp.asarray(x))
+
+    # encode: audio -> model features, one scan (+ resumable state)
+    feats, state = scan_forward(chain, jnp.asarray(x), chunk_size=4096)
+    # ... feats -> your model -> feats' ...
+    # decode: features -> audio, one scan (16 frames = 4096 samples/chunk)
+    audio = scan_invert(
+        chain, feats, 16, inversion_mode="pghi", key=jax.random.PRNGKey(0)
+    )
+    print("vocoder decode:", feats.shape, "->", audio.shape)
+
+    # live session: chunks arrive one at a time (an audio callback)
+    sess = StreamingSession(
+        chain, 4096, inversion_mode="pghi", key=jax.random.PRNGKey(1)
+    )
+    sess.warmup()  # compile both directions before the first real chunk
+    for i in range(3):
+        chunk = jnp.asarray(x[i * 4096: (i + 1) * 4096])
+        f = sess.encode(chunk)          # features for the model
+        out = sess.decode(f)            # vocoded audio, state carried
+    print("live session chunk:", out.shape)
+
+
 if __name__ == "__main__":
     main()
+    vocoder_serving()

@@ -44,6 +44,11 @@ CASES = [
     # COMPLEX (explicit-phase) decode: synthesis+OLA only
     ("complex", 1024, 256, 16, 1),
     ("complex", 1024, 256, 16, 8),
+    # shape coverage + the gaussian-window (DGT) decode path
+    ("pghi", 2048, 512, 8, 8),
+    ("pghi", 512, 128, 16, 8),
+    ("dgt_pghi", 1024, 256, 16, 1),
+    ("dgt_pghi", 1024, 256, 16, 8),
 ]
 
 
@@ -182,9 +187,18 @@ def main():
                 flush=True,
             )
             continue
-        ch = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
-            n_fft=n_fft, hop_length=hop, inversion_mode=mode, **kw
-        )
+        if mode.startswith("dgt_"):
+            rt_mode = mode[4:]
+            ch = T.OverlapAdd(n_fft, hop) + T.RealtimeDGT(
+                n_fft=n_fft, hop_length=hop, inversion_mode=rt_mode, **kw
+            )
+            mode = rt_mode
+            tag0 = "dgt_"
+        else:
+            ch = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+                n_fft=n_fft, hop_length=hop, inversion_mode=mode, **kw
+            )
+            tag0 = ""
         chunk = T_c * hop
         L = (x.shape[-1] // chunk) * chunk
         st = T.STFT(n_fft=n_fft, hop_length=hop)
@@ -221,7 +235,7 @@ def main():
         dt_f = _device_time(fus, mags, 10)
         tag = "".join(f" {k}={v}" for k, v in kw.items())
         print(
-            f"{mode}{tag} {n_fft}/{hop} T_c={T_c} B={B}: "
+            f"{tag0}{mode}{tag} {n_fft}/{hop} T_c={T_c} B={B}: "
             f"sc gen={sc_g:.4f} fused={sc_f:.4f}  "
             f"generic {frames/dt_g/1e3:.1f}K  fused {frames/dt_f/1e3:.1f}K "
             f"frames/s  [{dt_g/dt_f:.1f}x]",
