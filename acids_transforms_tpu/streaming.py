@@ -58,6 +58,68 @@ def _session_parts(chain):
     return None
 
 
+def _sinebank_session(sub2, mag: jnp.ndarray, chunk_frames: int) -> jnp.ndarray:
+    """Closed-form whole-session sinebank decode (no scan, no kernel).
+
+    The sinebank's only carried state is a deterministic ``time_index``
+    (``t_{i+1} = t_i + T_c * hop / sr``) and the fixed ``random_phase``
+    draw (``RealtimeSTFT.init_state``), so unlike the PGHI/GL modes the
+    whole session is a closed form: per-frame oscillator phases for ALL
+    frames at once, the two angle-addition GEMMs of
+    ``RealtimeSTFT.sinebank_stream`` at session size, and one offline
+    overlap-add (== the chunked ring recombination of
+    ``OverlapAdd.step_invert`` — every output sample sums the same frame
+    contributions).  The ``time_index`` f32 accumulation is replicated
+    step by step (a direct ``i*d`` product would detune long sessions),
+    so parity with the generic scan is bounded by single-ulp angle
+    jitter only: XLA fuses ``omega*(t + t_i)`` differently across
+    program contexts (the scan is not even bit-stable against an eager
+    per-chunk loop of its own body), and one ulp of a ~1e4-rad
+    oscillator phase moves ``sin`` by ~1e-3 — measured whole-session
+    parity is 2-6e-4 relative L2 at 1-2 s sessions, identical spectra.
+    """
+    import numpy as np
+
+    from .ops.framing import overlap_add
+
+    ola_t, rt = sub2.transforms[0], sub2.transforms[1]
+    T = mag.shape[-2]
+    n = -(-T // chunk_frames)
+    pad = n * chunk_frames - T
+    if pad:
+        mag = jnp.pad(mag, [(0, 0)] * (mag.ndim - 2) + [(0, pad), (0, 0)])
+    # same random_phase draw as the generic scan's init_state (rng leaf)
+    state = sub2.init_state(mag.shape[:-2], mode="sinebank")
+    rp = state[1]["random_phase"]  # (..., 1, F)
+    n_bins = mag.shape[-1]
+    omega = 2.0 * jnp.pi * jnp.linspace(0.0, rt.sr / 2.0, n_bins)
+    # frame times: local offsets exactly as sinebank_stream, plus the
+    # carried time_index sequence replicated in f32 (t_i accumulates by
+    # repeated addition in the scan — a direct i*d product would differ
+    # in ulps and detune long sessions)
+    frame_t = jnp.arange(chunk_frames)[:, None] * (rt.hop_length / rt.sr)
+    d = np.float32(chunk_frames * rt.hop_length / rt.sr)
+    t_seq = np.zeros(n, np.float32)
+    for i in range(1, n):
+        t_seq[i] = np.float32(t_seq[i - 1] + d)
+    ft = (frame_t[None] + jnp.asarray(t_seq)[:, None, None]).reshape(
+        n * chunk_frames, 1
+    )
+    A = omega[None, :] * ft + rp
+    ns = jnp.arange(rt.n_fft)[None, :] / rt.sr
+    C = jnp.cos(omega[:, None] * ns)
+    S = jnp.sin(omega[:, None] * ns)
+    prec = jax.lax.Precision.HIGHEST
+    frames = (
+        jnp.matmul(mag * jnp.sin(A), C, precision=prec)
+        + jnp.matmul(mag * jnp.cos(A), S, precision=prec)
+    ) / n_bins
+    frames = frames * rt.inv_window
+    y = overlap_add(frames, rt.hop_length)
+    y = y[..., : n * chunk_frames * rt.hop_length] / ola_t.gain_compensation
+    return y[..., : T * rt.hop_length]
+
+
 def chunk_signal(x: jnp.ndarray, chunk_size: int) -> jnp.ndarray:
     """Split ``(..., L)`` into leading-axis chunks ``(N, ..., chunk_size)``,
     zero-padding the tail."""
@@ -184,7 +246,9 @@ def scan_invert(
     RealtimeSTFT, Magnitude]`` decode through the same kernels (``y`` is
     then the Magnitude features, e.g. normalized log-mel): the stateless
     frame-local ``Magnitude.invert`` runs whole-session in XLA first,
-    exactly equal to the generic per-chunk application.
+    exactly equal to the generic per-chunk application.  ``"sinebank"``
+    sessions take a scan-free CLOSED FORM instead (the carried oscillator
+    state is deterministic — :func:`_sinebank_session`), on every platform.
     """
     from .ops.pallas.stream_step import (
         fused_complex_invert_available,
@@ -235,18 +299,25 @@ def scan_invert(
         and mag_t is None
         and fused_complex_invert_available(sub2, chunk_frames)
     )
+    # sinebank decode: the carried state is deterministic, so the whole
+    # session is a closed form (no scan, no kernel — plain XLA, so it
+    # dispatches on every platform, not just TPU)
+    sinebank_available = inversion_mode == "sinebank" and parts is not None
     if backend == "fused" and not (
         pghi_available or pghi_gl_available or random_available
-        or complex_available
+        or complex_available or sinebank_available
     ):
         raise ValueError(
-            "backend='fused' requested but no fused invert-session kernel "
+            "backend='fused' requested but no fused invert-session path "
             "covers this call (needs an [OverlapAdd, RealtimeSTFT"
-            "(, Magnitude)] chain with inversion_mode 'random', 'pghi' or "
-            "'pghi_gl' — or a complex spectrum with mode None, 2-chain "
-            "only — and an OLA-supported layout); use backend='auto' to "
-            "fall back to the generic scan"
+            "(, Magnitude)] chain with inversion_mode 'random', 'pghi', "
+            "'pghi_gl' or 'sinebank' — or a complex spectrum with mode "
+            "None, 2-chain only — and an OLA-supported layout); use "
+            "backend='auto' to fall back to the generic scan"
         )
+    if sinebank_available and backend != "generic":
+        ym = mag_t.invert(y) if mag_t is not None else y
+        return _sinebank_session(sub2, ym, chunk_frames)
     take = backend == "fused" or (
         backend == "auto" and jax.default_backend() == "tpu"
     )
@@ -407,18 +478,27 @@ def scan_roundtrip(
         and feature_ok
         and fused_random_roundtrip_available(sub2, chunk_size)
     )
+    # sinebank roundtrips: encode session + closed-form decode (the
+    # sinebank's carried state is deterministic — see _sinebank_session);
+    # plain XLA, so it dispatches on every platform
+    sinebank_available = (
+        inversion_mode == "sinebank"
+        and parts is not None
+        and chunk_size % chain.transforms[1].hop_length == 0
+    )
     if backend == "fused" and not (
         available or pghi_available or pghi_gl_available or random_available
+        or sinebank_available
     ):
         # explicit requests fail loudly (mirrors serving's loud fallback):
         # a silent generic-scan substitution would corrupt kernel
         # validation and timing runs
         raise ValueError(
-            "backend='fused' requested but no fused session kernel covers "
+            "backend='fused' requested but no fused session path covers "
             "this call (needs an [OverlapAdd, RealtimeSTFT(, Magnitude)] "
-            "chain with inversion_mode None, 'random', 'pghi' or "
-            "'pghi_gl' — complex roundtrips 2-chain only — chunk_size a "
-            "hop multiple, an OLA-supported hop); use backend='auto' to "
+            "chain with inversion_mode None, 'random', 'sinebank', 'pghi' "
+            "or 'pghi_gl' — complex roundtrips 2-chain only — chunk_size "
+            "a hop multiple, an OLA-supported hop); use backend='auto' to "
             "fall back to the generic scan"
         )
     # "auto" only takes the kernels where they compile (TPU) — off-TPU they
@@ -427,6 +507,16 @@ def scan_roundtrip(
     # crossover: at B>=128 the generic scan wins (7.1M vs 5.7M frames/s at
     # B=128, 8.5M vs 6.7M at B=256 — shrinking grid steps pay more fixed
     # cost than XLA's op dispatch), so auto hands large fleets to XLA
+    if sinebank_available and backend != "generic":
+        spec, _ = scan_forward(sub2, x, chunk_size)
+        mags = (
+            mag_t.invert(mag_t.forward(spec))
+            if mag_t is not None
+            else jnp.abs(spec)
+        )
+        return _sinebank_session(
+            sub2, mags, chunk_size // chain.transforms[1].hop_length
+        )
     take = backend == "fused" or (
         backend == "auto" and jax.default_backend() == "tpu"
     )

@@ -475,10 +475,18 @@ def test_fused_pghi_session_gates(sig):
                        backend="generic")
     )
     assert np.abs(y_f - y_g).max() / (np.abs(y_g).max() + 1e-9) < 1e-3
-    # a mode without a kernel still rejects explicit 'fused' (random
-    # gained its own session kernel in r3.22 — sinebank has none)
+    # a call without ANY fused session path still rejects explicit 'fused'
+    # (random gained its kernel in r3.22, sinebank its closed form in
+    # r3.28 — but an unrecognized chain layout has neither)
+    bare = T.RealtimeSTFT(n_fft=1024, hop_length=256, inversion_mode="pghi")
     with pytest.raises(ValueError, match="fused"):
-        scan_roundtrip(ch, x, 4096, inversion_mode="sinebank", backend="fused")
+        scan_roundtrip(bare, x, 4096, inversion_mode="pghi", key=key,
+                       backend="fused")
+    # ... and a sinebank chunk that is not a hop multiple keeps the
+    # closed form unavailable (frame times would drift vs the scan)
+    with pytest.raises(ValueError, match="fused"):
+        scan_roundtrip(ch, x, 4000, inversion_mode="sinebank",
+                       backend="fused")
 
 
 @pytest.mark.parametrize("n_fft,hop,chunk,iters", [(1024, 256, 4096, 4), (512, 128, 2048, 4)])
@@ -997,3 +1005,101 @@ def test_fused_complex_invert_matches_generic(sig):
     yb_g = np.asarray(scan_invert(chain, sb, T_c, backend="generic"))
     yb_f = np.asarray(scan_invert(chain, sb, T_c, backend="fused"))
     assert np.abs(yb_f - yb_g).max() / (np.abs(yb_g).max() + 1e-9) < 1e-3
+
+
+def test_sinebank_session_closed_form_matches_generic(sig):
+    """``inversion_mode="sinebank"`` sessions take a scan-free closed form
+    (``streaming._sinebank_session``): the carried oscillator state is
+    deterministic, so decode and roundtrip collapse to two session-sized
+    GEMMs + one offline OLA.  Parity with the generic scan is bounded by
+    single-ulp oscillator-angle jitter (XLA fuses the phase expression
+    differently across program contexts — the scan is not even bit-stable
+    against an eager loop of its own body), measured 2-6e-4 relative L2."""
+    from acids_transforms_tpu.streaming import scan_invert, scan_roundtrip
+
+    # this test compiles ~11 session-sized programs at the tail of an
+    # already compile-heavy module — clear first so the process stays
+    # under the vm.max_map_count LLVM-JIT mmap ceiling (see conftest)
+    jax.clear_caches()
+
+    n_fft, hop, chunk = 1024, 256, 4096
+    T_c = chunk // hop
+    x = jnp.asarray(sig[: 3 * chunk])
+    chain = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop, inversion_mode="sinebank"
+    )
+
+    # decode: magnitudes -> audio, closed form == generic scan
+    rng = np.random.default_rng(3)
+    mag = jnp.asarray(rng.random((40, n_fft // 2 + 1), dtype=np.float32))
+    y_g = np.asarray(
+        scan_invert(chain, mag, T_c, inversion_mode="sinebank",
+                    backend="generic")
+    )
+    for be in ("auto", "fused"):
+        y_c = np.asarray(
+            scan_invert(chain, mag, T_c, inversion_mode="sinebank",
+                        backend=be)
+        )
+        assert y_c.shape == y_g.shape
+        rel = np.linalg.norm(y_c - y_g) / (np.linalg.norm(y_g) + 1e-9)
+        assert rel < 5e-3, (be, rel)
+
+    # batched decode, non-chunk-multiple frame count (padded tail)
+    magb = jnp.asarray(rng.random((2, 21, n_fft // 2 + 1), dtype=np.float32))
+    yb_g = np.asarray(
+        scan_invert(chain, magb, T_c, inversion_mode="sinebank",
+                    backend="generic")
+    )
+    yb_c = np.asarray(
+        scan_invert(chain, magb, T_c, inversion_mode="sinebank",
+                    backend="auto")
+    )
+    assert yb_c.shape == yb_g.shape
+    rel = np.linalg.norm(yb_c - yb_g) / (np.linalg.norm(yb_g) + 1e-9)
+    assert rel < 5e-3, rel
+
+    # roundtrip: 2-chain (|spec| -> sinebank) and feature 3-chain
+    # (mel roundtrip -> sinebank), closed form == generic
+    r_g = np.asarray(
+        scan_roundtrip(chain, x, chunk, inversion_mode="sinebank",
+                       backend="generic")
+    )
+    r_c = np.asarray(
+        scan_roundtrip(chain, x, chunk, inversion_mode="sinebank",
+                       backend="auto")
+    )
+    assert r_c.shape == r_g.shape
+    rel = np.linalg.norm(r_c - r_g) / (np.linalg.norm(r_g) + 1e-9)
+    assert rel < 5e-3, rel
+
+    feat = chain + T.Magnitude(
+        mode=None, contrast="log1p", mel=True, n_fft=n_fft
+    )
+    f_g = np.asarray(
+        scan_roundtrip(feat, x, chunk, inversion_mode="sinebank",
+                       backend="generic")
+    )
+    f_c = np.asarray(
+        scan_roundtrip(feat, x, chunk, inversion_mode="sinebank",
+                       backend="auto")
+    )
+    assert f_c.shape == f_g.shape
+    rel = np.linalg.norm(f_c - f_g) / (np.linalg.norm(f_g) + 1e-9)
+    assert rel < 5e-3, rel
+
+    # the DGT variant rides the same closed form (dual gaussian synthesis)
+    dchain = T.OverlapAdd(n_fft, hop) + T.RealtimeDGT(
+        n_fft=n_fft, hop_length=hop, inversion_mode="sinebank"
+    )
+    m2 = jnp.asarray(rng.random((24, n_fft // 2 + 1), dtype=np.float32))
+    d_g = np.asarray(
+        scan_invert(dchain, m2, T_c, inversion_mode="sinebank",
+                    backend="generic")
+    )
+    d_c = np.asarray(
+        scan_invert(dchain, m2, T_c, inversion_mode="sinebank",
+                    backend="auto")
+    )
+    rel = np.linalg.norm(d_c - d_g) / (np.linalg.norm(d_g) + 1e-9)
+    assert rel < 5e-3, rel

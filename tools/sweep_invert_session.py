@@ -44,6 +44,10 @@ CASES = [
     # COMPLEX (explicit-phase) decode: synthesis+OLA only
     ("complex", 1024, 256, 16, 1),
     ("complex", 1024, 256, 16, 8),
+    # SINEBANK decode: scan-free closed form (streaming._sinebank_session)
+    ("sinebank", 1024, 256, 16, 1),
+    ("sinebank", 1024, 256, 16, 8),
+    ("sinebank", 1024, 256, 16, 64),
     # shape coverage + the gaussian-window (DGT) decode path
     ("pghi", 2048, 512, 8, 8),
     ("pghi", 512, 128, 16, 8),
