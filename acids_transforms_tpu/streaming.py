@@ -58,6 +58,34 @@ def _session_parts(chain):
     return None
 
 
+def _sinebank_layout_ok(sub2) -> bool:
+    """Layout gate for the sinebank closed form (mirrors
+    ``fused_roundtrip_available``'s matching-(n_fft, hop) checks):
+    :func:`_sinebank_session` overlap-adds with ``rt.hop_length`` and
+    divides by the OverlapAdd's gain, which only equals the generic
+    scan's ``OverlapAdd.step_invert`` ring recombination when the two
+    transforms agree on (n_fft, hop)."""
+    ola_t, rt = sub2.transforms[0], sub2.transforms[1]
+    return ola_t.n_fft == rt.n_fft and ola_t.hop_length == rt.hop_length
+
+
+def _sinebank_fits(sub2, mag_shape, chunk_frames: int) -> bool:
+    """Footprint gate for dispatching the sinebank closed form on
+    ``backend='auto'``: it materializes whole-session ``(B, T, F)``
+    angle/sin/cos arrays and a ``(B, T, n_fft)`` frame tensor, so cap the
+    dominant frame buffer at the same 1 GiB the phaseless kernels use for
+    their session angle buffers (``angles_fit``) and hand oversized
+    sessions back to the generic chunked scan (``backend='fused'`` may
+    still force the closed form)."""
+    rt = sub2.transforms[1]
+    batch_elems = 1
+    for d in mag_shape[:-2]:
+        batch_elems *= d
+    T = -(-mag_shape[-2] // chunk_frames) * chunk_frames
+    frame_bytes = batch_elems * T * rt.n_fft * 4
+    return frame_bytes <= 1 << 30
+
+
 def _sinebank_session(sub2, mag: jnp.ndarray, chunk_frames: int) -> jnp.ndarray:
     """Closed-form whole-session sinebank decode (no scan, no kernel).
 
@@ -302,7 +330,11 @@ def scan_invert(
     # sinebank decode: the carried state is deterministic, so the whole
     # session is a closed form (no scan, no kernel — plain XLA, so it
     # dispatches on every platform, not just TPU)
-    sinebank_available = inversion_mode == "sinebank" and parts is not None
+    sinebank_available = (
+        inversion_mode == "sinebank"
+        and parts is not None
+        and _sinebank_layout_ok(sub2)
+    )
     if backend == "fused" and not (
         pghi_available or pghi_gl_available or random_available
         or complex_available or sinebank_available
@@ -315,7 +347,9 @@ def scan_invert(
             "None, 2-chain only — and an OLA-supported layout); use "
             "backend='auto' to fall back to the generic scan"
         )
-    if sinebank_available and backend != "generic":
+    if sinebank_available and backend != "generic" and (
+        backend == "fused" or _sinebank_fits(sub2, y.shape, chunk_frames)
+    ):
         ym = mag_t.invert(y) if mag_t is not None else y
         return _sinebank_session(sub2, ym, chunk_frames)
     take = backend == "fused" or (
@@ -484,6 +518,7 @@ def scan_roundtrip(
     sinebank_available = (
         inversion_mode == "sinebank"
         and parts is not None
+        and _sinebank_layout_ok(sub2)
         and chunk_size % chain.transforms[1].hop_length == 0
     )
     if backend == "fused" and not (
@@ -507,7 +542,19 @@ def scan_roundtrip(
     # crossover: at B>=128 the generic scan wins (7.1M vs 5.7M frames/s at
     # B=128, 8.5M vs 6.7M at B=256 — shrinking grid steps pay more fixed
     # cost than XLA's op dispatch), so auto hands large fleets to XLA
-    if sinebank_available and backend != "generic":
+    sb_T_c = (
+        chunk_size // chain.transforms[1].hop_length
+        if sinebank_available
+        else 1
+    )
+    if sinebank_available and backend != "generic" and (
+        backend == "fused"
+        or _sinebank_fits(
+            sub2,
+            x.shape[:-1] + (-(-x.shape[-1] // chunk_size) * sb_T_c, 0),
+            sb_T_c,
+        )
+    ):
         spec, _ = scan_forward(sub2, x, chunk_size)
         mags = (
             mag_t.invert(mag_t.forward(spec))

@@ -1103,3 +1103,63 @@ def test_sinebank_session_closed_form_matches_generic(sig):
     )
     rel = np.linalg.norm(d_c - d_g) / (np.linalg.norm(d_g) + 1e-9)
     assert rel < 5e-3, rel
+
+    # 3-chain feature DECODE through scan_invert (the mag_t.invert branch
+    # at streaming.py's sinebank dispatch): closed form == generic
+    from acids_transforms_tpu.streaming import scan_forward
+
+    feats, _ = scan_forward(feat, x, chunk, backend="generic")
+    fi_g = np.asarray(
+        scan_invert(feat, feats, T_c, inversion_mode="sinebank",
+                    backend="generic")
+    )
+    for be in ("auto", "fused"):
+        fi_c = np.asarray(
+            scan_invert(feat, feats, T_c, inversion_mode="sinebank",
+                        backend=be)
+        )
+        assert fi_c.shape == fi_g.shape
+        rel = np.linalg.norm(fi_c - fi_g) / (np.linalg.norm(fi_g) + 1e-9)
+        assert rel < 5e-3, (be, rel)
+
+
+def test_sinebank_layout_mismatch_falls_back_to_generic():
+    """A chain whose OverlapAdd disagrees with the RealtimeSTFT on
+    (n_fft, hop) must NOT take the sinebank closed form:
+    ``_sinebank_session`` overlap-adds with ``rt.hop_length``, so a
+    mismatched chain (e.g. OLA hop 512 vs STFT hop 256) would silently
+    return half the samples of the generic scan.  ``auto`` falls back to
+    the generic scan (same shape AND value), ``fused`` fails loudly."""
+    from acids_transforms_tpu.streaming import scan_invert, scan_roundtrip
+
+    n_fft, hop = 1024, 256
+    T_c = 16
+    chain = T.OverlapAdd(n_fft, 2 * hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop, inversion_mode="sinebank"
+    )
+    rng = np.random.default_rng(7)
+    mag = jnp.asarray(rng.random((2 * T_c, n_fft // 2 + 1), dtype=np.float32))
+    y_g = np.asarray(
+        scan_invert(chain, mag, T_c, inversion_mode="sinebank",
+                    backend="generic")
+    )
+    y_a = np.asarray(
+        scan_invert(chain, mag, T_c, inversion_mode="sinebank",
+                    backend="auto")
+    )
+    assert y_a.shape == y_g.shape
+    np.testing.assert_allclose(y_a, y_g, rtol=0, atol=1e-6)
+    with pytest.raises(ValueError, match="fused"):
+        scan_invert(chain, mag, T_c, inversion_mode="sinebank",
+                    backend="fused")
+    x = jnp.asarray(rng.standard_normal(2 * T_c * 2 * hop).astype(np.float32))
+    r_g = np.asarray(
+        scan_roundtrip(chain, x, T_c * 2 * hop, inversion_mode="sinebank",
+                       backend="generic")
+    )
+    r_a = np.asarray(
+        scan_roundtrip(chain, x, T_c * 2 * hop, inversion_mode="sinebank",
+                       backend="auto")
+    )
+    assert r_a.shape == r_g.shape
+    np.testing.assert_allclose(r_a, r_g, rtol=0, atol=1e-6)
