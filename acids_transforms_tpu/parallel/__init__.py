@@ -11,6 +11,7 @@ from .sharding import (
     sequence_parallel_istft,
     sequence_parallel_stft,
     shard_along,
+    shard_map_batch,
 )
 
 __all__ = [
@@ -18,6 +19,7 @@ __all__ = [
     "local_mesh",
     "shard_along",
     "data_parallel",
+    "shard_map_batch",
     "sequence_parallel_stft",
     "sequence_parallel_istft",
 ]

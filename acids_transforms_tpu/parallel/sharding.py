@@ -31,6 +31,7 @@ from ..ops.framing import frame, overlap_add
 __all__ = [
     "shard_along",
     "data_parallel",
+    "shard_map_batch",
     "sequence_parallel_stft",
     "sequence_parallel_istft",
 ]
@@ -61,6 +62,109 @@ def data_parallel(
         spec[dim] = axis_name
         x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
         return fn(t, x)
+
+    return wrapped
+
+
+def shard_map_batch(
+    fn: Callable,
+    mesh: Mesh,
+    axis_name: str = "data",
+    keyed: bool = False,
+) -> Callable:
+    """STRUCTURALLY partition a batch-leading function over ``mesh``.
+
+    Unlike :func:`data_parallel` (plain ``jit`` + a sharding constraint,
+    which leaves partitioning of custom calls to GSPMD), this wraps ``fn``
+    in ``shard_map``: each device runs ``fn`` on its *local* batch slice,
+    so Pallas kernel dispatches inside ``fn`` (fuse.fuse_forward, the
+    streaming session kernels) are invoked per shard as ordinary
+    single-device calls — the compiled module contains no collectives at
+    all for the batch operand (asserted by tests/test_parallel.py's
+    HLO inspection and the driver dryrun).
+
+    Leaf rule: every input/output array leaf whose leading dimension
+    equals the (global) batch ``B = x.shape[0]`` is split over
+    ``axis_name`` on dim 0; every other leaf is passed/returned
+    replicated.  This matches the streaming chains' state pytrees (all
+    carried buffers are batch-leading) and the fused forwards (audio in,
+    features out).  ``B`` must be divisible by the mesh axis size.
+
+    ``keyed=True``: ``fn(x, key)`` — the PRNG key is folded with the
+    shard index (``jax.random.fold_in(key, axis_index)``) so shards draw
+    independent randomness.  Phaseless streaming draws therefore differ
+    from the single-device run (equivalent in distribution and quality,
+    not bit-equal) — the multi-chip contract documented in PARITY.md.
+
+    Channel caveat (reference ``Mono`` semantics): a rank-2 ``(B, L)``
+    batch whose LOCAL slice has exactly 2 rows is indistinguishable from
+    a stereo signal, so channel-ful chains under a mesh must take
+    channel-explicit ``(B, 1, L)`` input — the same convention
+    ``serving.CompiledTransform`` documents for bucketed batches.
+    """
+    n = mesh.shape[axis_name]
+
+    def _specs(tree, B):
+        def leaf_spec(l):
+            shp = getattr(l, "shape", ())
+            if len(shp) >= 1 and shp[0] == B:
+                return P(*([axis_name] + [None] * (len(shp) - 1)))
+            return P()
+
+        return jax.tree_util.tree_map(leaf_spec, tree)
+
+    def wrapped(x, *rest):
+        B = x.shape[0]
+        if B % n:
+            raise ValueError(
+                "shard_map_batch: leading batch %d not divisible by mesh "
+                "axis %r size %d" % (B, axis_name, n)
+            )
+
+        if keyed:
+            key, rest_t = rest[0], rest[1:]
+
+            def local(xl, kl, *rl):
+                kl = jax.random.fold_in(
+                    kl, jax.lax.axis_index(axis_name)
+                )
+                return fn(xl, kl, *rl)
+
+            args = (x, key) + rest_t
+            in_specs = (
+                _specs(x, B), P(),
+                *(_specs(r, B) for r in rest_t),
+            )
+        else:
+            local = fn
+            args = (x,) + rest
+            in_specs = (_specs(x, B), *(_specs(r, B) for r in rest))
+
+        # out specs from the LOCAL call's shapes: leaves carrying the
+        # per-shard batch B//n lead-dim are concatenated over the axis,
+        # everything else (identical across shards) returned replicated
+        local_args = jax.tree_util.tree_map(
+            lambda l: jax.ShapeDtypeStruct(
+                (l.shape[0] // n,) + tuple(l.shape[1:]), l.dtype
+            )
+            if getattr(l, "ndim", 0) >= 1 and l.shape[0] == B
+            else jax.ShapeDtypeStruct(
+                getattr(l, "shape", ()), getattr(l, "dtype", jnp.float32)
+            ),
+            args,
+        )
+        # shapes via fn, not local: the keyed fold_in references the mesh
+        # axis, which is unbound outside the shard_map context (and does
+        # not change any shape)
+        out_sds = jax.eval_shape(fn, *local_args)
+        out_specs = _specs(out_sds, B // n)
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_vma=False,
+        )(*args)
 
     return wrapped
 

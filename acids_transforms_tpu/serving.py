@@ -367,6 +367,8 @@ class StreamingSession:
             self.batch_shape, mode=inversion_mode
         )
         self._key = jax.random.PRNGKey(0) if key is None else key
+        self._n_chunks = 0  # chunks encoded since reset (time threading)
+        self._chunk_tmap = None  # lazy per-chunk frame-shift pattern
         mode = inversion_mode
 
         @partial(jax.jit, donate_argnums=(1,))
@@ -387,11 +389,37 @@ class StreamingSession:
         self.state = self.transform.init_state(
             self.batch_shape, mode=self.inversion_mode
         )
+        self._n_chunks = 0
 
-    def encode(self, chunk: jnp.ndarray) -> jnp.ndarray:
-        """One analysis step: ``(..., chunk_size)`` audio -> frames."""
+    def encode(self, chunk: jnp.ndarray, with_time: bool = False):
+        """One analysis step: ``(..., chunk_size)`` audio -> frames.
+
+        ``with_time=True`` returns ``(frames, times)`` — the frame-start
+        seconds of this chunk, consistent with the reference's realtime
+        time threading (``forward_with_time`` fed chunk ``i`` at
+        ``i * chunk_size / sr``; ``streaming.session_frame_times``) and
+        with the session's own chunk counter (``reset`` rewinds to t=0).
+        """
+        if with_time and self._chunk_tmap is None:
+            # per-chunk shift pattern probed once from the chain (host-side
+            # numpy: the audio callback shouldn't pay a device trip for
+            # timestamps)
+            import numpy as np
+
+            from .streaming import session_frame_times
+
+            self._chunk_tmap = np.asarray(
+                session_frame_times(self.transform, self.chunk_size, 1)
+            )
         self.state, y = self._step(self.transform, self.state, chunk)
-        return y
+        if not with_time:
+            self._n_chunks += 1
+            return y
+        times = self._chunk_tmap + self._n_chunks * (
+            self.chunk_size / float(self.transform.sr)
+        )
+        self._n_chunks += 1
+        return y, times
 
     def decode(self, frames: jnp.ndarray) -> jnp.ndarray:
         """One synthesis step: frames/features -> ``(..., chunk)`` audio."""

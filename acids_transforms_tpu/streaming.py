@@ -23,7 +23,13 @@ import jax.numpy as jnp
 
 from .transforms.base import AudioTransform
 
-__all__ = ["chunk_signal", "scan_forward", "scan_invert", "scan_roundtrip"]
+__all__ = [
+    "chunk_signal",
+    "scan_forward",
+    "scan_invert",
+    "scan_roundtrip",
+    "session_frame_times",
+]
 
 
 def _session_parts(chain):
@@ -160,13 +166,48 @@ def chunk_signal(x: jnp.ndarray, chunk_size: int) -> jnp.ndarray:
     return jnp.moveaxis(x, -2, 0)
 
 
-@partial(jax.jit, static_argnames=("chunk_size", "backend"))
+def session_frame_times(
+    chain: AudioTransform, chunk_size: int, n_chunks: int
+) -> jnp.ndarray:
+    """Frame-start times (seconds) for a whole chunked session.
+
+    Matches the reference's realtime time threading exactly: feeding chunk
+    ``i`` with start time ``i * chunk_size / sr`` through the chain's
+    ``forward_with_time`` (reference stft.py:106-117, chain threading
+    base.py:156-160) yields per-frame times ``shifts + t_i``; this is that
+    sequence for all ``n_chunks`` at once (``tests/test_streaming.py``
+    pins the equivalence).  The per-chunk shift pattern is probed from the
+    chain itself (one zeros-chunk ``forward_with_time`` on a snapshot, so
+    Window/MFCC-style frame layouts are honoured), and times are affine
+    in the chunk start by the threading contract.
+    """
+    # snapshot: eager streaming transforms stash ring state on self in
+    # forward(); probing a tree-copy keeps the caller's transform (and
+    # any eager state) untouched, incl. under jit tracing
+    leaves, treedef = jax.tree_util.tree_flatten(chain)
+    snap = jax.tree_util.tree_unflatten(treedef, leaves)
+    _, tmap = snap.forward_with_time(
+        jnp.zeros((chunk_size,), jnp.float32), jnp.zeros((), jnp.float32)
+    )
+    tmap = jnp.atleast_1d(tmap)
+    starts = jnp.arange(n_chunks, dtype=jnp.float32) * (
+        chunk_size / float(snap.sr)
+    )
+    return (tmap[None, :] + starts[:, None]).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=(
+    "chunk_size", "backend", "mesh", "shard_axis", "with_time"
+))
 def scan_forward(
     chain: AudioTransform,
     x: jnp.ndarray,
     chunk_size: int,
     state: Any = None,
     backend: str = "auto",
+    mesh: Any = None,
+    shard_axis: str = "data",
+    with_time: bool = False,
 ) -> Tuple[jnp.ndarray, Any]:
     """Run the chain's streaming forward over chunks of ``x`` in one scan.
 
@@ -181,6 +222,12 @@ def scan_forward(
     closed form (the ring is the signal's tail).  ``"generic"`` forces the
     chain scan; ``"fused"`` fails loudly when the kernel can't cover the
     call.
+
+    ``with_time=True`` returns ``(outputs, times, final_state)`` where
+    ``times (T_total,)`` are the frame-start seconds the reference's
+    realtime loop would thread through ``forward_with_time`` feeding
+    chunk ``i`` at ``i * chunk_size / sr`` (:func:`session_frame_times`;
+    session start at t=0 — add an offset for a resumed stream).
     """
     from .ops.pallas.stream_step import (
         fused_forward_session_available,
@@ -192,6 +239,32 @@ def scan_forward(
             "unknown scan_forward backend %r (use 'auto', 'fused' or "
             "'generic')" % backend
         )
+    if mesh is not None:
+        # multi-chip: structural batch partitioning — each device scans
+        # its local slice (session kernels included); state/output leaves
+        # are batch-leading so the shard rule covers them (the no-
+        # all-gather contract, parallel/sharding.py:shard_map_batch);
+        # frame times are batch-free and return replicated
+        from .parallel.sharding import shard_map_batch
+
+        def inner(v, *st):
+            return scan_forward(
+                chain, v, chunk_size, st[0] if st else None, backend,
+                with_time=with_time,
+            )
+
+        args = (x,) if state is None else (x, state)
+        return shard_map_batch(inner, mesh, shard_axis)(*args)
+
+    n_sess_chunks = -(-x.shape[-1] // chunk_size)
+    times = (
+        session_frame_times(chain, chunk_size, n_sess_chunks)
+        if with_time
+        else None
+    )
+
+    def _ret(ys, st):
+        return (ys, times, st) if with_time else (ys, st)
     # feature chains ([..., Magnitude]) encode through the same kernel:
     # Magnitude.forward is stateless and frame-local, so applying it
     # whole-session to the kernel's spectrum equals the generic scan
@@ -221,11 +294,11 @@ def scan_forward(
     if available and take and (backend == "fused" or batch_elems <= 64):
         spec, st2 = make_fused_forward_session(sub2, chunk_size)(x)
         if mag_t is None:
-            return spec, st2
+            return _ret(spec, st2)
         feats = mag_t.forward(spec)
         full_state = chain.init_state(x.shape[:-1])
         full_state[0] = st2[0]  # only the framing ring moved
-        return feats, full_state
+        return _ret(feats, full_state)
 
     chunks = chunk_signal(x, chunk_size)
     if state is None:
@@ -239,10 +312,12 @@ def scan_forward(
     # ys: (N, ..., T_chunk, F...) -> concat chunks along the frame axis
     ys = jnp.moveaxis(ys, 0, -3) if ys.ndim >= 3 else ys
     ys = ys.reshape(ys.shape[:-3] + (ys.shape[-3] * ys.shape[-2],) + ys.shape[-1:])
-    return ys, state
+    return _ret(ys, state)
 
 
-@partial(jax.jit, static_argnames=("chunk_frames", "inversion_mode", "backend"))
+@partial(jax.jit, static_argnames=(
+    "chunk_frames", "inversion_mode", "backend", "mesh", "shard_axis"
+))
 def scan_invert(
     chain: AudioTransform,
     y: jnp.ndarray,
@@ -250,6 +325,8 @@ def scan_invert(
     inversion_mode: Optional[str] = None,
     key: Optional[jax.Array] = None,
     backend: str = "auto",
+    mesh: Any = None,
+    shard_axis: str = "data",
 ) -> jnp.ndarray:
     """Streaming DECODE: spectra/magnitudes ``(..., T, F)`` -> audio.
 
@@ -294,6 +371,21 @@ def scan_invert(
             "unknown scan_invert backend %r (use 'auto', 'fused' or "
             "'generic')" % backend
         )
+    if mesh is not None:
+        # multi-chip decode: per-device session kernels on local slices;
+        # the key is folded with the shard index so shards draw
+        # independent phases (quality-equivalent, not bit-equal to the
+        # single-device run — PARITY.md multi-chip contract)
+        from .parallel.sharding import shard_map_batch
+
+        def inner(v, k):
+            return scan_invert(
+                chain, v, chunk_frames, inversion_mode, k, backend
+            )
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return shard_map_batch(inner, mesh, shard_axis, keyed=True)(y, key)
     batch_elems = 1
     for d in y.shape[:-2]:
         batch_elems *= d
@@ -419,7 +511,9 @@ def scan_invert(
     return out[..., : T * ratio]
 
 
-@partial(jax.jit, static_argnames=("chunk_size", "inversion_mode", "backend"))
+@partial(jax.jit, static_argnames=(
+    "chunk_size", "inversion_mode", "backend", "mesh", "shard_axis"
+))
 def scan_roundtrip(
     chain: AudioTransform,
     x: jnp.ndarray,
@@ -427,6 +521,8 @@ def scan_roundtrip(
     inversion_mode: Optional[str] = None,
     key: Optional[jax.Array] = None,
     backend: str = "auto",
+    mesh: Any = None,
+    shard_axis: str = "data",
 ) -> jnp.ndarray:
     """Full streaming round-trip (forward then invert per chunk) in one scan.
 
@@ -465,6 +561,19 @@ def scan_roundtrip(
             "unknown scan_roundtrip backend %r (use 'auto', 'fused' or "
             "'generic')" % backend
         )
+    if mesh is not None:
+        # multi-chip roundtrip: see scan_invert's mesh leg (same key-fold
+        # contract for the phaseless modes)
+        from .parallel.sharding import shard_map_batch
+
+        def inner(v, k):
+            return scan_roundtrip(
+                chain, v, chunk_size, inversion_mode, k, backend
+            )
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return shard_map_batch(inner, mesh, shard_axis, keyed=True)(x, key)
     batch_elems = 1
     for d in x.shape[:-1]:
         batch_elems *= d

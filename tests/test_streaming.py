@@ -1163,3 +1163,75 @@ def test_sinebank_layout_mismatch_falls_back_to_generic():
     )
     assert r_a.shape == r_g.shape
     np.testing.assert_allclose(r_a, r_g, rtol=0, atol=1e-6)
+
+
+def test_scan_forward_with_time_matches_eager_threading(sig):
+    """``scan_forward(..., with_time=True)`` returns the frame-start times
+    the reference's realtime loop would thread: chunk ``i`` fed to
+    ``chain.forward_with_time`` at ``i * chunk_size / sr`` (reference
+    stft.py:106-117, chain threading base.py:156-160) — bit-exact, for
+    2-chains, feature 3-chains and both backends."""
+    from acids_transforms_tpu.streaming import scan_forward
+
+    n_fft, hop, chunk = 1024, 256, 4096
+    x = jnp.asarray(sig[: 3 * chunk])
+    chain = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop
+    )
+    ys, times, st = scan_forward(chain, x, chunk, with_time=True)
+    assert times.shape == (ys.shape[-2],)
+
+    eager = []
+    ch2 = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop
+    )
+    for i in range(3):
+        _, t = ch2.forward_with_time(
+            x[i * chunk : (i + 1) * chunk],
+            jnp.float32(i * chunk / ch2.sr),
+        )
+        eager.append(np.asarray(t))
+    np.testing.assert_array_equal(np.concatenate(eager), np.asarray(times))
+
+    # plain (no with_time) keeps the 2-tuple contract
+    ys2, st2 = scan_forward(chain, x, chunk)
+    assert ys2.shape == ys.shape
+
+    # feature chains and the forced kernel backend agree
+    feat = chain + T.Magnitude(
+        mode=None, contrast="log1p", mel=True, n_fft=n_fft
+    )
+    _, tf, _ = scan_forward(feat, x, chunk, with_time=True)
+    np.testing.assert_array_equal(np.asarray(tf), np.asarray(times))
+    _, tk, _ = scan_forward(chain, x, chunk, with_time=True, backend="fused")
+    np.testing.assert_array_equal(np.asarray(tk), np.asarray(times))
+
+
+def test_streaming_session_encode_with_time(sig):
+    """``StreamingSession.encode(chunk, with_time=True)`` threads the
+    session clock: times continue across chunks, ``reset`` rewinds to
+    t=0, and values equal the scan API's whole-session times."""
+    from acids_transforms_tpu.serving import StreamingSession
+    from acids_transforms_tpu.streaming import scan_forward
+
+    n_fft, hop, chunk = 1024, 256, 4096
+    x = jnp.asarray(sig[: 2 * chunk])
+    chain = T.OverlapAdd(n_fft, hop) + T.RealtimeSTFT(
+        n_fft=n_fft, hop_length=hop
+    )
+    _, times, _ = scan_forward(chain, x, chunk, with_time=True)
+
+    sess = StreamingSession(chain, chunk)
+    _, t0 = sess.encode(x[:chunk], with_time=True)
+    y1, t1 = sess.encode(x[chunk:], with_time=True)
+    np.testing.assert_allclose(
+        np.concatenate([t0, t1]), np.asarray(times), atol=1e-7
+    )
+    sess.reset()
+    _, t0b = sess.encode(x[:chunk], with_time=True)
+    np.testing.assert_array_equal(t0b, t0)
+    # the un-timed call still advances the clock
+    sess.reset()
+    sess.encode(x[:chunk])
+    _, t1b = sess.encode(x[chunk:], with_time=True)
+    np.testing.assert_array_equal(t1b, t1)
