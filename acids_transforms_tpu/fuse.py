@@ -550,28 +550,27 @@ def _repr_pallas_preferred(chain: AudioTransform) -> bool:
     if match is None:
         return False
     stft_t, second = match[1], match[3]
-    if second == "if":
-        return _pallas_region_ok(stft_t)
-    return (
-        getattr(stft_t, "_window_taps", None) is not None
-        and 1024 <= stft_t.n_fft <= 4096
-        and stft_t.n_fft // stft_t.hop_length >= 2
+    from .regions import repr_region_ok
+
+    return repr_region_ok(
+        stft_t.n_fft,
+        stft_t.hop_length,
+        getattr(stft_t, "_window_taps", None) is not None,
+        second,
     )
 
 
 def _pallas_region_ok(stft_t) -> bool:
     """The measured-winner shape region shared by every fused forward
-    (see :func:`_pallas_preferred` for the measurements)."""
-    overlap = stft_t.n_fft // stft_t.hop_length
-    if getattr(stft_t, "_window_taps", None) is None:
-        from .ops.pallas.spectral import _nyq_depad
+    (see :func:`_pallas_preferred` for the measurements; values load from
+    dispatch_regions.json via regions.py — the single source of truth)."""
+    from .regions import melspec_region_ok
 
-        return (
-            _nyq_depad(stft_t.n_fft, stft_t.hop_length)
-            and 512 <= stft_t.n_fft <= 2048
-            and overlap >= 2
-        )
-    return 512 <= stft_t.n_fft <= 4096 and overlap >= 2
+    return melspec_region_ok(
+        stft_t.n_fft,
+        stft_t.hop_length,
+        getattr(stft_t, "_window_taps", None) is not None,
+    )
 
 
 def _pallas_preferred(chain: AudioTransform) -> bool:
@@ -683,12 +682,12 @@ def fuse_forward(
             # (1.24x at overlap 2 to 2.32x at 2048/512; r3.5: 2.41x at
             # 4096/512 at 1.4e-5 vs the chain — the 128-mel power-2 path
             # stays far inside the budget, no x4 needed)
-            overlap = mfcc.n_fft // mfcc.hop_length
+            from .regions import mfcc_region_ok
+
             be = (
                 "pallas"
                 if jax.default_backend() == "tpu"
-                and overlap >= 2
-                and 512 <= mfcc.n_fft <= 4096
+                and mfcc_region_ok(mfcc.n_fft, mfcc.hop_length)
                 else "xla"
             )
         return _fused_mfcc(mono, mfcc, be, out_dtype=out_dtype)
@@ -773,7 +772,12 @@ def _match_fit(chain: AudioTransform):
     # forward full-K measured only ~1.07x over XLA at this FLOP wall
     # (BENCH_NOTES.md r3.6c) and the stats variant is unmeasured there —
     # fall back to the exact cascade past 2048
-    if getattr(stft_t, "_window_taps", None) is None and stft_t.n_fft > 2048:
+    from .regions import fit_fullk_max_n_fft
+
+    if (
+        getattr(stft_t, "_window_taps", None) is None
+        and stft_t.n_fft > fit_fullk_max_n_fft()
+    ):
         return None
     return mono, stft_t, mag_t
 
@@ -789,7 +793,12 @@ def _match_repr_fit(chain: AudioTransform):
     if match is None:
         return None
     stft_t = match[1]
-    if getattr(stft_t, "_window_taps", None) is None and stft_t.n_fft > 2048:
+    from .regions import fit_fullk_max_n_fft
+
+    if (
+        getattr(stft_t, "_window_taps", None) is None
+        and stft_t.n_fft > fit_fullk_max_n_fft()
+    ):
         return None
     return match
 

@@ -150,6 +150,7 @@ def _stacked_dot3(re, im, basis_ref):
 def _gl_project_vals(
     Yre, Yim, ynyq, mag_w, env, syn_basis_ref, ana_basis_ref, twr_ref,
     twi_ref, *, taps, overlap, n_bins, Fp, Fd, depad, out_rows, out_off_w,
+    stages=5,
 ):
     """Consistency projection over VALUE arrays spanning one row window.
 
@@ -187,6 +188,10 @@ def _gl_project_vals(
         inv_alt = (1 - 2 * (r_i & 1)).astype(f32) * (1.0 / (overlap * samples.shape[1]))
         samples = samples + jnp.broadcast_to(dnyq, samples.shape) * inv_alt
     samples = samples / env[overlap - 1: overlap - 1 + n_chunks]
+    if stages <= 2:  # floor-sweep prefix: synthesis GEMM + envelope only
+        s = jnp.sum(samples)
+        z = jnp.zeros((out_rows, Fp), jnp.float32) + s
+        return z, z
 
     # analysis: chunk DFT -> twiddle combine -> taps conv
     sh, sl = _split_bf16(samples)
@@ -201,6 +206,14 @@ def _gl_project_vals(
         Cre, Cim, twr_ref, twi_ref, overlap, out_rows,
         out_off_w - (overlap - 1), conj=False,
     )
+    if stages <= 3:  # floor-sweep prefix: through the analysis GEMM
+        # (sum marker, not a concat: Mosaic rejects the twiddle-combine's
+        # sliced values feeding a pad/concat — "offset mismatch" rule)
+        s = jnp.sum(Xre) + jnp.sum(Xim)
+        return (
+            jnp.zeros((out_rows, Fp), jnp.float32) + s,
+            jnp.zeros((out_rows, Fp), jnp.float32) + s,
+        )
     if depad:
         alt = (1 - 2 * (jax.lax.broadcasted_iota(
             jnp.int32, (1, samples.shape[1]), 1) & 1)).astype(f32)
@@ -225,8 +238,17 @@ def _gl_kernel(
     syn_basis_ref, ana_basis_ref,
     twr_ref, twi_ref,
     ore_ref, oim_ref,
-    *, taps, overlap, tile_t, n_bins,
+    *, taps, overlap, tile_t, n_bins, stages=5,
 ):
+    # stage prefixes (floor sweep, tools/sweep_gl_floor.py): 0 = DMA only
+    # (copy in->out), 1 = + Y=mag*angles + synthesis taps conv, 2 = +
+    # synthesis GEMM/envelope, 3 = + analysis GEMM/combine, >=4 = full
+    # projection.  Default runs everything; the sweeps pass stages
+    # explicitly to attribute the iteration time.
+    if stages <= 0:
+        ore_ref[0, :, :] = are_ref[0, HALO: HALO + tile_t, :]
+        oim_ref[0, :, :] = aim_ref[0, HALO: HALO + tile_t, :]
+        return
     # nyquist-depadded GEMM lanes (see ops/pallas/spectral.py module note):
     # the HBM state keeps the padded Fp layout (nyquist at lane N, zeros
     # above); only the two GEMMs and the twiddle combines run at Fd = N
@@ -250,10 +272,20 @@ def _gl_kernel(
         mag = mag_ref[0]
         Yre, Yim = _taps_conv_pair(mag * are_ref[0], mag * aim_ref[0], taps, n_bins)
         ynyq = None
+    if stages <= 1:
+        Fy = Yre.shape[-1]
+        ore_ref[0, :, :Fy] = Yre[HALO: HALO + tile_t, :]
+        oim_ref[0, :, :Fy] = Yim[HALO: HALO + tile_t, :]
+        if Fy < Fp:
+            z = jnp.zeros((tile_t, Fp - Fy), jnp.float32)
+            ore_ref[0, :, Fy:] = z
+            oim_ref[0, :, Fy:] = z
+        return
     Rre, Rim = _gl_project_vals(
         Yre, Yim, ynyq, mag, env_ref[0], syn_basis_ref, ana_basis_ref,
         twr_ref, twi_ref, taps=taps, overlap=overlap, n_bins=n_bins,
         Fp=Fp, Fd=Fd, depad=depad, out_rows=tile_t, out_off_w=HALO,
+        stages=stages,
     )
     ore_ref[0, :, :] = Rre
     oim_ref[0, :, :] = Rim
@@ -263,7 +295,7 @@ def _gl_kernel_momentum(
     mag_ref, are_ref, aim_ref, tre_ref, tim_ref, env_ref,
     syn_basis_ref, ana_basis_ref, twr_ref, twi_ref, mom_ref,
     nare_ref, naim_ref, rre_ref, rim_ref,
-    *, taps, overlap, tile_t, n_bins,
+    *, taps, overlap, tile_t, n_bins, stages=5,
 ):
     """One full momentum-GL iteration in-kernel: the consistency projection
     (_gl_kernel) PLUS the momentum extrapolation and phase renormalization
@@ -275,7 +307,14 @@ def _gl_kernel_momentum(
         syn_basis_ref, ana_basis_ref, twr_ref, twi_ref,
         rre_ref, rim_ref,
         taps=taps, overlap=overlap, tile_t=tile_t, n_bins=n_bins,
+        stages=stages,
     )
+    if stages <= 4:  # floor-sweep prefix: projection without the update
+        # (the tre/tim blocks are still DMA'd per their specs, so the
+        # stage delta to the full kernel isolates the update arithmetic)
+        nare_ref[0, :, :] = rre_ref[0, :, :]
+        naim_ref[0, :, :] = rim_ref[0, :, :]
+        return
     mom = mom_ref[0, 0]
     ure = rre_ref[0, :, :] - mom * tre_ref[0]
     uim = rim_ref[0, :, :] - mom * tim_ref[0]
@@ -396,12 +435,12 @@ def _gl_specs(tile_t, Fp, B, n_tiles, halo=HALO):
     jax.jit,
     static_argnames=(
         "n_fft", "hop_length", "taps", "interpret", "tile_t", "chain",
-        "halo",
+        "halo", "stages",
     ),
 )
 def _gl_call(
     magp, arep, aimp, envp, n_fft, hop_length, taps, interpret, tile_t,
-    trep=None, timp=None, mom=None, chain=1, halo=HALO,
+    trep=None, timp=None, mom=None, chain=1, halo=HALO, stages=5,
 ):
     B, rows_p, Fp = magp.shape
     overlap = n_fft // hop_length
@@ -494,7 +533,7 @@ def _gl_call(
             )
         kernel = functools.partial(
             _gl_kernel_momentum, taps=taps, overlap=overlap, tile_t=tile_t,
-            n_bins=F,
+            n_bins=F, stages=stages,
         )
         return pl.pallas_call(
             kernel,
@@ -714,6 +753,7 @@ def make_gl_momentum_step(
     interpret: Optional[bool] = None,
     tile_t: Optional[int] = None,
     iters: int = 1,
+    stages: int = 5,
 ):
     """Whole-iteration momentum-GL step factory (r3).
 
@@ -773,7 +813,7 @@ def make_gl_momentum_step(
         return _gl_call(
             magp, jnp.pad(are_r, pads), jnp.pad(aim_r, pads), envp,
             n_fft, hop_length, taps, interpret, tile_t,
-            trep=tre_r, timp=tim_r, mom=float(momentum),
+            trep=tre_r, timp=tim_r, mom=float(momentum), stages=stages,
         )
 
     return step, to_rows, from_rows

@@ -25,6 +25,9 @@ from .transforms.base import AudioTransform
 
 __all__ = [
     "chunk_signal",
+    "plan_forward",
+    "plan_invert",
+    "plan_roundtrip",
     "scan_forward",
     "scan_invert",
     "scan_roundtrip",
@@ -154,6 +157,301 @@ def _sinebank_session(sub2, mag: jnp.ndarray, chunk_frames: int) -> jnp.ndarray:
     return y[..., : T * rt.hop_length]
 
 
+def _batch_elems(shape) -> int:
+    n = 1
+    for d in shape:
+        n *= d
+    return n
+
+
+def _cap_ok(mode: str, batch_elems: int) -> bool:
+    from .regions import batch_cap
+
+    cap = batch_cap(mode)
+    return cap is None or batch_elems <= cap
+
+
+def _angles_fit(rt, batch_elems: int, n_frames: int) -> bool:
+    """Whole-session angle-buffer footprint gate for the phaseless session
+    kernels (the wrappers materialize (B, T, Fp) f32 angles in HBM)."""
+    from .ops.pallas.spectral import LANE, _round_up
+    from .regions import angle_cap_bytes
+
+    angle_bytes = batch_elems * n_frames * _round_up(
+        rt.n_fft // 2 + 1, LANE
+    ) * 4
+    return angle_bytes <= angle_cap_bytes()
+
+
+def _platform(platform: Optional[str]) -> str:
+    return jax.default_backend() if platform is None else platform
+
+
+def plan_forward(
+    chain: AudioTransform,
+    x_shape: Tuple[int, ...],
+    chunk_size: int,
+    has_state: bool = False,
+    backend: str = "auto",
+    platform: Optional[str] = None,
+) -> str:
+    """The :func:`scan_forward` dispatch decision, as data.
+
+    Returns ``"fused"`` (whole-session encode kernel) or ``"generic"``
+    (chain scan).  This IS the decision ``scan_forward`` executes — the
+    scan body calls this planner, so the conformance suite
+    (tests/test_regions.py) exercises the live dispatch, and every
+    numeric gate loads from dispatch_regions.json (regions.py).
+    Raises exactly like the scan API: unknown ``backend``, and
+    ``backend="fused"`` with no covering kernel.
+    """
+    from .ops.pallas.stream_step import fused_forward_session_available
+
+    if backend not in ("auto", "fused", "generic"):
+        raise ValueError(
+            "unknown scan_forward backend %r (use 'auto', 'fused' or "
+            "'generic')" % backend
+        )
+    parts = _session_parts(chain)
+    sub2 = parts[0] if parts else chain
+    available = (
+        not has_state
+        and parts is not None
+        and fused_forward_session_available(sub2, chunk_size)
+    )
+    if backend == "fused" and not available:
+        raise ValueError(
+            "backend='fused' requested but the fused encode-session kernel "
+            "cannot cover this call (needs a fresh-state "
+            "[OverlapAdd, RealtimeSTFT(, Magnitude)] chain with an "
+            "OLA-supported layout); use backend='auto' to fall back to "
+            "the generic scan"
+        )
+    take = backend == "fused" or (
+        backend == "auto" and _platform(platform) == "tpu"
+    )
+    # same measured batch crossover as the complex roundtrip kernel
+    # (large fleets amortize XLA's dispatch; the kernel wins below it)
+    if available and take and (
+        backend == "fused" or _cap_ok("encode", _batch_elems(x_shape[:-1]))
+    ):
+        return "fused"
+    return "generic"
+
+
+def plan_invert(
+    chain: AudioTransform,
+    y_shape: Tuple[int, ...],
+    chunk_frames: int,
+    inversion_mode: Optional[str] = None,
+    y_is_complex: bool = False,
+    backend: str = "auto",
+    platform: Optional[str] = None,
+) -> str:
+    """The :func:`scan_invert` dispatch decision, as data.
+
+    Returns ``"sinebank"`` (closed form), ``"complex"`` / ``"pghi"`` /
+    ``"pghi_gl"`` / ``"random"`` (whole-session invert kernels) or
+    ``"generic"`` — see :func:`plan_forward` for the contract.
+    """
+    from .ops.pallas.stream_step import (
+        fused_complex_invert_available,
+        fused_pghi_gl_invert_available,
+        fused_pghi_invert_available,
+        fused_random_invert_available,
+    )
+
+    if backend not in ("auto", "fused", "generic"):
+        raise ValueError(
+            "unknown scan_invert backend %r (use 'auto', 'fused' or "
+            "'generic')" % backend
+        )
+    batch_elems = _batch_elems(y_shape[:-2])
+    parts = _session_parts(chain)
+    sub2, mag_t, _ = parts if parts else (chain, None, 0)
+    pghi_available = (
+        inversion_mode == "pghi"
+        and parts is not None
+        and fused_pghi_invert_available(sub2, chunk_frames)
+    )
+    pghi_gl_available = (
+        inversion_mode == "pghi_gl"
+        and parts is not None
+        and fused_pghi_gl_invert_available(sub2, chunk_frames)
+    )
+    random_available = (
+        inversion_mode == "random"
+        and parts is not None
+        and fused_random_invert_available(sub2, chunk_frames)
+    )
+    # complex (explicit-phase, keep_input-style) decode: 2-chains only
+    # (a Magnitude tail means real features, not a complex spectrum)
+    complex_available = (
+        inversion_mode is None
+        and y_is_complex
+        and parts is not None
+        and mag_t is None
+        and fused_complex_invert_available(sub2, chunk_frames)
+    )
+    # sinebank decode: deterministic carried state -> scan-free closed
+    # form (plain XLA, every platform); requires the OLA layout the
+    # closed form assumes (ADVICE r3)
+    sinebank_available = (
+        inversion_mode == "sinebank"
+        and parts is not None
+        and _sinebank_layout_ok(sub2)
+    )
+    if backend == "fused" and not (
+        pghi_available or pghi_gl_available or random_available
+        or complex_available or sinebank_available
+    ):
+        raise ValueError(
+            "backend='fused' requested but no fused invert-session path "
+            "covers this call (needs an [OverlapAdd, RealtimeSTFT"
+            "(, Magnitude)] chain with inversion_mode 'random', 'pghi', "
+            "'pghi_gl' or 'sinebank' — or a complex spectrum with mode "
+            "None, 2-chain only — and an OLA-supported layout); use "
+            "backend='auto' to fall back to the generic scan"
+        )
+    if sinebank_available and backend != "generic" and (
+        backend == "fused" or _sinebank_fits(sub2, y_shape, chunk_frames)
+    ):
+        return "sinebank"
+    take = backend == "fused" or (
+        backend == "auto" and _platform(platform) == "tpu"
+    )
+    # complex decode has no angle footprint; same batch crossover as the
+    # complex roundtrip kernel (auto hands large fleets to XLA)
+    if complex_available and take and (
+        backend == "fused" or _cap_ok("complex", batch_elems)
+    ):
+        return "complex"
+    if pghi_available or pghi_gl_available or random_available:
+        rt = chain.transforms[1]
+        n_frames = -(-y_shape[-2] // chunk_frames) * chunk_frames
+        fits = _angles_fit(rt, batch_elems, n_frames)
+        # same measured batch caps as the roundtrip sessions: the invert
+        # kernels share their structure minus the analysis GEMM
+        if pghi_available and take and (backend == "fused" or fits):
+            return "pghi"
+        if pghi_gl_available and take and (
+            backend == "fused" or (fits and _cap_ok("pghi_gl", batch_elems))
+        ):
+            return "pghi_gl"
+        if random_available and take and (
+            backend == "fused" or (fits and _cap_ok("random", batch_elems))
+        ):
+            return "random"
+    return "generic"
+
+
+def plan_roundtrip(
+    chain: AudioTransform,
+    x_shape: Tuple[int, ...],
+    chunk_size: int,
+    inversion_mode: Optional[str] = None,
+    backend: str = "auto",
+    platform: Optional[str] = None,
+) -> str:
+    """The :func:`scan_roundtrip` dispatch decision, as data.
+
+    Returns ``"sinebank"`` / ``"complex"`` / ``"pghi"`` / ``"pghi_gl"``
+    / ``"random"`` / ``"generic"`` — see :func:`plan_forward` for the
+    contract.
+    """
+    from .ops.pallas.stream_step import (
+        fused_forward_session_available,
+        fused_pghi_gl_roundtrip_available,
+        fused_pghi_roundtrip_available,
+        fused_random_roundtrip_available,
+        fused_roundtrip_available,
+    )
+
+    if backend not in ("auto", "fused", "generic"):
+        raise ValueError(
+            "unknown scan_roundtrip backend %r (use 'auto', 'fused' or "
+            "'generic')" % backend
+        )
+    batch_elems = _batch_elems(x_shape[:-1])
+    parts = _session_parts(chain)
+    sub2, mag_t, _ = parts if parts else (chain, None, 0)
+    feature_ok = mag_t is None or fused_forward_session_available(
+        sub2, chunk_size
+    )
+    available = (
+        inversion_mode is None
+        and parts is not None
+        and mag_t is None
+        and fused_roundtrip_available(sub2, chunk_size)
+    )
+    pghi_available = (
+        inversion_mode == "pghi"
+        and parts is not None
+        and feature_ok
+        and fused_pghi_roundtrip_available(sub2, chunk_size)
+    )
+    pghi_gl_available = (
+        inversion_mode == "pghi_gl"
+        and parts is not None
+        and feature_ok
+        and fused_pghi_gl_roundtrip_available(sub2, chunk_size)
+    )
+    random_available = (
+        inversion_mode == "random"
+        and parts is not None
+        and feature_ok
+        and fused_random_roundtrip_available(sub2, chunk_size)
+    )
+    sinebank_available = (
+        inversion_mode == "sinebank"
+        and parts is not None
+        and _sinebank_layout_ok(sub2)
+        and chunk_size % chain.transforms[1].hop_length == 0
+    )
+    if backend == "fused" and not (
+        available or pghi_available or pghi_gl_available or random_available
+        or sinebank_available
+    ):
+        raise ValueError(
+            "backend='fused' requested but no fused session path covers "
+            "this call (needs an [OverlapAdd, RealtimeSTFT(, Magnitude)] "
+            "chain with inversion_mode None, 'random', 'sinebank', 'pghi' "
+            "or 'pghi_gl' — complex roundtrips 2-chain only — chunk_size "
+            "a hop multiple, an OLA-supported hop); use backend='auto' to "
+            "fall back to the generic scan"
+        )
+    if sinebank_available and backend != "generic":
+        T_c = chunk_size // chain.transforms[1].hop_length
+        mag_shape = x_shape[:-1] + (
+            -(-x_shape[-1] // chunk_size) * T_c, 0
+        )
+        if backend == "fused" or _sinebank_fits(sub2, mag_shape, T_c):
+            return "sinebank"
+    take = backend == "fused" or (
+        backend == "auto" and _platform(platform) == "tpu"
+    )
+    if pghi_available or pghi_gl_available or random_available:
+        rt = chain.transforms[1]
+        T_c = chunk_size // rt.hop_length
+        n_frames = -(-x_shape[-1] // chunk_size) * T_c
+        fits = _angles_fit(rt, batch_elems, n_frames)
+        if pghi_available and take and (backend == "fused" or fits):
+            return "pghi"
+        if pghi_gl_available and take and (
+            backend == "fused" or (fits and _cap_ok("pghi_gl", batch_elems))
+        ):
+            return "pghi_gl"
+        if random_available and take and (
+            backend == "fused" or (fits and _cap_ok("random", batch_elems))
+        ):
+            return "random"
+    if available and take and (
+        backend == "fused" or _cap_ok("complex", batch_elems)
+    ):
+        return "complex"
+    return "generic"
+
+
 def chunk_signal(x: jnp.ndarray, chunk_size: int) -> jnp.ndarray:
     """Split ``(..., L)`` into leading-axis chunks ``(N, ..., chunk_size)``,
     zero-padding the tail."""
@@ -229,16 +527,8 @@ def scan_forward(
     chunk ``i`` at ``i * chunk_size / sr`` (:func:`session_frame_times`;
     session start at t=0 — add an offset for a resumed stream).
     """
-    from .ops.pallas.stream_step import (
-        fused_forward_session_available,
-        make_fused_forward_session,
-    )
+    from .ops.pallas.stream_step import make_fused_forward_session
 
-    if backend not in ("auto", "fused", "generic"):
-        raise ValueError(
-            "unknown scan_forward backend %r (use 'auto', 'fused' or "
-            "'generic')" % backend
-        )
     if mesh is not None:
         # multi-chip: structural batch partitioning — each device scans
         # its local slice (session kernels included); state/output leaves
@@ -267,31 +557,16 @@ def scan_forward(
         return (ys, times, st) if with_time else (ys, st)
     # feature chains ([..., Magnitude]) encode through the same kernel:
     # Magnitude.forward is stateless and frame-local, so applying it
-    # whole-session to the kernel's spectrum equals the generic scan
+    # whole-session to the kernel's spectrum equals the generic scan.
+    # The dispatch decision (incl. the loud backend='fused' rejection and
+    # every numeric gate) lives in plan_forward/dispatch_regions.json.
+    plan = plan_forward(
+        chain, x.shape, chunk_size,
+        has_state=state is not None, backend=backend,
+    )
     parts = _session_parts(chain)
     sub2, mag_t, _ = parts if parts else (chain, None, 0)
-    available = (
-        state is None
-        and parts is not None
-        and fused_forward_session_available(sub2, chunk_size)
-    )
-    if backend == "fused" and not available:
-        raise ValueError(
-            "backend='fused' requested but the fused encode-session kernel "
-            "cannot cover this call (needs a fresh-state "
-            "[OverlapAdd, RealtimeSTFT(, Magnitude)] chain with an "
-            "OLA-supported layout); use backend='auto' to fall back to "
-            "the generic scan"
-        )
-    take = backend == "fused" or (
-        backend == "auto" and jax.default_backend() == "tpu"
-    )
-    batch_elems = 1
-    for d in x.shape[:-1]:
-        batch_elems *= d
-    # same measured batch crossover as the complex roundtrip kernel
-    # (large fleets amortize XLA's dispatch; the kernel wins below it)
-    if available and take and (backend == "fused" or batch_elems <= 64):
+    if plan == "fused":
         spec, st2 = make_fused_forward_session(sub2, chunk_size)(x)
         if mag_t is None:
             return _ret(spec, st2)
@@ -356,21 +631,12 @@ def scan_invert(
     state is deterministic — :func:`_sinebank_session`), on every platform.
     """
     from .ops.pallas.stream_step import (
-        fused_complex_invert_available,
-        fused_pghi_gl_invert_available,
-        fused_pghi_invert_available,
-        fused_random_invert_available,
         make_fused_complex_invert,
         make_fused_pghi_gl_invert,
         make_fused_pghi_invert,
         make_fused_random_invert,
     )
 
-    if backend not in ("auto", "fused", "generic"):
-        raise ValueError(
-            "unknown scan_invert backend %r (use 'auto', 'fused' or "
-            "'generic')" % backend
-        )
     if mesh is not None:
         # multi-chip decode: per-device session kernels on local slices;
         # the key is folded with the shard index so shards draw
@@ -386,100 +652,31 @@ def scan_invert(
         if key is None:
             key = jax.random.PRNGKey(0)
         return shard_map_batch(inner, mesh, shard_axis, keyed=True)(y, key)
-    batch_elems = 1
-    for d in y.shape[:-2]:
-        batch_elems *= d
     # 3-chain feature sessions ([..., Magnitude]) decode through the same
     # kernels: Magnitude.invert is stateless and frame-local, so running
     # it whole-session in XLA before the kernel equals the generic scan's
-    # per-chunk application exactly
+    # per-chunk application exactly.  The dispatch decision (incl. the
+    # loud backend='fused' rejection and every numeric gate) lives in
+    # plan_invert/dispatch_regions.json.
+    plan = plan_invert(
+        chain, y.shape, chunk_frames, inversion_mode,
+        y_is_complex=jnp.iscomplexobj(y), backend=backend,
+    )
     parts = _session_parts(chain)
     sub2, mag_t, pre = parts if parts else (chain, None, 0)
-    pghi_available = (
-        inversion_mode == "pghi"
-        and parts is not None
-        and fused_pghi_invert_available(sub2, chunk_frames)
-    )
-    pghi_gl_available = (
-        inversion_mode == "pghi_gl"
-        and parts is not None
-        and fused_pghi_gl_invert_available(sub2, chunk_frames)
-    )
-    random_available = (
-        inversion_mode == "random"
-        and parts is not None
-        and fused_random_invert_available(sub2, chunk_frames)
-    )
-    # complex (explicit-phase, keep_input-style) decode: 2-chains only
-    # (a Magnitude tail means real features, not a complex spectrum)
-    complex_available = (
-        inversion_mode is None
-        and jnp.iscomplexobj(y)
-        and parts is not None
-        and mag_t is None
-        and fused_complex_invert_available(sub2, chunk_frames)
-    )
-    # sinebank decode: the carried state is deterministic, so the whole
-    # session is a closed form (no scan, no kernel — plain XLA, so it
-    # dispatches on every platform, not just TPU)
-    sinebank_available = (
-        inversion_mode == "sinebank"
-        and parts is not None
-        and _sinebank_layout_ok(sub2)
-    )
-    if backend == "fused" and not (
-        pghi_available or pghi_gl_available or random_available
-        or complex_available or sinebank_available
-    ):
-        raise ValueError(
-            "backend='fused' requested but no fused invert-session path "
-            "covers this call (needs an [OverlapAdd, RealtimeSTFT"
-            "(, Magnitude)] chain with inversion_mode 'random', 'pghi', "
-            "'pghi_gl' or 'sinebank' — or a complex spectrum with mode "
-            "None, 2-chain only — and an OLA-supported layout); use "
-            "backend='auto' to fall back to the generic scan"
-        )
-    if sinebank_available and backend != "generic" and (
-        backend == "fused" or _sinebank_fits(sub2, y.shape, chunk_frames)
-    ):
+    if plan == "sinebank":
         ym = mag_t.invert(y) if mag_t is not None else y
         return _sinebank_session(sub2, ym, chunk_frames)
-    take = backend == "fused" or (
-        backend == "auto" and jax.default_backend() == "tpu"
-    )
-    # complex decode has no angle footprint; same batch crossover as the
-    # complex roundtrip kernel (auto hands large fleets to XLA)
-    if complex_available and take and (backend == "fused" or batch_elems <= 64):
+    if plan == "complex":
         return make_fused_complex_invert(sub2, chunk_frames)(y)
-    if pghi_available or pghi_gl_available or random_available:
-        from .ops.pallas.spectral import LANE, _round_up
-
-        rt = chain.transforms[1]
-        n_frames = -(-y.shape[-2] // chunk_frames) * chunk_frames
-        angle_bytes = batch_elems * n_frames * _round_up(
-            rt.n_fft // 2 + 1, LANE
-        ) * 4
-        angles_fit = angle_bytes <= 1 << 30
+    if plan in ("pghi", "pghi_gl", "random"):
+        maker = {
+            "pghi": make_fused_pghi_invert,
+            "pghi_gl": make_fused_pghi_gl_invert,
+            "random": make_fused_random_invert,
+        }[plan]
         ym = mag_t.invert(y) if mag_t is not None else y
-        # same measured batch caps as the roundtrip sessions
-        # (streaming.scan_roundtrip): the invert kernels share their
-        # structure minus the analysis GEMM
-        if pghi_available and take and (backend == "fused" or angles_fit):
-            return make_fused_pghi_invert(
-                sub2, chunk_frames, key=key, pre_splits=pre
-            )(ym)
-        if pghi_gl_available and take and (
-            backend == "fused" or (angles_fit and batch_elems <= 32)
-        ):
-            return make_fused_pghi_gl_invert(
-                sub2, chunk_frames, key=key, pre_splits=pre
-            )(ym)
-        if random_available and take and (
-            backend == "fused" or (angles_fit and batch_elems <= 128)
-        ):
-            return make_fused_random_invert(
-                sub2, chunk_frames, key=key, pre_splits=pre
-            )(ym)
+        return maker(sub2, chunk_frames, key=key, pre_splits=pre)(ym)
 
     T = y.shape[-2]
     n = -(-T // chunk_frames)
@@ -543,24 +740,12 @@ def scan_roundtrip(
     chain scan.
     """
     from .ops.pallas.stream_step import (
-        fused_forward_session_available,
-        fused_pghi_gl_roundtrip_available,
-        fused_pghi_roundtrip_available,
-        fused_random_roundtrip_available,
-        fused_roundtrip_available,
         make_fused_pghi_gl_roundtrip,
         make_fused_pghi_roundtrip,
         make_fused_random_roundtrip,
         make_fused_roundtrip,
     )
 
-    if backend not in ("auto", "fused", "generic"):
-        # an unknown string would otherwise silently run the generic scan —
-        # the same silent-substitution trap the explicit gates below reject
-        raise ValueError(
-            "unknown scan_roundtrip backend %r (use 'auto', 'fused' or "
-            "'generic')" % backend
-        )
     if mesh is not None:
         # multi-chip roundtrip: see scan_invert's mesh leg (same key-fold
         # contract for the phaseless modes)
@@ -574,96 +759,22 @@ def scan_roundtrip(
         if key is None:
             key = jax.random.PRNGKey(0)
         return shard_map_batch(inner, mesh, shard_axis, keyed=True)(x, key)
-    batch_elems = 1
-    for d in x.shape[:-1]:
-        batch_elems *= d
     # 3-chain feature sessions ([..., Magnitude]) compose the ENCODE
     # kernel + whole-session Magnitude forward/invert (stateless,
     # frame-local — equal to the generic per-chunk application) + the
-    # DECODE kernel; 2-chains keep their fully-fused roundtrip kernels
+    # DECODE kernel; 2-chains keep their fully-fused roundtrip kernels.
+    # The dispatch decision — availability (can the kernel run? explicit
+    # "fused" may run at ANY batch), the auto perf caps (measured batch
+    # crossovers / the HBM angle-buffer footprint), the loud
+    # backend='fused' rejection — lives in plan_roundtrip, with every
+    # numeric gate in dispatch_regions.json; the prose justification for
+    # each cap is in BENCH_NOTES.md (r3.20-22b sweeps).
+    plan = plan_roundtrip(
+        chain, x.shape, chunk_size, inversion_mode, backend=backend
+    )
     parts = _session_parts(chain)
     sub2, mag_t, pre = parts if parts else (chain, None, 0)
-    feature_ok = mag_t is None or fused_forward_session_available(
-        sub2, chunk_size
-    )
-    # availability (can the kernel run?) is separate from the auto perf
-    # heuristic (should it?): explicit "fused" may run at ANY batch —
-    # the kernel covers B >= 128, auto just prefers XLA there
-    available = (
-        inversion_mode is None
-        and parts is not None
-        and mag_t is None
-        and fused_roundtrip_available(sub2, chunk_size)
-    )
-    # phaseless sessions: inversion_mode="pghi" rides its own whole-session
-    # kernel (analysis + RT-PGHI fill + synthesis; the serial per-frame
-    # recurrence is dispatch-bound in the generic scan — measured 12.3K
-    # frames/s vs the kernel's, BENCH_NOTES.md r3.20)
-    pghi_available = (
-        inversion_mode == "pghi"
-        and parts is not None
-        and feature_ok
-        and fused_pghi_roundtrip_available(sub2, chunk_size)
-    )
-    # the pghi_gl quality mode (PGHI seed + pinned-context GL polish)
-    # rides its own session kernel too (r3.21)
-    pghi_gl_available = (
-        inversion_mode == "pghi_gl"
-        and parts is not None
-        and feature_ok
-        and fused_pghi_gl_roundtrip_available(sub2, chunk_size)
-    )
-    # random phases — the reference's DEFAULT realtime mode (reference
-    # stft.py:241-243) — ride the complex kernel + magnitude/trig (r3.22)
-    random_available = (
-        inversion_mode == "random"
-        and parts is not None
-        and feature_ok
-        and fused_random_roundtrip_available(sub2, chunk_size)
-    )
-    # sinebank roundtrips: encode session + closed-form decode (the
-    # sinebank's carried state is deterministic — see _sinebank_session);
-    # plain XLA, so it dispatches on every platform
-    sinebank_available = (
-        inversion_mode == "sinebank"
-        and parts is not None
-        and _sinebank_layout_ok(sub2)
-        and chunk_size % chain.transforms[1].hop_length == 0
-    )
-    if backend == "fused" and not (
-        available or pghi_available or pghi_gl_available or random_available
-        or sinebank_available
-    ):
-        # explicit requests fail loudly (mirrors serving's loud fallback):
-        # a silent generic-scan substitution would corrupt kernel
-        # validation and timing runs
-        raise ValueError(
-            "backend='fused' requested but no fused session path covers "
-            "this call (needs an [OverlapAdd, RealtimeSTFT(, Magnitude)] "
-            "chain with inversion_mode None, 'random', 'sinebank', 'pghi' "
-            "or 'pghi_gl' — complex roundtrips 2-chain only — chunk_size "
-            "a hop multiple, an OLA-supported hop); use backend='auto' to "
-            "fall back to the generic scan"
-        )
-    # "auto" only takes the kernels where they compile (TPU) — off-TPU they
-    # would run the Pallas interpreter, orders of magnitude slower than the
-    # generic scan — and (complex roundtrips) only below the measured batch
-    # crossover: at B>=128 the generic scan wins (7.1M vs 5.7M frames/s at
-    # B=128, 8.5M vs 6.7M at B=256 — shrinking grid steps pay more fixed
-    # cost than XLA's op dispatch), so auto hands large fleets to XLA
-    sb_T_c = (
-        chunk_size // chain.transforms[1].hop_length
-        if sinebank_available
-        else 1
-    )
-    if sinebank_available and backend != "generic" and (
-        backend == "fused"
-        or _sinebank_fits(
-            sub2,
-            x.shape[:-1] + (-(-x.shape[-1] // chunk_size) * sb_T_c, 0),
-            sb_T_c,
-        )
-    ):
+    if plan == "sinebank":
         spec, _ = scan_forward(sub2, x, chunk_size)
         mags = (
             mag_t.invert(mag_t.forward(spec))
@@ -673,19 +784,7 @@ def scan_roundtrip(
         return _sinebank_session(
             sub2, mags, chunk_size // chain.transforms[1].hop_length
         )
-    take = backend == "fused" or (
-        backend == "auto" and jax.default_backend() == "tpu"
-    )
-    # complex-path batch cap: auto stays under the measured crossover above
-    small = batch_elems <= 64
-    # phaseless sessions have no such crossover (the generic scan's serial
-    # per-frame fill stays dispatch-bound at any batch) and the wrappers
-    # slab the batch to bound VMEM — auto's only cap is the session angle
-    # buffer the wrappers materialize in HBM (~4 * Fp / hop bytes per input
-    # sample, ops/pallas/stream_step.py:_session_angles): very long
-    # sessions fall back to the generic scan, which draws per chunk
-    if pghi_available or pghi_gl_available or random_available:
-        from .ops.pallas.spectral import LANE, _round_up
+    if plan in ("pghi", "pghi_gl", "random"):
         from .ops.pallas.stream_step import (
             make_fused_forward_session,
             make_fused_pghi_gl_invert,
@@ -695,46 +794,25 @@ def scan_roundtrip(
 
         rt = chain.transforms[1]
         T_c = chunk_size // rt.hop_length
-        n_frames = -(-x.shape[-1] // chunk_size) * T_c
-        angle_bytes = batch_elems * n_frames * _round_up(
-            rt.n_fft // 2 + 1, LANE
-        ) * 4
-        angles_fit = angle_bytes <= 1 << 30  # 1 GiB of 16 GB HBM
-
-        def feature_roundtrip(invert_maker):
+        if mag_t is not None:
             # encode kernel -> Magnitude forward/invert (whole-session,
             # XLA) -> decode kernel; == the generic 3-chain roundtrip
             # under the session kernels' parity contract
+            invert_maker = {
+                "pghi": make_fused_pghi_invert,
+                "pghi_gl": make_fused_pghi_gl_invert,
+                "random": make_fused_random_invert,
+            }[plan]
             spec, _ = make_fused_forward_session(sub2, chunk_size)(x)
             mags = mag_t.invert(mag_t.forward(spec))
             return invert_maker(sub2, T_c, key=key, pre_splits=pre)(mags)
-
-        if pghi_available and take and (backend == "fused" or angles_fit):
-            if mag_t is not None:
-                return feature_roundtrip(make_fused_pghi_invert)
-            return make_fused_pghi_roundtrip(chain, chunk_size, key=key)(x)
-        # pghi_gl's GEMM-heavy projections amortize in the generic scan
-        # too: with bf16x3 projection GEMMs the kernel wins 9.4x at B=1
-        # down to 1.1x at B=32 and loses at B=64 (0.9x, measured r3.22b)
-        # — auto caps at the measured win region, unlike mode="pghi"
-        # (2.1x at B=64, 1.2x at B=256)
-        if pghi_gl_available and take and (
-            backend == "fused" or (angles_fit and batch_elems <= 32)
-        ):
-            if mag_t is not None:
-                return feature_roundtrip(make_fused_pghi_gl_invert)
-            return make_fused_pghi_gl_roundtrip(chain, chunk_size, key=key)(x)
-        # random mode rides the complex kernel + magnitude/trig at the
-        # generic path's own bf16x3 GEMM precision: measured wins 2.2x at
-        # B=1 down to 1.1x at B=128 (r3.22b); auto caps at the measured
-        # region
-        if random_available and take and (
-            backend == "fused" or (angles_fit and batch_elems <= 128)
-        ):
-            if mag_t is not None:
-                return feature_roundtrip(make_fused_random_invert)
-            return make_fused_random_roundtrip(chain, chunk_size, key=key)(x)
-    if available and take and (backend == "fused" or small):
+        roundtrip_maker = {
+            "pghi": make_fused_pghi_roundtrip,
+            "pghi_gl": make_fused_pghi_gl_roundtrip,
+            "random": make_fused_random_roundtrip,
+        }[plan]
+        return roundtrip_maker(chain, chunk_size, key=key)(x)
+    if plan == "complex":
         return make_fused_roundtrip(chain, chunk_size)(x)
 
     chunks = chunk_signal(x, chunk_size)

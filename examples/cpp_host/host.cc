@@ -31,6 +31,8 @@
 // Prints per-stage element count and max |out - expected|; exit 0 iff every
 // stage < 1e-4.
 
+#include <algorithm>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -325,6 +327,53 @@ float RunStreamStage(xla::LocalClient* client, const std::string& dir,
     rec.insert(rec.end(), r, r + chunk_len);
     std::memcpy(s0.data(), outs[1].untyped_data(), s0_len * sizeof(float));
     std::memcpy(s1.data(), outs[2].untyped_data(), s1_len * sizeof(float));
+  }
+
+  // Per-chunk wall latency of the realtime step (VERDICT r3 weak #4's
+  // C++-host leg): keep streaming the same chunks (state keeps evolving —
+  // steady-state work, only the content repeats) for >= 1000 timed
+  // iterations and report p50/p99 against the chunk's audio duration.
+  {
+    const int64_t timed = std::max<int64_t>(1000, n_chunks);
+    std::vector<double> lat_ms;
+    lat_ms.reserve(timed);
+    for (int64_t i = 0; i < timed; ++i) {
+      const int64_t c = i % n_chunks;
+      const auto t0 = std::chrono::steady_clock::now();
+      xla::Literal l0(s0_shape), l1(s1_shape), lc(chunk_shape);
+      std::memcpy(l0.untyped_data(), s0.data(), s0_len * sizeof(float));
+      std::memcpy(l1.untyped_data(), s1.data(), s1_len * sizeof(float));
+      std::memcpy(lc.untyped_data(),
+                  stream_raw.data() + c * chunk_len * sizeof(float),
+                  chunk_len * sizeof(float));
+      std::vector<xla::ScopedShapedBuffer> bufs;
+      bufs.reserve(3);
+      for (const xla::Literal* lit : {&l0, &l1, &lc}) {
+        auto b = client->LiteralToShapedBuffer(
+            *lit, client->default_device_ordinal());
+        if (!b.ok()) std::exit(2);
+        bufs.push_back(std::move(b).value());
+      }
+      std::vector<const xla::ShapedBuffer*> ptrs = {&bufs[0], &bufs[1],
+                                                    &bufs[2]};
+      auto out_or = exes[0]->Run(ptrs, run_options);
+      if (!out_or.ok()) std::exit(2);
+      auto lit_or = client->ShapedBufferToLiteral(out_or.value());
+      if (!lit_or.ok()) std::exit(2);
+      std::vector<xla::Literal> outs =
+          std::move(lit_or).value().DecomposeTuple();
+      std::memcpy(s0.data(), outs[1].untyped_data(), s0_len * sizeof(float));
+      std::memcpy(s1.data(), outs[2].untyped_data(), s1_len * sizeof(float));
+      const auto t1 = std::chrono::steady_clock::now();
+      lat_ms.push_back(
+          std::chrono::duration<double, std::milli>(t1 - t0).count());
+    }
+    std::sort(lat_ms.begin(), lat_ms.end());
+    const double p50 = lat_ms[lat_ms.size() / 2];
+    const double p99 = lat_ms[(lat_ms.size() * 99) / 100];
+    std::printf("%s: stream_step latency p50 = %.3f ms, p99 = %.3f ms over "
+                "%lld chunks\n",
+                name.c_str(), p50, p99, static_cast<long long>(timed));
   }
 
   const float* want = reinterpret_cast<const float*>(expected_raw.data());

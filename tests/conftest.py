@@ -38,9 +38,18 @@ def _drop_compiled_executables():
     """
     yield
     try:
+        import gc
+
         import jax
 
         jax.clear_caches()
+        gc.collect()  # executables in reference cycles hold ~3 mmaps each
+        if os.environ.get("ACIDS_TEST_DEBUG_MAPS"):
+            import sys
+
+            with open(f"/proc/{os.getpid()}/maps") as f:
+                n = sum(1 for _ in f)
+            print(f"[maps] {n}", file=sys.stderr, flush=True)
     except Exception:
         pass
 
