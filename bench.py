@@ -168,6 +168,29 @@ def bench_tpu(x: np.ndarray):
     except Exception as e:
         print(f"bench: int16 ingest metric failed: {e!r}", file=sys.stderr)
 
+    # deploy artifact keeps the kernel speed (r4, VERDICT r3 weak #7):
+    # StableHLO-export the fused forward (the Mosaic custom call
+    # serializes), reload, and time the restored callable.  Honesty gate
+    # is BIT-identity vs the live kernel (measured rel_err 0.0,
+    # tools/verify_deploy_speed.py).
+    dt_art = None
+    try:
+        if dt_pallas is not None:
+            from acids_transforms_tpu.export import (
+                export_stablehlo,
+                load_stablehlo,
+            )
+
+            restored = load_stablehlo(export_stablehlo(pfused, (xb,)))
+            y_art = jax.jit(restored)(xb)
+            y_liv = jax.jit(pfused)(xb)
+            if bool(jnp.all(y_art == y_liv)):
+                dt_art = _device_time(restored, xb, N_ITER_TPU)
+            else:
+                print("bench: deployed artifact not bit-identical", file=sys.stderr)
+    except Exception as e:
+        print(f"bench: deployed artifact metric failed: {e!r}", file=sys.stderr)
+
     y = jax.jit(lambda c, v: c.forward(v))(chain, xb)
     frames = TPU_BATCH * y.shape[-2]
     fps = frames / dt
@@ -223,9 +246,11 @@ def bench_tpu(x: np.ndarray):
     fps_pallas = frames / dt_pallas if dt_pallas else None
     fps_bf16 = frames / dt_bf16 if dt_bf16 else None
     fps_i16 = frames / dt_i16 if dt_i16 else None
+    fps_art = frames / dt_art if dt_art else None
     return (
         fps, frames / dt_xla, fps_fused, fps_pallas, fps_bf16, fps_i16,
-        fps_fit, fps_mfcc, backend, rel_err, str(jax.devices()[0]).strip(),
+        fps_fit, fps_mfcc, fps_art, backend, rel_err,
+        str(jax.devices()[0]).strip(),
     )
 
 
@@ -723,7 +748,8 @@ def _delta_check(result: dict) -> dict:
         "value", "xla_chain_frames_per_sec", "xla_fused_frames_per_sec",
         "pallas_fused_frames_per_sec", "pallas_bf16out_frames_per_sec",
         "pallas_i16in_frames_per_sec", "fused_fit_frames_per_sec",
-        "fused_mfcc_frames_per_sec", "pghi_invert_frames_per_sec",
+        "fused_mfcc_frames_per_sec", "deployed_artifact_frames_per_sec",
+        "pghi_invert_frames_per_sec",
         "dgt_forward_frames_per_sec", "pghi_bidir_b1_inversions_per_sec",
         "polarif_fused_frames_per_sec",
         "griffin_lim_frames_per_sec", "streaming_frames_per_sec",
@@ -820,7 +846,7 @@ def main():
     ready.set()
     x = _load_audio()
     (fps_tpu, fps_xla, fps_fused, fps_pallas, fps_bf16, fps_i16, fps_fit,
-     fps_mfcc, backend, rel_err, device) = bench_tpu(x)
+     fps_mfcc, fps_art, backend, rel_err, device) = bench_tpu(x)
     fps_cpu = bench_torch_cpu(x)
     extras = {k: _jsonable(v) for k, v in bench_configs(x).items()}
     result = {
@@ -836,6 +862,7 @@ def main():
         "pallas_i16in_frames_per_sec": round(fps_i16, 1) if fps_i16 else None,
         "fused_fit_frames_per_sec": round(fps_fit, 1) if fps_fit else None,
         "fused_mfcc_frames_per_sec": round(fps_mfcc, 1) if fps_mfcc else None,
+        "deployed_artifact_frames_per_sec": round(fps_art, 1) if fps_art else None,
         "torch_cpu_frames_per_sec": round(fps_cpu, 1),
         "roundtrip_rel_err": rel_err,
         "device": device,
