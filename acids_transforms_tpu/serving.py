@@ -27,7 +27,7 @@ split into explicit AOT artifacts + a shape-disciplined server.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -349,6 +349,13 @@ class StreamingSession:
     offline/recorded audio prefer the scan APIs — they run the whole
     session in one program (and dispatch to whole-session Pallas kernels);
     the live session necessarily pays one dispatch per chunk.
+
+    ``mesh=`` serves a batched session fleet multi-chip: the per-chunk
+    steps run under ``shard_map`` over the leading batch axis (each
+    device steps its local sessions, zero cross-chip traffic; decode
+    draws fold the shard index — independent per shard, not bit-equal to
+    the single-chip run).  The transform is snapshotted at construction
+    in this mode.
     """
 
     def __init__(
@@ -358,6 +365,8 @@ class StreamingSession:
         batch_shape: Tuple[int, ...] = (),
         inversion_mode: Optional[str] = None,
         key: Optional[jax.Array] = None,
+        mesh: Any = None,
+        shard_axis: str = "data",
     ):
         self.transform = transform
         self.chunk_size = int(chunk_size)
@@ -371,13 +380,53 @@ class StreamingSession:
         self._chunk_tmap = None  # lazy per-chunk frame-shift pattern
         mode = inversion_mode
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def _step(ch, st, x):
-            return ch.step(st, x)
+        if mesh is not None:
+            # live MULTI-CHIP serving: the per-chunk steps run under
+            # shard_map over the leading batch axis — each device steps
+            # its local sessions with zero cross-chip traffic (the
+            # structural contract of parallel.shard_map_batch; the
+            # decode key folds the shard index, so multi-chip draws are
+            # independent per shard).  The transform snapshot is closed
+            # over (leaf swaps need a new session here, unlike the
+            # single-chip path's pytree-argument executables).
+            from .parallel.sharding import shard_map_batch
 
-        @partial(jax.jit, donate_argnums=(1,))
-        def _step_invert(ch, st, y, k):
-            return ch.step_invert(st, y, inversion_mode=mode, key=k)
+            if not self.batch_shape:
+                raise ValueError(
+                    "StreamingSession(mesh=) needs a batched session "
+                    "(batch_shape with a leading axis divisible by the "
+                    "mesh axis)"
+                )
+            leaves, treedef = jax.tree_util.tree_flatten(transform)
+            frozen = jax.tree_util.tree_unflatten(treedef, leaves)
+
+            step_sm = shard_map_batch(
+                lambda x, st: frozen.step(st, x), mesh, shard_axis
+            )
+            inv_sm = shard_map_batch(
+                lambda y, k, st: frozen.step_invert(
+                    st, y, inversion_mode=mode, key=k
+                ),
+                mesh, shard_axis, keyed=True,
+            )
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def _step(ch, st, x):
+                return step_sm(x, st)
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def _step_invert(ch, st, y, k):
+                return inv_sm(y, k, st)
+
+        else:
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def _step(ch, st, x):
+                return ch.step(st, x)
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def _step_invert(ch, st, y, k):
+                return ch.step_invert(st, y, inversion_mode=mode, key=k)
 
         self._step = _step
         self._step_invert = _step_invert

@@ -22,6 +22,40 @@ if os.environ.get("ACIDS_TPU_TESTS") != "1":
 import numpy as np
 import pytest
 
+# Every XLA:CPU LoadedExecutable holds ~3-6 mmap'd LLVM-JIT regions, and the
+# compile-heavy modules (test_streaming's session programs) peak near the
+# kernel's default vm.max_map_count (65530) *within one module* — with the
+# ~2k baseline the rest of the suite leaves behind, a failed mmap inside
+# LLVM segfaults the compiler (observed thrice at the same test).  Raise the
+# ceiling when we can (root containers)...
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 262144:
+            _f.seek(0)
+            _f.write("262144")
+except Exception:
+    pass
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_maps():
+    """...and bound the intra-module peak everywhere else: when a test
+    leaves the process above 40k mappings, drop the jit caches early
+    (costs a few recompiles in that module, saves the run)."""
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+        if n > 40_000:
+            import gc
+
+            import jax
+
+            jax.clear_caches()
+            gc.collect()
+    except Exception:
+        pass
+
 
 @pytest.fixture(scope="module", autouse=True)
 def _drop_compiled_executables():
@@ -44,12 +78,14 @@ def _drop_compiled_executables():
 
         jax.clear_caches()
         gc.collect()  # executables in reference cycles hold ~3 mmaps each
-        if os.environ.get("ACIDS_TEST_DEBUG_MAPS"):
-            import sys
-
+        path = os.environ.get("ACIDS_TEST_DEBUG_MAPS")
+        if path:
+            # pytest captures stderr, so the per-module count appends to
+            # the file named by the env var (pass a path, not "1")
             with open(f"/proc/{os.getpid()}/maps") as f:
                 n = sum(1 for _ in f)
-            print(f"[maps] {n}", file=sys.stderr, flush=True)
+            with open(path if path != "1" else "/tmp/acids_maps.log", "a") as g:
+                g.write(f"{n}\n")
     except Exception:
         pass
 

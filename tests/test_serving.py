@@ -370,3 +370,38 @@ def test_streaming_session_matches_eager_loop():
     )
     y0 = bs.process(jnp.asarray(xb[:, :chunk]))
     assert y0.shape == (2, chunk)
+
+
+def test_streaming_session_mesh_multichip():
+    """Live multi-chip serving: StreamingSession(mesh=) steps each
+    device's local sessions under shard_map — encode matches the
+    single-chip session (deterministic), decode stays finite with the
+    documented per-shard key-fold draws, and an unbatched session or a
+    non-dividing batch fails loudly."""
+    import jax
+
+    from acids_transforms_tpu.parallel import make_mesh
+    from acids_transforms_tpu.serving import StreamingSession
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = make_mesh({"data": len(jax.devices())})
+    n = 2 * len(jax.devices())
+    rng = np.random.default_rng(5)
+    chain = T.OverlapAdd(512, 128) + T.RealtimeSTFT(
+        n_fft=512, hop_length=128, inversion_mode="random"
+    )
+    s0 = StreamingSession(chain, 1024, batch_shape=(n,),
+                          inversion_mode="random")
+    sm = StreamingSession(chain, 1024, batch_shape=(n,),
+                          inversion_mode="random", mesh=mesh)
+    x = jnp.asarray(rng.standard_normal((n, 1024)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((n, 1024)).astype(np.float32))
+    f0, fm = s0.encode(x), sm.encode(x)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(f0)), np.abs(np.asarray(fm)), atol=1e-4
+    )
+    y1, y2 = sm.decode(jnp.abs(fm)), sm.decode(jnp.abs(sm.encode(x2)))
+    assert y1.shape == (n, 1024) and np.isfinite(np.asarray(y2)).all()
+    with pytest.raises(ValueError, match="batch"):
+        StreamingSession(chain, 1024, inversion_mode="random", mesh=mesh)
