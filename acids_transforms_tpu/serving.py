@@ -68,8 +68,26 @@ class CompiledTransform:
         batch_sizes: Sequence[int] = (1, 4, 16),
         inversion_mode: Optional[str] = None,
         frame_axis: Optional[int] = None,
+        mesh: Any = None,
+        shard_axis: str = "data",
     ):
         self.transform = transform
+        #: multi-chip serving: both directions run under shard_map over
+        #: the leading batch axis (structural per-device execution, zero
+        #: batch collectives — parallel.shard_map_batch).  Every batch
+        #: bucket must divide over the mesh axis, and the served snapshot
+        #: is closed over (refresh() re-wraps, same as single-chip).
+        self.mesh = mesh
+        self.shard_axis = shard_axis
+        if mesh is not None:
+            n = mesh.shape[shard_axis]
+            bad = [b for b in batch_sizes if b % n]
+            if bad:
+                raise ValueError(
+                    "CompiledTransform(mesh=): batch_sizes %r do not "
+                    "divide the mesh axis %r (size %d); pick multiples "
+                    "of the mesh size" % (bad, shard_axis, n)
+                )
         # sorted like batch_sizes: _bucket's ladder-exceeded error reads
         # buckets[-1] as the max, which lies for unsorted user ladders
         self.buckets = (
@@ -107,13 +125,20 @@ class CompiledTransform:
         # The transform rides through jit as a pytree argument, so a refresh()
         # after an eager refit swaps the leaves without recompiling.
         self._fused = fusable(transform)
-        if self._fused:
+        if mesh is not None:
+            # built in refresh() against the frozen snapshot (the served
+            # callables close over it in mesh mode)
+            self._fwd = self._inv = None
+        elif self._fused:
             self._fwd: Callable = jax.jit(lambda t, v: fuse_forward(t)(v))
+            self._inv = jax.jit(
+                lambda t, v: t.invert(v, inversion_mode=inversion_mode)
+            )
         else:
             self._fwd = jax.jit(lambda t, v: t.forward(v))
-        self._inv: Callable = jax.jit(
-            lambda t, v: t.invert(v, inversion_mode=inversion_mode)
-        )
+            self._inv = jax.jit(
+                lambda t, v: t.invert(v, inversion_mode=inversion_mode)
+            )
         self._shape_cache: Dict = {}
         self.refresh()
 
@@ -135,6 +160,42 @@ class CompiledTransform:
         self._frozen = jax.tree_util.tree_unflatten(treedef, leaves)
         self._shape_cache.clear()
         self._t_ladder_cache = None
+        if self.mesh is not None:
+            # re-wrap the served callables around the fresh snapshot:
+            # shard_map over the leading batch axis, per-device execution
+            from .parallel.sharding import shard_map_batch
+
+            frozen = self._frozen
+            inv_mode = self.inversion_mode
+            f_in = (
+                fuse_forward(frozen)
+                if self._fused
+                else (lambda v: frozen.forward(v))
+            )
+
+            # keyed invert: phaseless modes draw per shard with the index
+            # folded in (the multi-chip key contract — quality-equivalent
+            # to the single-chip server, not bit-equal; deterministic
+            # inversions are unaffected)
+            def i_in(v, k):
+                return frozen.invert(v, inversion_mode=inv_mode, key=k)
+
+            fwd_sm = shard_map_batch(f_in, self.mesh, self.shard_axis)
+            inv_sm = shard_map_batch(
+                i_in, self.mesh, self.shard_axis, keyed=True
+            )
+            key0 = jax.random.PRNGKey(0)
+            self._fwd = jax.jit(lambda t, v: fwd_sm(v))
+            self._inv = jax.jit(lambda t, v: inv_sm(v, key0))
+            # shape probes use the plain chain's invert (key=None default)
+            i_shape = lambda v: frozen.invert(v, inversion_mode=inv_mode)
+            # shape probes (eval_shape, any batch incl. 1) bypass the
+            # mesh wrapper — shapes are mesh-independent
+            self._fwd_shape = lambda t, v: f_in(v)
+            self._inv_shape = lambda t, v: i_shape(v)
+        else:
+            self._fwd_shape = self._fwd
+            self._inv_shape = self._inv
 
     # ------------------------------------------------------------- shaping
     def _bucket(self, n: int) -> int:
@@ -160,7 +221,7 @@ class CompiledTransform:
         for shape in ((1, nb), (1, 1, nb), (1, 2, nb)):
             try:
                 out = jax.eval_shape(
-                    self._fwd,
+                    self._fwd_shape,
                     self._frozen,
                     jax.ShapeDtypeStruct(shape, jnp.float32),
                 )
@@ -211,11 +272,15 @@ class CompiledTransform:
         return min(fitting)
 
     def _true_shape(self, fn: Callable, x: jnp.ndarray) -> Tuple[int, ...]:
-        """Output shape of the *unbucketed* call, via (cached) eval_shape."""
-        key = (fn is self._inv, x.shape, str(x.dtype))
+        """Output shape of the *unbucketed* call, via (cached) eval_shape
+        (through the mesh-free shape twin: the true shape is that of the
+        plain chain on the unpadded batch, which need not divide a mesh)."""
+        is_inv = fn is self._inv
+        key = (is_inv, x.shape, str(x.dtype))
         if key not in self._shape_cache:
             aval = jax.ShapeDtypeStruct(x.shape, x.dtype)
-            out = jax.eval_shape(fn, self._frozen, aval)
+            shape_fn = self._inv_shape if is_inv else self._fwd_shape
+            out = jax.eval_shape(shape_fn, self._frozen, aval)
             if not hasattr(out, "shape"):
                 # non-array chain output (e.g. a tuple from a custom
                 # transform) — the ctor rejects the known producers, this
