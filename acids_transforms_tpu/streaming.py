@@ -230,8 +230,8 @@ def plan_forward(
     take = backend == "fused" or (
         backend == "auto" and _platform(platform) == "tpu"
     )
-    # same measured batch crossover as the complex roundtrip kernel
-    # (large fleets amortize XLA's dispatch; the kernel wins below it)
+    # measured encode crossover (r4.5 re-measure: 1.36x/1.19x at B=1/4,
+    # neutral above — large fleets amortize XLA's dispatch)
     if available and take and (
         backend == "fused" or _cap_ok("encode", _batch_elems(x_shape[:-1]))
     ):
@@ -320,10 +320,11 @@ def plan_invert(
     take = backend == "fused" or (
         backend == "auto" and _platform(platform) == "tpu"
     )
-    # complex decode has no angle footprint; same batch crossover as the
-    # complex roundtrip kernel (auto hands large fleets to XLA)
+    # complex decode has no angle footprint and its own (wider) measured
+    # crossover — the synthesis-only kernel amortizes better than the
+    # full roundtrip (dispatch_regions "complex_decode"; r4.5)
     if complex_available and take and (
-        backend == "fused" or _cap_ok("complex", batch_elems)
+        backend == "fused" or _cap_ok("complex_decode", batch_elems)
     ):
         return "complex"
     if pghi_available or pghi_gl_available or random_available:

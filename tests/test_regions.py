@@ -42,7 +42,7 @@ def test_table_loads_and_values_documented():
     assert t["streaming"]["angle_cap_bytes"] == 1 << 30
     assert t["streaming"]["sinebank_cap_bytes"] == 1 << 30
     assert t["streaming"]["batch_caps"] == {
-        "complex": 64, "encode": 64, "pghi": None,
+        "complex": 1, "complex_decode": 16, "encode": 8, "pghi": None,
         "pghi_gl": 32, "random": 128,
     }
     assert t["fuse_fit"]["fullk_n_fft_max"] == 2048
@@ -54,9 +54,9 @@ def test_table_loads_and_values_documented():
 
 ROUNDTRIP_BATCH_MATRIX = [
     # (inversion_mode, batch_elems, expected_plan_on_tpu)
-    (None, 1, "complex"),
-    (None, 64, "complex"),
-    (None, 128, "generic"),     # measured crossover: XLA wins at B>=128
+    (None, 1, "complex"),       # 1.69x single-stream (r4.5 re-measure)
+    (None, 4, "generic"),       # ~0.86x at B>=4: XLA wins (r4.5)
+    (None, 128, "generic"),
     ("pghi", 1, "pghi"),
     ("pghi", 256, "pghi"),      # no batch cap: kernel wins at every batch
     ("pghi_gl", 1, "pghi_gl"),
@@ -108,14 +108,18 @@ def test_invert_plan_matrix():
             ch, (batch, 128, F), 16, mode, platform="tpu"
         )
         assert got == expected, (mode, batch, got, expected)
-    # complex decode plans on dtype, 2-chain only
+    # complex decode plans on dtype, 2-chain only; its own crossover
+    # (neutral through B=16, loses at 64 — r4.5)
     ch = _chain()
     assert plan_invert(
         ch, (8, 128, F), 16, None, y_is_complex=True, platform="tpu"
     ) == "complex"
     assert plan_invert(
-        ch, (128, 128, F), 16, None, y_is_complex=True, platform="tpu"
-    ) == "generic"  # batch crossover
+        ch, (16, 128, F), 16, None, y_is_complex=True, platform="tpu"
+    ) == "complex"
+    assert plan_invert(
+        ch, (64, 128, F), 16, None, y_is_complex=True, platform="tpu"
+    ) == "generic"
     assert plan_invert(
         _chain(feature=True), (8, 128, F), 16, None, y_is_complex=True,
         platform="tpu",
@@ -125,6 +129,7 @@ def test_invert_plan_matrix():
 def test_encode_plan_matrix():
     ch = _chain()
     assert plan_forward(ch, (8, 8 * 4096), 4096, platform="tpu") == "fused"
+    assert plan_forward(ch, (16, 8 * 4096), 4096, platform="tpu") == "generic"
     assert plan_forward(ch, (128, 8 * 4096), 4096, platform="tpu") == "generic"
     assert plan_forward(
         ch, (8, 8 * 4096), 4096, has_state=True, platform="tpu"
