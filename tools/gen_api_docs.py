@@ -85,12 +85,17 @@ def main():
             ("scan_forward", att.scan_forward),
             ("scan_invert", att.scan_invert),
             ("scan_roundtrip", att.scan_roundtrip),
+            ("session_frame_times", att.streaming.session_frame_times),
+            ("plan_forward", att.streaming.plan_forward),
+            ("plan_invert", att.streaming.plan_invert),
+            ("plan_roundtrip", att.streaming.plan_roundtrip),
         ]),
         ("Parallel (`acids_transforms_tpu.parallel`)", [
             ("make_mesh", att.parallel.make_mesh),
             ("local_mesh", att.parallel.local_mesh),
             ("shard_along", att.parallel.shard_along),
             ("data_parallel", att.parallel.data_parallel),
+            ("shard_map_batch", att.parallel.shard_map_batch),
             ("sequence_parallel_stft", att.parallel.sequence_parallel_stft),
             ("sequence_parallel_istft", att.parallel.sequence_parallel_istft),
         ]),
