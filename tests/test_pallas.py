@@ -1131,3 +1131,41 @@ def test_review_r3_gates_and_contracts(test_files):
 
     with pytest.raises(ValueError, match="backend"):
         fuse_fit(pcm_chain, backend="fused")
+
+
+def test_gl_stage_prefixes_preserve_default():
+    """The floor-sweep ``stages=`` prefixes (tools/sweep_gl_floor.py) are
+    debug-only: every prefix compiles and returns finite outputs, and the
+    full-depth ``stages=5`` kernel is BIT-equal to the default path (the
+    shipped GL iteration must not be perturbed by the instrumentation)."""
+    import jax
+
+    from acids_transforms_tpu.ops.fft import stft, taps_for_window
+    from acids_transforms_tpu.ops.pallas.glstep import make_gl_momentum_step
+    from acids_transforms_tpu.ops.windows import hann_window
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8192)).astype(np.float32))
+    w = hann_window(512)
+    taps = taps_for_window(w)
+    mag = jnp.abs(stft(x, 512, 128, w))
+    ang = jax.random.uniform(
+        jax.random.PRNGKey(0), mag.shape, minval=-3.0, maxval=3.0
+    )
+    are0, aim0 = jnp.cos(ang), jnp.sin(ang)
+
+    ref_step, to_rows, _ = make_gl_momentum_step(mag, 512, 128, taps, w, 0.99)
+    a, b = to_rows(are0), to_rows(aim0)
+    z = jnp.zeros_like(a)
+    ref = ref_step(a, b, z, z)
+    for s in range(6):
+        st, _, _ = make_gl_momentum_step(
+            mag, 512, 128, taps, w, 0.99, stages=s
+        )
+        outs = st(a, b, z, z)
+        assert all(bool(jnp.all(jnp.isfinite(o))) for o in outs), s
+    full = make_gl_momentum_step(mag, 512, 128, taps, w, 0.99, stages=5)[0](
+        a, b, z, z
+    )
+    for r, f in zip(ref, full):
+        assert bool(jnp.all(r == f))
