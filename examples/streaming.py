@@ -68,8 +68,13 @@ def vocoder_serving():
     )
     chain = chain.fit(jnp.asarray(x))
 
-    # encode: audio -> model features, one scan (+ resumable state)
-    feats, state = scan_forward(chain, jnp.asarray(x), chunk_size=4096)
+    # encode: audio -> model features, one scan (+ resumable state);
+    # with_time=True also returns the frame-start seconds the reference's
+    # realtime loop would thread (time-aligned features for the model)
+    feats, times, state = scan_forward(
+        chain, jnp.asarray(x), chunk_size=4096, with_time=True
+    )
+    print("frame times:", times.shape, float(times[0]), "->", float(times[-1]))
     # ... feats -> your model -> feats' ...
     # decode: features -> audio, one scan (16 frames = 4096 samples/chunk)
     audio = scan_invert(
@@ -84,9 +89,11 @@ def vocoder_serving():
     sess.warmup()  # compile both directions before the first real chunk
     for i in range(3):
         chunk = jnp.asarray(x[i * 4096: (i + 1) * 4096])
-        f = sess.encode(chunk)          # features for the model
+        f, ts = sess.encode(chunk, with_time=True)  # features + frame times
         out = sess.decode(f)            # vocoded audio, state carried
-    print("live session chunk:", out.shape)
+    print("live session chunk:", out.shape, "last frame t:", float(ts[-1]))
+    # multi-chip fleets: StreamingSession(..., mesh=parallel.make_mesh(...))
+    # steps each device's local sessions under shard_map (see README)
 
 
 if __name__ == "__main__":
