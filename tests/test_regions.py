@@ -42,7 +42,7 @@ def test_table_loads_and_values_documented():
     assert t["streaming"]["angle_cap_bytes"] == 1 << 30
     assert t["streaming"]["sinebank_cap_bytes"] == 1 << 30
     assert t["streaming"]["batch_caps"] == {
-        "complex": 1, "complex_decode": 16, "encode": 8, "pghi": None,
+        "complex": 1, "complex_decode": 1, "encode": 8, "pghi": None,
         "pghi_gl": 32, "random": 128,
     }
     assert t["fuse_fit"]["fullk_n_fft_max"] == 2048
@@ -108,15 +108,15 @@ def test_invert_plan_matrix():
             ch, (batch, 128, F), 16, mode, platform="tpu"
         )
         assert got == expected, (mode, batch, got, expected)
-    # complex decode plans on dtype, 2-chain only; its own crossover
-    # (neutral through B=16, loses at 64 — r4.5)
+    # complex decode plans on dtype, 2-chain only; parity at B=1,
+    # XLA wins beyond (two samples, r4.5) — cap 1
     ch = _chain()
     assert plan_invert(
-        ch, (8, 128, F), 16, None, y_is_complex=True, platform="tpu"
+        ch, (128, F), 16, None, y_is_complex=True, platform="tpu"
     ) == "complex"
     assert plan_invert(
-        ch, (16, 128, F), 16, None, y_is_complex=True, platform="tpu"
-    ) == "complex"
+        ch, (4, 128, F), 16, None, y_is_complex=True, platform="tpu"
+    ) == "generic"
     assert plan_invert(
         ch, (64, 128, F), 16, None, y_is_complex=True, platform="tpu"
     ) == "generic"
