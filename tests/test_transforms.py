@@ -546,3 +546,36 @@ def test_magnitude_pinv_inverse_option(test_files):
     err_t = recon_err("transpose")
     err_p = recon_err("pinv")
     assert err_p <= err_t + 1e-6, (err_p, err_t)
+
+
+def test_reference_combination_chains(test_files):
+    """The reference's test_combinations matrix
+    (/root/reference/test/test_transforms.py:72-103): each combination
+    chain runs forward_with_time and inverts.  stft+magnitude and
+    overlap+stft are covered extensively elsewhere; this mirrors the
+    remaining two — stereo+mulaw+onehot and stft+polar — end to end."""
+    sig, _ = test_files
+    x = jnp.asarray(sig)
+    t0 = jnp.zeros(x.shape[:-1])
+
+    # Stereo + MuLaw(channels=256) + OneHot(n_classes=256)
+    ch = T.Stereo() + T.MuLaw(channels=256) + T.OneHot(n_classes=256)
+    if ch.needs_scaling:
+        ch = ch.fit(x)
+    y, time = ch.forward_with_time(x, t0)
+    assert y.shape[-1] == 256  # one-hot classes on the last axis
+    rec = np.asarray(ch.invert(y))
+    assert rec.shape[:-1] == x.shape[:-1]
+    n = min(rec.shape[-1], x.shape[-1])
+    assert snr_db(np.asarray(x)[..., :n], rec[..., :n]) > 30  # 8-bit mulaw
+
+    # STFT + Polar (stacked two-channel representation)
+    ch2 = (T.STFT(n_fft=1024, hop_length=256) + T.Polar()).fit(x)
+    y2, time2 = ch2.forward_with_time(x, t0)
+    assert time2.shape[-1] == y2.shape[-3]  # per-frame times (stacked -2)
+    rec2 = np.asarray(ch2.invert(y2))
+    n = min(rec2.shape[-1], x.shape[-1])
+    # the normalized wrapped-phase channel round-trips through two f32
+    # affines; ~1e-3 of 2pi phase noise bounds the SNR near ~30 dB
+    # (the reference's test asserts nothing here — it only writes WAVs)
+    assert snr_db(np.asarray(x)[..., :n], rec2[..., :n]) > 25
