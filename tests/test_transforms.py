@@ -575,7 +575,8 @@ def test_reference_combination_chains(test_files):
     assert time2.shape[-1] == y2.shape[-3]  # per-frame times (stacked -2)
     rec2 = np.asarray(ch2.invert(y2))
     n = min(rec2.shape[-1], x.shape[-1])
-    # the normalized wrapped-phase channel round-trips through two f32
-    # affines; ~1e-3 of 2pi phase noise bounds the SNR near ~30 dB
-    # (the reference's test asserts nothing here — it only writes WAVs)
+    # ~31 dB: the magnitude channel defaults to mel=True (reference
+    # parity — spectral_repr.py:155) and the square mel bank's inverse
+    # is the lossy step; the reference's test asserts nothing here (it
+    # only writes WAVs), so the bound just pins the roundtrip working
     assert snr_db(np.asarray(x)[..., :n], rec2[..., :n]) > 25
