@@ -165,7 +165,15 @@ class Magnitude(_Representation):
         eps: Optional[float] = None,
         keep_nyquist: bool = True,
         mel_inverse: str = "transpose",
+        norm: Optional[str] = None,
     ):
+        # `norm=` alias: the reference README's usage example spells the
+        # normalizer kwarg `norm="unipolar"` (reference README.md:53)
+        # while its code takes `mode=` (spectral_repr.py:153) — the
+        # example fails on the reference itself.  Accept the README
+        # spelling so copied examples just work (overrides `mode`).
+        if norm is not None:
+            mode = norm
         super().__init__(sr=sr, mode=mode, keep_nyquist=keep_nyquist)
         if contrast not in ("log1p", "log", "log10", "none", None):
             raise TypeError("unknown contrast type %s" % contrast)

@@ -580,3 +580,21 @@ def test_reference_combination_chains(test_files):
     # is the lossy step; the reference's test asserts nothing here (it
     # only writes WAVs), so the bound just pins the roundtrip working
     assert snr_db(np.asarray(x)[..., :n], rec2[..., :n]) > 25
+
+
+def test_magnitude_norm_kwarg_alias(mono_signal):
+    """The reference README's usage example passes ``norm="unipolar"``
+    (README.md:53) though the reference ctor takes ``mode=`` — the
+    published example fails on the reference itself.  We accept the
+    README spelling as an alias so copied examples work."""
+    m = T.Magnitude(mel=True, norm="bipolar", contrast="log1p")
+    assert m.norm.mode == "bipolar"
+    # the README chain end-to-end
+    chain = T.Mono() + T.DGT(n_fft=1024, hop_length=256) + T.Magnitude(
+        mel=True, norm="unipolar", contrast="log1p"
+    )
+    x = jnp.asarray(mono_signal)
+    chain = chain.fit(x)
+    y = chain.forward(x)
+    rec = np.asarray(chain.invert(y, inversion_mode="pghi"))
+    assert np.isfinite(rec).all()
