@@ -269,3 +269,59 @@ def test_scan_apis_execute_their_plan(sig_arr=None):
                                    backend="generic"))
     rel = np.linalg.norm(y_auto - y_gen) / np.linalg.norm(y_gen)
     assert 0 < rel < 5e-3  # closed form taken (ulp-level angle jitter)
+
+
+def test_planner_fuzz_never_crashes_and_respects_availability():
+    """Randomized chains/shapes/modes through the planners: every call
+    returns a known label, 'auto' never selects a fused path whose
+    availability gate is false, and off-TPU auto only ever picks
+    'generic' or the XLA-only sinebank closed form."""
+    import itertools
+
+    from acids_transforms_tpu.ops.pallas.stream_step import (
+        fused_complex_invert_available,
+        fused_roundtrip_available,
+    )
+
+    rng = np.random.default_rng(17)
+    n_ffts = [256, 512, 1000, 1024, 2048]
+    hops = [64, 125, 128, 250, 256, 512]
+    modes = [None, "random", "pghi", "pghi_gl", "sinebank"]
+    labels_rt = {"complex", "pghi", "pghi_gl", "random", "sinebank", "generic"}
+    count = 0
+    for n_fft, hop in itertools.product(n_ffts, hops):
+        if hop >= n_fft:
+            continue
+        ola_hop = hop if rng.random() < 0.8 else max(32, hop // 2)
+        if n_fft % ola_hop:
+            ola_hop = hop
+        if n_fft % ola_hop:
+            continue  # OverlapAdd requires hop | n_fft
+        ch = T.OverlapAdd(n_fft, ola_hop) + T.RealtimeSTFT(
+            n_fft=n_fft, hop_length=hop
+        )
+        for mode in modes:
+            B = int(rng.choice([1, 3, 8, 64, 200]))
+            L = int(rng.choice([2, 5, 17])) * 4096
+            chunk = int(rng.choice([2048, 4096, 5000]))
+            shape = (B, L) if B > 1 else (L,)
+            for platform in ("tpu", "cpu"):
+                got = plan_roundtrip(ch, shape, chunk, mode,
+                                     platform=platform)
+                assert got in labels_rt, got
+                if platform == "cpu":
+                    assert got in ("generic", "sinebank")
+                if got == "complex":
+                    assert fused_roundtrip_available(ch, chunk)
+                count += 1
+            T_c = max(1, chunk // hop)
+            y_shape = shape[:-1] + (128, n_fft // 2 + 1)
+            got_i = plan_invert(ch, y_shape, T_c, mode,
+                                y_is_complex=mode is None, platform="tpu")
+            assert got_i in labels_rt, got_i
+            if got_i == "complex":
+                assert fused_complex_invert_available(ch, T_c)
+            got_f = plan_forward(ch, shape, chunk, platform="tpu")
+            assert got_f in ("fused", "generic")
+            count += 2
+    assert count > 100  # the matrix actually ran
