@@ -845,7 +845,13 @@ def _combine_stats(st, axis_name: str):
             out[k] = lax.pmin(v, axis_name)
         elif k == "max":
             out[k] = lax.pmax(v, axis_name)
-        else:  # sum / sumsq / count
+        elif k == "count" and isinstance(v, int):
+            # shard-static element count (B_loc*T*F) — identical on every
+            # shard, so the global count is an exact trace-time integer
+            # product; psum'ing it through f32 would round above 2^24
+            # elements (easily reached at fit scale)
+            out[k] = v * lax.psum(1, axis_name)
+        else:  # sum / sumsq
             out[k] = lax.psum(jnp.asarray(v, jnp.float32), axis_name)
     return out
 
@@ -859,10 +865,8 @@ def _sharded_stats(stats_fn, flat, mesh, axis_name: str):
     #2).  ``flat`` is the (B, L) mono audio; ``B`` must be divisible by
     the mesh axis size."""
     import jax
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    # shard_map + the matching check kwarg spelling for this jax version
+    from .parallel.sharding import _NO_CHECK, shard_map
     from jax.sharding import PartitionSpec as P
 
     n = mesh.shape[axis_name]
@@ -886,7 +890,7 @@ def _sharded_stats(stats_fn, flat, mesh, axis_name: str):
         mesh=mesh,
         in_specs=(P(axis_name, None),),
         out_specs=out_specs,
-        check_vma=False,
+        **_NO_CHECK,
     )(flat)
 
 

@@ -21,8 +21,11 @@ import jax
 import jax.numpy as jnp
 try:
     from jax import shard_map
-except ImportError:  # older jax
+    _CHECK_KW = "check_vma"  # jax>=0.6 spelling
+except ImportError:  # older jax: same function, older kwarg spelling
     from jax.experimental.shard_map import shard_map
+    _CHECK_KW = "check_rep"
+_NO_CHECK = {_CHECK_KW: False}
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.fft import irfft_frames, rfft_frames
@@ -113,13 +116,35 @@ def shard_map_batch(
 
         return jax.tree_util.tree_map(leaf_spec, tree)
 
+    def _local_shape(l, B):
+        """ShapeDtypeStruct of a batch-leaf's per-shard slice (replicated
+        leaves pass through with their global shape)."""
+        return (
+            jax.ShapeDtypeStruct(
+                (l.shape[0] // n,) + tuple(l.shape[1:]), l.dtype
+            )
+            if getattr(l, "ndim", 0) >= 1 and l.shape[0] == B
+            else jax.ShapeDtypeStruct(
+                getattr(l, "shape", ()), getattr(l, "dtype", jnp.float32)
+            )
+        )
+
     def wrapped(x, *rest):
+        if getattr(x, "ndim", 0) < 2:
+            raise ValueError(
+                "shard_map_batch: input must carry an explicit leading "
+                "batch axis (rank >= 2); got rank-%d shape %r.  Unbatched "
+                "signals cannot be mesh-partitioned — add a batch dim "
+                "(x[None]) or drop mesh=." % (getattr(x, "ndim", 0),
+                                              tuple(getattr(x, "shape", ())))
+            )
         B = x.shape[0]
         if B % n:
             raise ValueError(
                 "shard_map_batch: leading batch %d not divisible by mesh "
                 "axis %r size %d" % (B, axis_name, n)
             )
+        _loc = lambda l: _local_shape(l, B)
 
         if keyed:
             key, rest_t = rest[0], rest[1:]
@@ -135,35 +160,61 @@ def shard_map_batch(
                 _specs(x, B), P(),
                 *(_specs(r, B) for r in rest_t),
             )
+            # the key is replicated (in_spec P()) — it must NOT go
+            # through the batch-leaf shape heuristic (a legacy uint32
+            # key of shape (2,) with B == 2 would be miscut)
+            local_args = (
+                jax.tree_util.tree_map(_loc, x),
+                jax.ShapeDtypeStruct(tuple(key.shape), key.dtype),
+                *(jax.tree_util.tree_map(_loc, r) for r in rest_t),
+            )
         else:
             local = fn
             args = (x,) + rest
             in_specs = (_specs(x, B), *(_specs(r, B) for r in rest))
+            local_args = jax.tree_util.tree_map(_loc, args)
 
-        # out specs from the LOCAL call's shapes: leaves carrying the
-        # per-shard batch B//n lead-dim are concatenated over the axis,
-        # everything else (identical across shards) returned replicated
-        local_args = jax.tree_util.tree_map(
+        # out specs: a leaf is batch-sharded iff the GLOBAL trace gives it
+        # a leading dim of B and the LOCAL trace gives the matching B//n
+        # slice; a leaf identical in both traces is replicated.  Tracing
+        # both sides kills the B//n == 1 ambiguity (a replicated leaf with
+        # a coincidental leading 1 has leading 1 globally too, not B).
+        # Shapes via fn, not local: the keyed fold_in references the mesh
+        # axis, which is unbound outside the shard_map context (and does
+        # not change any shape).
+        global_args = jax.tree_util.tree_map(
             lambda l: jax.ShapeDtypeStruct(
-                (l.shape[0] // n,) + tuple(l.shape[1:]), l.dtype
-            )
-            if getattr(l, "ndim", 0) >= 1 and l.shape[0] == B
-            else jax.ShapeDtypeStruct(
-                getattr(l, "shape", ()), getattr(l, "dtype", jnp.float32)
+                tuple(getattr(l, "shape", ())),
+                getattr(l, "dtype", jnp.float32),
             ),
             args,
         )
-        # shapes via fn, not local: the keyed fold_in references the mesh
-        # axis, which is unbound outside the shard_map context (and does
-        # not change any shape)
-        out_sds = jax.eval_shape(fn, *local_args)
-        out_specs = _specs(out_sds, B // n)
+        out_local = jax.eval_shape(fn, *local_args)
+        out_global = jax.eval_shape(fn, *global_args)
+
+        def out_spec(lg, ll):
+            gs, ls = tuple(lg.shape), tuple(ll.shape)
+            if (
+                len(gs) >= 1
+                and gs[0] == B
+                and ls == (B // n,) + gs[1:]
+            ):
+                return P(*([axis_name] + [None] * (len(gs) - 1)))
+            if gs == ls:
+                return P()
+            raise ValueError(
+                "shard_map_batch: output leaf shape %r (global trace) vs "
+                "%r (local trace) is neither batch-sharded nor replicated"
+                % (gs, ls)
+            )
+
+        out_specs = jax.tree_util.tree_map(out_spec, out_global, out_local)
         return shard_map(
             local,
             mesh=mesh,
             in_specs=in_specs,
             out_specs=out_specs,
-            check_vma=False,
+            **_NO_CHECK,
         )(*args)
 
     return wrapped

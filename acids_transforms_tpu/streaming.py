@@ -645,6 +645,17 @@ def scan_invert(
         # single-device run — PARITY.md multi-chip contract)
         from .parallel.sharding import shard_map_batch
 
+        if getattr(y, "ndim", 0) < 3:
+            # shard_map_batch's generic rank-2 guard would let an
+            # UNBATCHED (T, F) spectrogram through and shard its frame
+            # axis as batch — decode needs explicit (B, T, F)
+            raise ValueError(
+                "scan_invert(mesh=): spectra must carry an explicit "
+                "leading batch axis (B, T, F); got shape %r.  Add a "
+                "batch dim (y[None]) or drop mesh=."
+                % (tuple(getattr(y, "shape", ())),)
+            )
+
         def inner(v, k):
             return scan_invert(
                 chain, v, chunk_frames, inversion_mode, k, backend
