@@ -104,6 +104,49 @@ def _build_native():
     yield
 
 
+# ------------------------------------------------------------- smoke tier
+# `pytest -m smoke` — the ~5-minute core selection (VERDICT r4 weak #6):
+# protocol/compose basics, one parity-matrix cell per window family, the
+# regions conformance matrix, one session-kernel-vs-generic equivalence
+# per inversion mode, and the export round-trip.  The full suite remains
+# the documented pre-commit gate; smoke is the fast inner-loop check.
+# Selection lives HERE (one place) rather than as decorators scattered
+# over 20 modules.
+_SMOKE = {
+    # core protocol + compose + a raw/spectral/norm representative each
+    "test_transforms.py::test_pytree_roundtrip",
+    "test_transforms.py::test_stft_forward_shape_and_jit",
+    "test_transforms.py::test_stft_direct_inversion_snr",
+    "test_transforms.py::test_reference_combination_chains",
+    "test_transforms.py::test_normalize_fit_forward_invert",
+    "test_transforms.py::test_mulaw_roundtrip",
+    "test_transforms.py::test_magnitude_contrast_inverses",
+    # torch parity: every window family x shape cell of the STFT matrix
+    "test_parity_matrix.py::test_stft_istft_parity",
+    # dispatch-region conformance (the machine-readable gate table)
+    "test_regions.py::test_table_loads_and_values_documented",
+    "test_regions.py::test_roundtrip_plan_matrix",
+    "test_regions.py::test_scan_apis_execute_their_plan",
+    # one session-kernel-vs-generic equivalence per mode
+    "test_streaming.py::test_fused_roundtrip_matches_generic",
+    "test_streaming.py::test_fused_random_session_matches_generic",
+    "test_streaming.py::test_fused_pghi_session_matches_generic",
+    "test_streaming.py::test_fused_pghi_gl_session_matches_generic",
+    "test_streaming.py::test_fused_complex_invert_matches_generic",
+    "test_streaming.py::test_sinebank_session_closed_form_matches_generic",
+    # deploy: every transform's manifest round-trips
+    "test_export.py::test_every_transform_serializes",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("[", 1)[0]
+        short = base.rsplit("/", 1)[-1]
+        if short in _SMOKE:
+            item.add_marker(pytest.mark.smoke)
+
+
 def _synthetic_corpus(sr: int = 44100, seconds: float = 1.0, batch: int = 3):
     """Deterministic synthetic test corpus: additive sines, chirp, noise burst.
 
