@@ -1035,6 +1035,19 @@ def _session_pghi_gl_kernel(
     ph_ext = ext(glp_ref, ph0)
     pinned = ph_ext  # rows < ctx hold the pinned context phases
     mm_ext = jnp.where(lanex < n_bins, mag_ext, 0.0)
+    # Boundary freeze (r5; RealtimeSTFT.pghi_gl_stream's freeze_n): ext
+    # rows committed THIS step that sit in the grid's right-context-
+    # incomplete trailing ``overlap-1`` band keep the causal ``ph0``
+    # instead of the GL update (at lookahead 0 the projection re-anchors
+    # them WORSE than plain PGHI — decode SC 0.0388 vs 0.0133,
+    # BENCH_r04).  Zero once ``la >= overlap-1``: those configurations
+    # are bit-identical to the unfrozen polish.
+    freeze_n = max(0, min(overlap - 1 - la, T_c))
+    keep_rows = rowx < ctx
+    if freeze_n:
+        keep_rows = keep_rows | (
+            (rowx >= ctx + T_c - freeze_n) & (rowx < ctx + T_c)
+        )
 
     def project(_, phase):
         # projection GEMMs run bf16x3, not the session kernels' x4: the
@@ -1081,7 +1094,7 @@ def _session_pghi_gl_kernel(
         )
         Z3 = Z.reshape(B, Tx, 2 * Fp)
         new = _atan2(Z3[:, :, Fp:], Z3[:, :, :Fp])
-        return jnp.where(rowx < ctx, pinned, new)
+        return jnp.where(keep_rows, pinned, new)
 
     phase = jax.lax.fori_loop(0, iters, project, ph_ext, unroll=False)
 

@@ -93,41 +93,56 @@ def main():
     print("fit scalars unmeshed=%s mesh1=%s" % (s0, sm), flush=True)
     assert np.allclose(s0, sm, rtol=1e-5), (s0, sm)
 
-    # ---- 3. whole-session streaming kernels under shard_map
-    rt = T.OverlapAdd(N_FFT, HOP) + T.RealtimeSTFT(
-        n_fft=N_FFT, hop_length=HOP, inversion_mode="pghi"
+    # ---- 3. whole-session streaming kernels under shard_map.
+    # Value parity on the DETERMINISTIC complex roundtrip (the keyed
+    # phaseless legs fold the shard index into the PRNG key by contract
+    # — quality-equivalent, not bit-equal, PARITY.md); phaseless legs are
+    # gated on spectral convergence instead.
+    rt_c = T.OverlapAdd(N_FFT, HOP) + T.RealtimeSTFT(
+        n_fft=N_FFT, hop_length=HOP
     )
     Lc = (L // 4096) * 4096
     xs = xb[..., :Lc]
     kp = jax.random.PRNGKey(0)
     t0 = time.time()
-    y_rt0 = scan_roundtrip(rt, xs, 4096, inversion_mode="pghi", key=kp,
-                           backend="fused")
-    y_rtm = scan_roundtrip(rt, xs, 4096, inversion_mode="pghi", key=kp,
-                           backend="fused", mesh=mesh1)
+    y_rt0 = scan_roundtrip(rt_c, xs, 4096, backend="fused")
+    y_rtm = scan_roundtrip(rt_c, xs, 4096, backend="fused", mesh=mesh1)
     rel_rt = fetch_rel(y_rtm, y_rt0)
     print("mesh1 session roundtrip in %.1fs rel=%.2e" % (time.time() - t0, rel_rt),
           flush=True)
     txt_rt = scan_roundtrip.lower(
-        rt, xs, 4096, inversion_mode="pghi", key=kp, backend="fused",
-        mesh=mesh1,
+        rt_c, xs, 4096, backend="fused", mesh=mesh1,
     ).compile().as_text()
     viol_rt = collective_violations(txt_rt)
     assert not viol_rt, viol_rt
     assert rel_rt < 1e-4, rel_rt
 
-    # decode leg
+    # phaseless decode leg: SC parity vs the unmeshed kernel
+    rt = T.OverlapAdd(N_FFT, HOP) + T.RealtimeSTFT(
+        n_fft=N_FFT, hop_length=HOP, inversion_mode="pghi"
+    )
     st_q = T.STFT(n_fft=N_FFT, hop_length=HOP)
     mags = jnp.abs(st_q.forward(xs))
     Tm = (mags.shape[-2] // (4096 // HOP)) * (4096 // HOP)
     mags = mags[..., :Tm, :]
+    dec_delay = N_FFT // 2
+
+    @jax.jit
+    def sc_dec(y):
+        m = jnp.abs(st_q.forward(y[..., dec_delay:]))
+        n = min(int(m.shape[-2]), Tm) - 4
+        return jnp.linalg.norm(
+            m[..., 2:n, :] - mags[..., 2:n, :]
+        ) / jnp.linalg.norm(mags[..., 2:n, :])
+
     y_d0 = scan_invert(rt, mags, 4096 // HOP, inversion_mode="pghi", key=kp,
                        backend="fused")
     y_dm = scan_invert(rt, mags, 4096 // HOP, inversion_mode="pghi", key=kp,
                        backend="fused", mesh=mesh1)
-    rel_d = fetch_rel(y_dm, y_d0)
-    print("mesh1 session decode rel=%.2e" % rel_d, flush=True)
-    assert rel_d < 1e-4, rel_d
+    sc0, scm = float(sc_dec(y_d0)), float(sc_dec(y_dm))
+    print("mesh1 session decode SC unmeshed=%.4f mesh1=%.4f" % (sc0, scm),
+          flush=True)
+    assert scm <= sc0 * 1.1 + 1e-3, (sc0, scm)
 
     # ---- 4. quick timing: mesh-vs-unmeshed throughput ratio
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
