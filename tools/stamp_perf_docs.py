@@ -92,6 +92,28 @@ def _fmt(v, fmt):
     raise ValueError("unknown stamp format %r" % fmt)
 
 
+def parse_stamped(text, fmt):
+    """Numeric value back out of a stamped span (inverse of _fmt);
+    None if the span is a placeholder or malformed."""
+    t = text.strip()
+    try:
+        if fmt == "M":
+            return float(t.rstrip("M")) * 1e6
+        if fmt == "K":
+            return float(t.rstrip("K")) * 1e3
+        if fmt == "x":
+            return float(t.rstrip("x×"))
+        if fmt == "ms":
+            return float(t.replace("ms", "").strip())
+        if fmt == "db":
+            return float(t.replace("dB", "").strip())
+        if fmt.startswith("f") or fmt in ("e", "int"):
+            return float(t)
+    except ValueError:
+        return None
+    return None
+
+
 def stamp_text(text, metrics):
     """(new_text, [(expr, old, new)] changes, [missing exprs])."""
     changes, missing = [], []
