@@ -168,6 +168,24 @@ def bench_tpu(x: np.ndarray):
     except Exception as e:
         print(f"bench: int16 ingest metric failed: {e!r}", file=sys.stderr)
 
+    # combined serving contract (r5): int16 PCM in AND bf16 features out
+    # — both DMA savings stack (the kernel converts in VMEM on ingest and
+    # rounds only at the final HBM store).  Honesty gate: bit-identity vs
+    # the f32 kernel fed pre-converted input, rounded outside.
+    dt_i16bf16 = None
+    try:
+        if dt_bf16 is not None and dt_i16 is not None:
+            y_c = jax.jit(bfused)(xi)
+            y_cref = jax.jit(pfused)(
+                xi.astype(jnp.float32) * 2.0 ** -15
+            ).astype(jnp.bfloat16)
+            if bool(jnp.all(y_c == y_cref)):
+                dt_i16bf16 = _device_time(bfused, xi, N_ITER_TPU)
+            else:
+                print("bench: i16in+bf16out not bit-identical", file=sys.stderr)
+    except Exception as e:
+        print(f"bench: i16in+bf16out metric failed: {e!r}", file=sys.stderr)
+
     # the Mosaic kernel under shard_map on REAL hardware (r5, VERDICT r4
     # weak #1): a 1-device mesh goes through the exact shard_map lowering
     # path multi-chip serving executes (tpu_custom_call + SPMD
@@ -285,10 +303,11 @@ def bench_tpu(x: np.ndarray):
     fps_i16 = frames / dt_i16 if dt_i16 else None
     fps_art = frames / dt_art if dt_art else None
     fps_mesh1 = frames / dt_mesh1 if dt_mesh1 else None
+    fps_i16bf16 = frames / dt_i16bf16 if dt_i16bf16 else None
     return (
         fps, frames / dt_xla, fps_fused, fps_pallas, fps_bf16, fps_i16,
-        fps_fit, fps_mfcc, fps_art, fps_mesh1, mesh1_ratio, backend, rel_err,
-        str(jax.devices()[0]).strip(),
+        fps_i16bf16, fps_fit, fps_mfcc, fps_art, fps_mesh1, mesh1_ratio,
+        backend, rel_err, str(jax.devices()[0]).strip(),
     )
 
 
@@ -855,7 +874,8 @@ def _delta_check(result: dict) -> dict:
     higher_is_better = [
         "value", "xla_chain_frames_per_sec", "xla_fused_frames_per_sec",
         "pallas_fused_frames_per_sec", "pallas_bf16out_frames_per_sec",
-        "pallas_i16in_frames_per_sec", "fused_fit_frames_per_sec",
+        "pallas_i16in_frames_per_sec",
+        "pallas_i16in_bf16out_frames_per_sec", "fused_fit_frames_per_sec",
         "fused_mfcc_frames_per_sec", "deployed_artifact_frames_per_sec",
         "mesh1_fused_frames_per_sec",
         "pghi_invert_frames_per_sec",
@@ -955,9 +975,9 @@ def main():
     jax.devices()  # blocks on backend init; watchdog bounds the wait
     ready.set()
     x = _load_audio()
-    (fps_tpu, fps_xla, fps_fused, fps_pallas, fps_bf16, fps_i16, fps_fit,
-     fps_mfcc, fps_art, fps_mesh1, mesh1_ratio, backend, rel_err,
-     device) = bench_tpu(x)
+    (fps_tpu, fps_xla, fps_fused, fps_pallas, fps_bf16, fps_i16,
+     fps_i16bf16, fps_fit, fps_mfcc, fps_art, fps_mesh1, mesh1_ratio,
+     backend, rel_err, device) = bench_tpu(x)
     fps_cpu = bench_torch_cpu(x)
     extras = {k: _jsonable(v) for k, v in bench_configs(x).items()}
     result = {
@@ -971,6 +991,9 @@ def main():
         "pallas_fused_frames_per_sec": round(fps_pallas, 1) if fps_pallas else None,
         "pallas_bf16out_frames_per_sec": round(fps_bf16, 1) if fps_bf16 else None,
         "pallas_i16in_frames_per_sec": round(fps_i16, 1) if fps_i16 else None,
+        "pallas_i16in_bf16out_frames_per_sec": (
+            round(fps_i16bf16, 1) if fps_i16bf16 else None
+        ),
         "fused_fit_frames_per_sec": round(fps_fit, 1) if fps_fit else None,
         "fused_mfcc_frames_per_sec": round(fps_mfcc, 1) if fps_mfcc else None,
         "deployed_artifact_frames_per_sec": round(fps_art, 1) if fps_art else None,
@@ -991,6 +1014,11 @@ def main():
     line = dict(result)
     line.pop("delta_pct", None)
     line.pop("config", None)
+    line.pop("streaming_chunk_budget_ms", None)  # constant; in the full file
+    regs = line.get("regressions")
+    if isinstance(regs, list) and len(regs) > 6:
+        line["regressions"] = regs[:6] + ["+%d more (see bench_last_full.json)"
+                                          % (len(regs) - 6)]
     line = {
         k: (int(round(v)) if isinstance(v, float) and abs(v) >= 1000 else v)
         for k, v in line.items()
