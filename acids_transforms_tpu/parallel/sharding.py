@@ -129,6 +129,12 @@ def shard_map_batch(
             )
         )
 
+    # spec derivation runs TWO abstract traces of fn (local + global, the
+    # out-spec disambiguation) — memoize per argument shape signature so
+    # repeated calls at the same shapes (eager serving loops, bench
+    # timing) pay the traces once
+    _spec_cache: dict = {}
+
     def wrapped(x, *rest):
         if getattr(x, "ndim", 0) < 2:
             raise ValueError(
@@ -182,33 +188,44 @@ def shard_map_batch(
         # Shapes via fn, not local: the keyed fold_in references the mesh
         # axis, which is unbound outside the shard_map context (and does
         # not change any shape).
-        global_args = jax.tree_util.tree_map(
-            lambda l: jax.ShapeDtypeStruct(
-                tuple(getattr(l, "shape", ())),
-                getattr(l, "dtype", jnp.float32),
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        sig = (
+            treedef,
+            tuple(
+                (tuple(getattr(l, "shape", ())), str(getattr(l, "dtype", "")))
+                for l in leaves
             ),
-            args,
         )
-        out_local = jax.eval_shape(fn, *local_args)
-        out_global = jax.eval_shape(fn, *global_args)
-
-        def out_spec(lg, ll):
-            gs, ls = tuple(lg.shape), tuple(ll.shape)
-            if (
-                len(gs) >= 1
-                and gs[0] == B
-                and ls == (B // n,) + gs[1:]
-            ):
-                return P(*([axis_name] + [None] * (len(gs) - 1)))
-            if gs == ls:
-                return P()
-            raise ValueError(
-                "shard_map_batch: output leaf shape %r (global trace) vs "
-                "%r (local trace) is neither batch-sharded nor replicated"
-                % (gs, ls)
+        out_specs = _spec_cache.get(sig)
+        if out_specs is None:
+            global_args = jax.tree_util.tree_map(
+                lambda l: jax.ShapeDtypeStruct(
+                    tuple(getattr(l, "shape", ())),
+                    getattr(l, "dtype", jnp.float32),
+                ),
+                args,
             )
+            out_local = jax.eval_shape(fn, *local_args)
+            out_global = jax.eval_shape(fn, *global_args)
 
-        out_specs = jax.tree_util.tree_map(out_spec, out_global, out_local)
+            def out_spec(lg, ll):
+                gs, ls = tuple(lg.shape), tuple(ll.shape)
+                if (
+                    len(gs) >= 1
+                    and gs[0] == B
+                    and ls == (B // n,) + gs[1:]
+                ):
+                    return P(*([axis_name] + [None] * (len(gs) - 1)))
+                if gs == ls:
+                    return P()
+                raise ValueError(
+                    "shard_map_batch: output leaf shape %r (global trace) "
+                    "vs %r (local trace) is neither batch-sharded nor "
+                    "replicated" % (gs, ls)
+                )
+
+            out_specs = jax.tree_util.tree_map(out_spec, out_global, out_local)
+            _spec_cache[sig] = out_specs
         return shard_map(
             local,
             mesh=mesh,

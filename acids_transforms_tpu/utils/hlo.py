@@ -72,8 +72,16 @@ def collective_violations(
     for m in _LINE_RE.finditer(hlo_text):
         op = m.group("op")
         shapes = _SHAPE_RE.findall(m.group("shapes"))
-        n = max((_elems(s) for s in shapes), default=0)
-        if op == "all-reduce" and allow_scalar_all_reduce and n <= scalar_max_elems:
+        # an UNPARSABLE result shape (dtype outside the table, dynamic
+        # bounds) must count as a violation, not as scalar — otherwise a
+        # batch-shaped all-reduce in an exotic dtype would pass the
+        # scalar allowance vacuously (n = -1 marks it)
+        n = max((_elems(s) for s in shapes), default=-1)
+        if (
+            op == "all-reduce"
+            and allow_scalar_all_reduce
+            and 0 <= n <= scalar_max_elems
+        ):
             continue
         out.add((op, n))
     return sorted(out)

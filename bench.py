@@ -204,11 +204,24 @@ def bench_tpu(x: np.ndarray):
 
             mesh1 = make_mesh({"data": 1}, jax.devices()[:1])
             fmesh = fuse_forward(chain, backend="pallas", mesh=mesh1)
-            y_m1 = fmesh(xb[:2])
-            if bool(jnp.all(y_m1 == y_p)):
+            # gate at the SAME batch the throughput is published for — a
+            # batch-crossover divergence inside the meshed dispatch must
+            # not publish an ungated number
+            y_m1 = fmesh(xb)
+            y_pb = jax.jit(pfused)(xb)
+            if bool(jnp.all(y_m1 == y_pb)):
                 txt_m1 = jax.jit(fmesh).lower(xb).compile().as_text()
                 viol = collective_violations(txt_m1)
                 has_cc = "custom-call" in txt_m1
+                if has_cc and "tpu_custom_call" not in txt_m1:
+                    # diagnostic only: the Mosaic target string may be
+                    # renamed across jaxlib versions; a custom call with
+                    # bit-identity to the Pallas kernel is the real gate
+                    print(
+                        "bench: mesh1 module has a custom call but not "
+                        "the literal 'tpu_custom_call' target",
+                        file=sys.stderr,
+                    )
                 if viol or not has_cc:
                     print(
                         f"bench: mesh1 module check failed "
@@ -801,7 +814,16 @@ def _recover_from_tail(tail: str, base_metrics):
     import re
 
     cut = tail.find('"vs_round"')
-    exact_src = tail if cut < 0 else tail[:cut]
+    if cut >= 0:
+        exact_src = tail[:cut]
+    elif '"delta_pct"' in tail:
+        # vs_round itself was cut off: everything before the delta block
+        # is gone too (line order: metrics, vs_round, delta_pct), so an
+        # exact-kv scan would read delta PERCENTAGES as metric values —
+        # recover from the delta block only
+        exact_src = ""
+    else:
+        exact_src = tail
     metrics = {}
     for k, v in re.findall(
         r'"([a-z0-9_]+)":\s*(-?[0-9.]+(?:e-?\d+)?)', exact_src

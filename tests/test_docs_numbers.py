@@ -67,10 +67,16 @@ def test_marked_spans_match_bench(stamper, metrics, rel):
             unparsable.append((expr, span))
             continue
         band = 0.50 if fmt in _WIDE_BAND_FMTS else 0.15
-        # formatting quantization (e.g. "0.003" at f3) can dominate the
-        # relative band for tiny values — allow half a ULP of the format
-        quantum = 0.0
-        if fmt.startswith("f"):
+        # formatting quantization (e.g. "0.003" at f3, "1K" at 1400) can
+        # dominate the relative band for small values — allow half a ULP
+        # of each display format
+        quantum = {
+            "M": 0.05e6, "K": 500.0, "x": 0.005, "ms": 0.05,
+            "db": 0.5, "int": 0.5,
+        }.get(fmt, 0.0)
+        if fmt == "e":
+            quantum = 0.05 * abs(current)
+        elif fmt.startswith("f") and fmt != "f":
             quantum = 0.5 * 10 ** -int(fmt[1:])
         denom = max(abs(current), 1e-12)
         if abs(stamped - current) > band * denom + quantum:
